@@ -1,0 +1,387 @@
+"""OngTsdbSpark — the engine façade: sensor lifecycle, upsert writes,
+pruned reads.  Spark-native re-expression of the reference's
+``OngTSDB`` (``src/ong_tsdb/database.py``) with the same observable
+semantics:
+
+* snap-to-grid timestamps (database.py:425-488, chunker.py:88-95)
+* cell-level last-write-wins upsert (database.py:479-486)
+* partial rows merge cellwise; unwritten cells read back NaN
+  (database.py:480-483; tests/test_client.py:65-70)
+* unwritten rows are invisible (positions>0 filter, database.py:757)
+* append-only schema growth with fill_value for pre-existing rows
+  (add_new_metrics, database.py:366-423) — implemented WITHOUT data
+  rewrite: old Parquet partitions simply lack the column; the read
+  path coalesces NULL (column absent when the row was written) to the
+  metric's fill value, while NaN (cell explicitly empty in a written
+  row) stays NaN.  Same read results, O(1) instead of O(data).
+* time-range reads with truncated start / inclusive end
+  (database.py:627-631,757-759)
+
+Storage layout (see catalog.py): one Parquet dataset per sensor,
+partitioned by ``chunk_start`` (epoch-seconds of the 16384-tick
+window — the Spark analog of the reference's chunk files,
+fileutils.py:294-308).  Partition pruning on ``chunk_start`` replaces
+the reference's arithmetic chunk-filename resolution
+(database.py:667-684) and scales to 100 TB: a range read touches only
+overlapping partitions, an upsert rewrites only touched partitions
+(dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import Catalog, SensorConfig
+from .grid import Grid
+from .pandas_edge import (
+    build_column_index,
+    flatten_metric,
+    flatten_metrics,
+    pdf_to_records,
+)
+
+TS_COL = "ts_sec"  # double epoch-seconds, exact grid arithmetic
+PART_COL = "chunk_start"  # long, partition key
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a column name for use in expr strings."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+class OngTsdbSpark:
+    """Engine façade. One instance per (SparkSession, base_dir)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(base_dir)
+        self._locks: dict[tuple[str, str], threading.Lock] = {}
+        self._locks_guard = threading.Lock()
+
+    # ------------------------------------------------------------------
+    # lifecycle (M3/M4) — thin catalog passthroughs
+    # ------------------------------------------------------------------
+    def create_db(self, db: str) -> None:
+        self.catalog.create_db(db)
+
+    def delete_db(self, db: str) -> None:
+        self.catalog.delete_db(db)
+
+    def exist_db(self, db: str) -> bool:
+        return self.catalog.exist_db(db)
+
+    def create_sensor(
+        self,
+        db: str,
+        sensor: str,
+        freq: str,
+        metrics: list,
+        metadata: dict[str, Any] | None = None,
+    ) -> None:
+        cfg = SensorConfig(freq=freq, metrics=list(metrics), metadata=metadata or {})
+        self.catalog.create_sensor(db, sensor, cfg)
+
+    def delete_sensor(self, db: str, sensor: str) -> None:
+        self.catalog.delete_sensor(db, sensor)
+
+    def exist_sensor(self, db: str, sensor: str) -> bool:
+        return self.catalog.exist_sensor(db, sensor)
+
+    def get_metrics(self, db: str, sensor: str) -> list:
+        return self.catalog.get_config(db, sensor).metrics
+
+    def get_metadata(self, db: str, sensor: str) -> dict[str, Any]:
+        return self.catalog.get_config(db, sensor).metadata
+
+    def update_metadata(self, db: str, sensor: str, metadata: dict[str, Any]) -> None:
+        self.catalog.update_metadata(db, sensor, metadata)
+
+    # ------------------------------------------------------------------
+    # write path (M1 upsert + M2 schema evolution)
+    # ------------------------------------------------------------------
+    def _sensor_lock(self, db: str, sensor: str) -> threading.Lock:
+        """Per-sensor write serialization, parity with the reference's
+        _get_sensor_lock (database.py:59-61,154-168). Spark tasks within
+        one job are isolated; this lock serializes concurrent driver
+        calls only."""
+        with self._locks_guard:
+            return self._locks.setdefault((db, sensor), threading.Lock())
+
+    def write_df(self, db: str, sensor: str, pdf: pd.DataFrame, fill_value: float = 0.0) -> None:
+        """Write a pandas frame (DatetimeIndex x metric columns) —
+        parity with client.write_df (client.py:372-382)."""
+        ts_sec, values, names = pdf_to_records(pdf)
+        rows = [(t, *v) for t, v in zip(ts_sec, values)]
+        schema = T.StructType(
+            [T.StructField(TS_COL, T.DoubleType())]
+            + [T.StructField(n, T.DoubleType()) for n in names]
+        )
+        sdf = self.spark.createDataFrame(rows, schema)
+        self.write_spark_df(db, sensor, sdf, fill_value=fill_value)
+
+    def write_points(
+        self,
+        db: str,
+        sensor: str,
+        points: Iterable[tuple[str, float, float]],
+        fill_value: float = 0.0,
+    ) -> None:
+        """Write (metric, value, ts_sec) long-form tuples — the influx
+        ingest shape after parsing (server.py:214-293). Scatters into a
+        wide frame; metric order per-point is irrelevant, partial rows
+        merge cellwise (tests/test_client.py:65-70)."""
+        long_rows = [(str(m), float(v), float(t)) for m, v, t in points]
+        schema = T.StructType(
+            [
+                T.StructField("metric", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField(TS_COL, T.DoubleType()),
+            ]
+        )
+        sdf = self.spark.createDataFrame(long_rows, schema)
+        names = sorted({m for m, _, _ in long_rows})
+        # Long -> wide scatter. Last-wins handled downstream via _arrival.
+        sdf = sdf.withColumn("_arrival", F.monotonically_increasing_id())
+        wide = sdf.groupBy(TS_COL).pivot("metric", names).agg(
+            F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN _arrival END)")
+        )
+        self.write_spark_df(db, sensor, wide, fill_value=fill_value)
+
+    def write_spark_df(
+        self, db: str, sensor: str, sdf: DataFrame, fill_value: float = 0.0
+    ) -> None:
+        """The core M1 upsert. ``sdf`` columns: ``ts_sec`` (double epoch
+        seconds) or ``ts`` (timestamp), plus one numeric column per
+        metric.  Cell rule (database.py:479-486): a non-NaN input value
+        overwrites the stored cell; NaN/absent inputs leave it alone.
+        """
+        cfg = self.catalog.get_config(db, sensor)
+        grid = cfg.grid
+
+        if TS_COL not in sdf.columns:
+            if "ts" not in sdf.columns:
+                raise ValueError("input needs a ts_sec (epoch sec) or ts (timestamp) column")
+            sdf = sdf.withColumn(TS_COL, F.col("ts").cast("double")).drop("ts")
+
+        in_metrics = [c for c in sdf.columns if c != TS_COL]
+        known = flatten_metrics(cfg.metrics)
+
+        lock = self._sensor_lock(db, sensor)
+        with lock:
+            # M2: append-only schema growth + per-metric fill bookkeeping
+            new_metrics = [m for m in in_metrics if m not in known]
+            if new_metrics:
+                for m in new_metrics:
+                    cfg.metrics.append(m)
+                    cfg.fills[flatten_metric(m)] = (
+                        float("nan") if _is_nan(fill_value) else float(fill_value)
+                    )
+                self.catalog.update_config(db, sensor, cfg)
+                known = flatten_metrics(cfg.metrics)
+
+            # normalize: snap to grid, float32 values, NaN -> NULL so
+            # "no value supplied" is uniform for the last-wins fold
+            snapped = grid.snap_expr(F.col(TS_COL)).cast("double")
+            norm = sdf.withColumn(TS_COL, snapped).withColumn(
+                "_arrival", F.monotonically_increasing_id()
+            )
+            val_cols = []
+            for m in in_metrics:
+                c = F.col(_q(m)).cast("float")
+                val_cols.append(F.when(~F.isnan(c) & c.isNotNull(), c).alias(m))
+            norm = norm.select(TS_COL, "_arrival", *val_cols)
+
+            # last non-null wins per (ts, metric) within the batch
+            aggs = [
+                F.expr(
+                    f"max_by({_q(m)}, CASE WHEN {_q(m)} IS NOT NULL THEN _arrival END)"
+                ).alias(m)
+                for m in in_metrics
+            ]
+            batch = norm.groupBy(TS_COL).agg(*aggs)
+            batch = batch.withColumn(PART_COL, grid.chunk_start_expr(F.col(TS_COL)))
+
+            existing = self._read_raw(db, sensor, cfg)
+            if existing is not None:
+                touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
+                old = existing.filter(F.col(PART_COL).isin(touched))
+                merged = self._merge(old, batch, known, cfg)
+            else:
+                merged = batch
+
+            # storage shape: every known metric present; cell empty -> NaN
+            # (row exists + NaN cell == reference's scatter semantics)
+            out_cols = [F.col(TS_COL)]
+            for m in known:
+                if m in merged.columns:
+                    c = F.coalesce(F.col(_q(m)).cast("float"), F.lit(float("nan")).cast("float"))
+                else:
+                    c = F.lit(float("nan")).cast("float")
+                out_cols.append(c.alias(m))
+            out = merged.select(*out_cols, F.col(PART_COL))
+
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (
+                out.repartition(PART_COL)
+                .sortWithinPartitions(TS_COL)
+                .write.mode("overwrite")
+                .partitionBy(PART_COL)
+                .option("compression", "zstd")
+                .parquet(self.catalog.data_path(db, sensor))
+            )
+
+    def _merge(
+        self, old: DataFrame, new: DataFrame, known: list[str], cfg: SensorConfig
+    ) -> DataFrame:
+        """Cellwise outer merge: new non-null cell wins, else old cell.
+        Old NULLs (column absent when the partition was written —
+        i.e. pre-schema-growth rows) become the metric's fill value
+        first, so growth fills apply before the overlay, exactly like
+        add_new_metrics' rewrite (database.py:366-423)."""
+        o = old.alias("o")
+        n = new.alias("n")
+        joined = o.join(n, on=[TS_COL], how="full")
+        cols = [F.coalesce(F.col(f"n.{TS_COL}"), F.col(f"o.{TS_COL}")).alias(TS_COL)]
+        row_is_old = F.col(f"o.{TS_COL}").isNotNull()
+        for m in known:
+            oq, nq = f"o.{_q(m)}", f"n.{_q(m)}"
+            old_c = F.col(oq) if m in old.columns else F.lit(None).cast("float")
+            fill = cfg.fills.get(m)
+            if fill is not None and not _is_nan(fill):
+                # NULL in an existing row == row predates the metric
+                old_c = F.when(row_is_old & old_c.isNull(), F.lit(fill).cast("float")).otherwise(
+                    old_c
+                )
+            new_c = F.col(nq) if m in new.columns else F.lit(None).cast("float")
+            # stored NaN means "cell empty": treat as absent in the overlay
+            old_clean = F.when(~F.isnan(old_c) & old_c.isNotNull(), old_c)
+            cols.append(F.coalesce(new_c, old_clean).alias(m))
+        cols.append(
+            F.coalesce(F.col(f"n.{PART_COL}"), F.col(f"o.{PART_COL}")).alias(PART_COL)
+        )
+        return joined.select(*cols)
+
+    # ------------------------------------------------------------------
+    # read path (S3/S4, P1-P5)
+    # ------------------------------------------------------------------
+    def _read_raw(self, db: str, sensor: str, cfg: SensorConfig) -> DataFrame | None:
+        """Scan the sensor dataset with schema merge; None if empty."""
+        import os
+
+        path = self.catalog.data_path(db, sensor)
+        if not os.path.isdir(path):
+            return None
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(path)
+        except Exception:
+            return None
+
+    def read(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float | None = None,
+        end_ts: float | None = None,
+        metrics: list | None = None,
+    ) -> DataFrame | None:
+        """Range read -> Spark DataFrame (ts_sec asc + float metric
+        columns).  start is snapped down to the grid, end inclusive
+        (database.py:627-631,757-759). Column pruning pushes into the
+        Parquet scan — an improvement the reference can't do (it always
+        reads all metric columns, database.py:624)."""
+        cfg = self.catalog.get_config(db, sensor)
+        grid = cfg.grid
+        df = self._read_raw(db, sensor, cfg)
+        if df is None:
+            return None
+        known = flatten_metrics(cfg.metrics)
+        sel = known if metrics is None else flatten_metrics(metrics)
+
+        if start_ts is not None:
+            start = grid.snap(float(start_ts))
+            # prune partitions arithmetically, then rows
+            df = df.filter(
+                (F.col(PART_COL) >= grid.chunk_start(start)) & (F.col(TS_COL) >= start)
+            )
+        if end_ts is not None:
+            end = float(end_ts)
+            df = df.filter(
+                (F.col(PART_COL) <= grid.chunk_start(end)) & (F.col(TS_COL) <= end)
+            )
+
+        cols = [F.col(TS_COL)]
+        for m in sel:
+            if m in df.columns:
+                c = F.col(_q(m)).cast("float")
+                fill = cfg.fills.get(m)
+                if fill is not None and not _is_nan(fill):
+                    c = F.coalesce(c, F.lit(fill).cast("float"))
+            else:
+                c = F.lit(float("nan")).cast("float")
+            cols.append(c.alias(m))
+        return df.select(*cols).orderBy(TS_COL)
+
+    def read_pandas(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float | None = None,
+        end_ts: float | None = None,
+        metrics: list | None = None,
+        tz: str = "UTC",
+    ) -> pd.DataFrame:
+        """Range read -> pandas frame with tz-aware DatetimeIndex and
+        float32 values — the reference client's read() shape
+        (client.py:540-571)."""
+        cfg = self.catalog.get_config(db, sensor)
+        df = self.read(db, sensor, start_ts, end_ts, metrics)
+        sel_metrics = cfg.metrics if metrics is None else list(metrics)
+        flat = flatten_metrics(sel_metrics)
+        if df is None:
+            pdf = pd.DataFrame(columns=flat)
+        else:
+            pdf = df.toPandas()
+        if len(pdf):
+            idx = pd.to_datetime((pdf[TS_COL] * 1e9).round().astype("int64"), utc=True)
+            pdf = pdf.drop(columns=[TS_COL])
+            pdf.index = idx.dt.tz_convert(tz)
+        else:
+            pdf = pdf.drop(columns=[TS_COL], errors="ignore")
+            pdf.index = pd.DatetimeIndex([], tz=tz)
+        pdf.index.name = None
+        pdf = pdf.astype("float32")
+        level_names = cfg.metadata.get("level_names")
+        pdf.columns = build_column_index(sel_metrics, level_names)
+        return pdf
+
+    # ------------------------------------------------------------------
+    # aggregates (A1)
+    # ------------------------------------------------------------------
+    def get_last_timestamp(self, db: str, sensor: str) -> float | None:
+        """Max timestamp. The reference reads only the last chunk
+        (database.py:522-546); here partition pruning + Parquet
+        column stats make the max cheap: scan only the max
+        chunk_start partition."""
+        cfg = self.catalog.get_config(db, sensor)
+        df = self._read_raw(db, sensor, cfg)
+        if df is None:
+            return None
+        last_part = df.select(F.max(PART_COL)).first()[0]
+        if last_part is None:
+            return None
+        row = df.filter(F.col(PART_COL) == last_part).select(F.max(TS_COL)).first()
+        return row[0]
+
+
+def _is_nan(x: Any) -> bool:
+    try:
+        return math.isnan(float(x))
+    except (TypeError, ValueError):
+        return str(x).lower() == "nan"

@@ -1,0 +1,204 @@
+"""Write->read round-trip semantics — the reference's own test oracle
+(tests/test_client.py:93-112): a gridded pandas frame written and read
+back must be equal (float32), time-ordered, with tz-aware index.
+Also: last-wins upsert, partial-row merge, NaN invisibility, schema
+growth fill, multiindex columns (tests/test_client.py:65-78,139-142,
+172-206).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ong_tsdb_spark import OngTsdbSpark
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = OngTsdbSpark(spark, str(tmp_path / "tsdb"))
+    e.create_db("test")
+    return e
+
+
+def _mk_pdf(n=10, freq="1h", start="2023-01-02", metrics=("active", "reactive")):
+    idx = pd.date_range(start, periods=n, freq=freq, tz="UTC")
+    data = {m: np.arange(n, dtype="float64") + 10 * i for i, m in enumerate(metrics)}
+    return pd.DataFrame(data, index=idx)
+
+
+def test_roundtrip_equality(eng):
+    eng.create_sensor("test", "s1h", "1h", ["active", "reactive"])
+    pdf = _mk_pdf(10, "1h")
+    eng.write_df("test", "s1h", pdf)
+    out = eng.read_pandas("test", "s1h")
+    assert out.equals(pdf.astype("float32"))
+
+
+def test_roundtrip_multichunk(eng):
+    # 1s sensor, 10-min spacing -> spans multiple 16384 s chunks
+    # (tests/test_client.py:148-153 uses 10k points; keep 600 here)
+    eng.create_sensor("test", "s1s", "1s", ["active", "reactive"])
+    pdf = _mk_pdf(600, "10min")
+    eng.write_df("test", "s1s", pdf)
+    out = eng.read_pandas("test", "s1s")
+    assert len(out) == 600
+    assert out.equals(pdf.astype("float32"))
+
+
+def test_range_read_start_end_inclusive(eng):
+    eng.create_sensor("test", "s", "1h", ["a"])
+    pdf = _mk_pdf(24, "1h", metrics=("a",))
+    eng.write_df("test", "s", pdf)
+    start = pdf.index[5].timestamp()
+    end = pdf.index[10].timestamp()
+    out = eng.read_pandas("test", "s", start_ts=start, end_ts=end)
+    assert len(out) == 6  # inclusive both ends
+    assert out.index[0] == pdf.index[5]
+    assert out.index[-1] == pdf.index[10]
+
+
+def test_snap_to_grid(eng):
+    # off-grid write timestamps are truncated to the tick grid
+    eng.create_sensor("test", "s15m", "15m", ["a"])
+    idx = pd.DatetimeIndex(["2023-01-02 00:07:31", "2023-01-02 00:16:00"], tz="UTC")
+    pdf = pd.DataFrame({"a": [1.0, 2.0]}, index=idx)
+    eng.write_df("test", "s15m", pdf)
+    out = eng.read_pandas("test", "s15m")
+    assert list(out.index) == list(
+        pd.DatetimeIndex(["2023-01-02 00:00:00", "2023-01-02 00:15:00"], tz="UTC")
+    )
+
+
+def test_last_write_wins(eng):
+    eng.create_sensor("test", "s", "1s", ["a"])
+    idx = pd.DatetimeIndex(["2023-01-02 00:00:00"] , tz="UTC")
+    eng.write_df("test", "s", pd.DataFrame({"a": [1.0]}, index=idx))
+    eng.write_df("test", "s", pd.DataFrame({"a": [2.0]}, index=idx))
+    out = eng.read_pandas("test", "s")
+    assert out["a"].tolist() == [2.0]
+
+
+def test_last_write_wins_within_batch(eng):
+    eng.create_sensor("test", "s", "1s", ["a"])
+    ts = 1672617600.0
+    eng.write_points("test", "s", [("a", 1.0, ts), ("a", 2.0, ts), ("a", 3.0, ts)])
+    out = eng.read_pandas("test", "s")
+    assert out["a"].tolist() == [3.0]
+
+
+def test_partial_rows_merge_cellwise(eng):
+    # write active-only then reactive-only at the same ts -> one row
+    # with both cells (tests/test_client.py:65-70)
+    eng.create_sensor("test", "s", "1s", ["active", "reactive"])
+    ts = 1672617600.0
+    eng.write_points("test", "s", [("active", 11.0, ts)])
+    eng.write_points("test", "s", [("reactive", 12.0, ts)])
+    out = eng.read_pandas("test", "s")
+    assert len(out) == 1
+    assert out["active"].tolist() == [11.0]
+    assert out["reactive"].tolist() == [12.0]
+
+
+def test_unwritten_cell_is_nan(eng):
+    eng.create_sensor("test", "s", "1s", ["active", "reactive"])
+    ts = 1672617600.0
+    eng.write_points("test", "s", [("active", 11.0, ts)])
+    out = eng.read_pandas("test", "s")
+    assert np.isnan(out["reactive"].iloc[0])
+
+
+def test_nan_input_does_not_overwrite(eng):
+    # the reference scatters only non-NaN inputs (database.py:480-483)
+    eng.create_sensor("test", "s", "1s", ["a"])
+    ts = 1672617600.0
+    eng.write_points("test", "s", [("a", 5.0, ts)])
+    idx = pd.DatetimeIndex([pd.Timestamp(ts, unit="s", tz="UTC")])
+    eng.write_df("test", "s", pd.DataFrame({"a": [np.nan]}, index=idx))
+    out = eng.read_pandas("test", "s")
+    assert out["a"].tolist() == [5.0]
+
+
+def test_schema_growth_fill_zero(eng):
+    # new metric mid-stream: pre-existing rows read the fill value (0
+    # default), new rows get real values (database.py:366-423)
+    eng.create_sensor("test", "s", "1h", ["active"])
+    pdf = _mk_pdf(3, "1h", metrics=("active",))
+    eng.write_df("test", "s", pdf)
+    ts_new = pdf.index[-1] + pd.Timedelta(hours=1)
+    eng.write_points("test", "s", [("nueva", 9.0, ts_new.timestamp())], fill_value=0)
+    out = eng.read_pandas("test", "s")
+    assert eng.get_metrics("test", "s") == ["active", "nueva"]
+    assert out["nueva"].tolist()[:3] == [0.0, 0.0, 0.0]
+    assert out["nueva"].iloc[3] == 9.0
+    # the new row never wrote 'active' -> NaN cell
+    assert np.isnan(out["active"].iloc[3])
+
+
+def test_schema_growth_fill_nan(eng):
+    eng.create_sensor("test", "s", "1h", ["active"])
+    pdf = _mk_pdf(2, "1h", metrics=("active",))
+    eng.write_df("test", "s", pdf)
+    ts_new = pdf.index[-1] + pd.Timedelta(hours=1)
+    eng.write_points(
+        "test", "s", [("nueva", 9.0, ts_new.timestamp())], fill_value=float("nan")
+    )
+    out = eng.read_pandas("test", "s")
+    assert np.isnan(out["nueva"].iloc[0]) and np.isnan(out["nueva"].iloc[1])
+    assert out["nueva"].iloc[2] == 9.0
+
+
+def test_metric_projection(eng):
+    eng.create_sensor("test", "s", "1h", ["a", "b", "c"])
+    pdf = _mk_pdf(4, "1h", metrics=("a", "b", "c"))
+    eng.write_df("test", "s", pdf)
+    out = eng.read_pandas("test", "s", metrics=["b"])
+    assert list(out.columns) == ["b"]
+    assert out["b"].tolist() == pdf["b"].astype("float32").tolist()
+
+
+def test_multiindex_metrics(eng):
+    # list-of-list metric names + level_names metadata
+    # (tests/test_client.py:172-206)
+    metrics = [["A", "B", "C"], ["D", "E", "F"]]
+    eng.create_sensor(
+        "test", "meta", "1d", metrics, metadata={"level_names": ["one", "two", "three"]}
+    )
+    idx = pd.DatetimeIndex(["2023-01-02"], tz="UTC")
+    cols = pd.MultiIndex.from_tuples(
+        [("A", "B", "C"), ("D", "E", "F")], names=["one", "two", "three"]
+    )
+    pdf = pd.DataFrame([[1.0, 2.0]], index=idx, columns=cols)
+    eng.write_df("test", "meta", pdf)
+    out = eng.read_pandas("test", "meta")
+    assert isinstance(out.columns, pd.MultiIndex)
+    assert out.columns.names == ["one", "two", "three"]
+    assert out.equals(pdf.astype("float32"))
+    # metadata mutation (M4)
+    eng.update_metadata("test", "meta", {"level_names": ["X", "Y", "Z"]})
+    out2 = eng.read_pandas("test", "meta")
+    assert out2.columns.names == ["X", "Y", "Z"]
+
+
+def test_last_timestamp(eng):
+    eng.create_sensor("test", "s", "1h", ["a"])
+    pdf = _mk_pdf(5, "1h", metrics=("a",))
+    eng.write_df("test", "s", pdf)
+    assert eng.get_last_timestamp("test", "s") == pdf.index[-1].timestamp()
+
+
+def test_lifecycle(eng):
+    from ong_tsdb_spark.catalog import ElementAlreadyExistsError, ElementNotFoundError
+
+    assert eng.exist_db("test")
+    with pytest.raises(ElementAlreadyExistsError):
+        eng.create_db("test")
+    eng.create_sensor("test", "s", "1s", ["m"])
+    assert eng.exist_sensor("test", "s")
+    with pytest.raises(ElementAlreadyExistsError):
+        eng.create_sensor("test", "s", "1s", ["m"])
+    eng.delete_sensor("test", "s")
+    assert not eng.exist_sensor("test", "s")
+    with pytest.raises(ElementNotFoundError):
+        eng.delete_sensor("test", "s")
