@@ -1,0 +1,88 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst column expressions (split/filter/transform/md5 —
+JVM-side, whole-stage codegen); no Python UDFs, so throughput is
+bounded by the Parquet scan, not the Python interpreter.  Each has an
+exact ANSI-SQL twin in the DuckDB oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny language-marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + hardcoded: the oracle SQL embeds the same lists.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+ES_STOPWORDS = ["el", "la", "de", "y", "que", "en", "un", "una", "es", "los"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_hits(text: Column, words: list[str]) -> Column:
+    """How many tokens are in ``words`` — set-membership via a
+    Catalyst lambda (filter + array_contains), no UDF."""
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(lst, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: length, token stats, stopword ratio.
+
+    mean_token_len and stopword_ratio are single double divisions of
+    exact integers -> bitwise-deterministic across engines.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_char = char_count(t)
+    sw = stopword_hits(t, EN_STOPWORDS)
+    return df.select(
+        F.col(id_col),
+        n_char.alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        (
+            (n_char - n_tok + F.lit(1)).cast("double") / n_tok.cast("double")
+        ).alias("mean_token_len"),
+        (sw.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-count language heuristic: count marker words per
+    language, pick the max (ties -> 'und')."""
+    t = F.col(text_col)
+    en = stopword_hits(t, EN_STOPWORDS)
+    es = stopword_hits(t, ES_STOPWORDS)
+    lang = (
+        F.when(en > es, F.lit("en")).when(es > en, F.lit("es")).otherwise(F.lit("und"))
+    )
+    return df.select(
+        F.col(id_col), en.alias("en_hits"), es.alias("es_hits"), lang.alias("lang_pred")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint = md5 of the normalized
+    text.  (The reference's only hashing op is md5-of-file,
+    database.py:795-800 — same digest, content-addressed here.)"""
+    return df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
+    )
