@@ -146,9 +146,22 @@ class OngTsdbSpark:
             ]
         )
         sdf = self.spark.createDataFrame(long_rows, schema)
-        names = sorted({m for m, _, _ in long_rows})
-        # Long -> wide scatter. Last-wins handled downstream via _arrival.
-        sdf = sdf.withColumn("_arrival", F.monotonically_increasing_id())
+        self.write_long_df(db, sensor, sdf, fill_value=fill_value)
+
+    def write_long_df(
+        self, db: str, sensor: str, long_df: DataFrame, fill_value: float = 0.0
+    ) -> None:
+        """Distributed long-form upsert: a (metric, value, ts_sec)
+        DataFrame of any size (e.g. a streaming micro-batch) is pivoted
+        to wide *inside Spark* — the only driver-side data is the
+        distinct metric-name list (bounded by schema width, not rows).
+        """
+        names = sorted(
+            r[0] for r in long_df.select("metric").distinct().collect() if r[0]
+        )
+        if not names:
+            return
+        sdf = long_df.withColumn("_arrival", F.monotonically_increasing_id())
         wide = sdf.groupBy(TS_COL).pivot("metric", names).agg(
             F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN _arrival END)")
         )
@@ -360,6 +373,36 @@ class OngTsdbSpark:
         level_names = cfg.metadata.get("level_names")
         pdf.columns = build_column_index(sel_metrics, level_names)
         return pdf
+
+    def read_downsampled(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float,
+        end_ts: float,
+        max_datapoints: int,
+        metrics: list | None = None,
+    ) -> DataFrame | None:
+        """W1 — grafana-style maxDataPoints read: first stored point
+        per thinning bucket (server.py:412-475).  Runs as a pruned
+        scan + one window pass; output size is bounded by
+        max_datapoints regardless of the range size."""
+        from .operators.downsample import downsample_max_datapoints
+
+        df = self.read(db, sensor, start_ts, end_ts, metrics)
+        if df is None:
+            return None
+        value_cols = [c for c in df.columns if c != TS_COL]
+        out = downsample_max_datapoints(
+            df.withColumn("__ts_l", F.col(TS_COL).cast("long")),
+            ts_sec_col="__ts_l",
+            start_sec=int(start_ts),
+            end_sec=int(end_ts),
+            max_datapoints=max_datapoints,
+            series_cols=[],
+            value_cols=[TS_COL, *value_cols],
+        )
+        return out.drop("bucket_s").orderBy(TS_COL)
 
     # ------------------------------------------------------------------
     # aggregates (A1)

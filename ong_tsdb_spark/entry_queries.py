@@ -746,6 +746,29 @@ def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
 
 
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS item_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column ->
+    Arrow-batched mapInPandas feature extraction.  The decode step is
+    stubbed (no media libs in this container) but byte-level features
+    (size, sha256) are real and oracle-checked; stub outputs
+    (width/height/duration) are excluded from the compared columns."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.fake_media_table(docs, media_type="image")
+    feats = multimodal.extract_features(media)
+    return feats.select("item_id", "media_type", "n_bytes", "sha256")
+
+
 # ======================================================================
 # public surface used by __spark_entry__
 # ======================================================================

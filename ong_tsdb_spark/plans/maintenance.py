@@ -1,0 +1,107 @@
+"""Maintenance jobs — the Spark analogs of the reference CLI surface
+(SURVEY §2.10): verify (X1), compression migration / compaction (X3),
+retention-tiered codecs (X4), usage stats (A3).
+
+Parquet footers already detect truncation (the reference's main
+corruption mode, fileutils.py:598-635), so "verify" here is the
+semantic part: per-partition row accounting + optional checksum-column
+audit; "repair" (X2) degenerates to dropping unreadable files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..engine import PART_COL, TS_COL, OngTsdbSpark
+from ..pandas_edge import flatten_metrics
+
+
+@dataclass
+class SensorStats:
+    db: str
+    sensor: str
+    n_chunks: int
+    n_rows: int
+    min_ts: float | None
+    max_ts: float | None
+    duplicate_ts: int
+    off_grid: int
+
+
+def verify_sensor(engine: OngTsdbSpark, db: str, sensor: str) -> SensorStats:
+    """X1/A3 — one distributed pass: per-partition row counts, ts
+    bounds, duplicate grid positions (there must be none: the upsert
+    guarantees one row per grid cell), and off-grid timestamps
+    (snap(ts) != ts would mean a corrupted write path)."""
+    cfg = engine.catalog.get_config(db, sensor)
+    grid = cfg.grid
+    df = engine._read_raw(db, sensor, cfg)
+    if df is None:
+        return SensorStats(db, sensor, 0, 0, None, None, 0, 0)
+    snapped = grid.snap_expr(F.col(TS_COL)).cast("double")
+    row = df.select(
+        F.countDistinct(PART_COL).alias("n_chunks"),
+        F.count("*").alias("n_rows"),
+        F.min(TS_COL).alias("min_ts"),
+        F.max(TS_COL).alias("max_ts"),
+        (F.count("*") - F.countDistinct(TS_COL)).alias("duplicate_ts"),
+        F.sum((snapped != F.col(TS_COL)).cast("long")).alias("off_grid"),
+    ).first()
+    return SensorStats(
+        db,
+        sensor,
+        row["n_chunks"],
+        row["n_rows"],
+        row["min_ts"],
+        row["max_ts"],
+        row["duplicate_ts"],
+        row["off_grid"] or 0,
+    )
+
+
+def verify_all(engine: OngTsdbSpark) -> list[SensorStats]:
+    out = []
+    for db in engine.catalog.get_dbs():
+        for sensor in engine.catalog.get_sensors(db):
+            out.append(verify_sensor(engine, db, sensor))
+    return out
+
+
+def compact_sensor(
+    engine: OngTsdbSpark,
+    db: str,
+    sensor: str,
+    codec: str = "zstd",
+    keep_recent_chunks: int = 0,
+) -> int:
+    """X3/X4 — rewrite cold partitions with the given codec and
+    coalesce small files (the reference rewrites whole chunk files,
+    fileutils.py:777-954; here it's a partition-pruned read->write).
+    ``keep_recent_chunks`` leaves the hottest partitions untouched
+    (the reference's uncompressed_chunks policy, chunker.py:65-72).
+    Returns the number of partitions rewritten."""
+    cfg = engine.catalog.get_config(db, sensor)
+    df = engine._read_raw(db, sensor, cfg)
+    if df is None:
+        return 0
+    parts = sorted(r[0] for r in df.select(PART_COL).distinct().collect())
+    cold = parts[: len(parts) - keep_recent_chunks] if keep_recent_chunks else parts
+    if not cold:
+        return 0
+    known = flatten_metrics(cfg.metrics)
+    cols = [TS_COL] + [c for c in known if c in df.columns] + [PART_COL]
+    cold_df = df.filter(F.col(PART_COL).isin(cold)).select(*cols)
+    engine.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        cold_df.repartition(PART_COL)
+        .sortWithinPartitions(TS_COL)
+        .write.mode("overwrite")
+        .partitionBy(PART_COL)
+        .option("compression", codec)
+        .parquet(engine.catalog.data_path(db, sensor))
+    )
+    return len(cold)

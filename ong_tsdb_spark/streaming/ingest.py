@@ -1,0 +1,93 @@
+"""Structured Streaming ingest for the influx line protocol.
+
+The reference ingests synchronously over HTTP per batch
+(examples/insert_loop.py:42-53); its semantics (SURVEY §2.11) are:
+late data unconditionally accepted, duplicates/out-of-order resolved
+by cell-level last-write-wins (database.py:447-486).  Spark-first
+mapping: any line-delimited stream source (file dir, socket, Kafka)
+-> the vectorized column-expression parser (sources/influx.py) ->
+``foreachBatch`` running the engine's M1 upsert per micro-batch.
+
+No watermark is used *by design*: a watermark would drop late rows,
+which the reference never does.  The upsert is idempotent per
+(ts, metric, value), so at-least-once delivery from checkpointed
+sources yields exactly-once visible state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..engine import TS_COL, OngTsdbSpark
+from ..sources.influx import parse_lines
+
+
+def start_influx_file_stream(
+    engine: OngTsdbSpark,
+    input_dir: str,
+    checkpoint_dir: str,
+    default_db: str | None = None,
+    default_sensor: str | None = None,
+    fill_value: float = 0.0,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Stream line-protocol text files from ``input_dir`` into the
+    engine.  One upsert per (db, sensor) group per micro-batch —
+    mirroring the reference's write_point_list grouping
+    (server.py:214-293)."""
+    lines = engine.spark.readStream.format("text").load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parsed_batch(engine, parse_lines(batch_df.withColumnRenamed("value", "line")),
+                            default_db, default_sensor, fill_value)
+
+    writer = (
+        lines.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_parsed_batch(
+    engine: OngTsdbSpark,
+    parsed: DataFrame,
+    default_db: str | None = None,
+    default_sensor: str | None = None,
+    fill_value: float = 0.0,
+) -> None:
+    """Upsert a parsed long-form batch (db, sensor, metric, value,
+    ts_ns).  Missing ts -> current time (server default,
+    server_utils.py:16)."""
+    parsed = parsed.withColumn(
+        TS_COL,
+        F.when(
+            F.col("ts_ns").isNotNull(), F.col("ts_ns").cast("double") / F.lit(1e9)
+        ).otherwise(F.unix_timestamp(F.current_timestamp()).cast("double")),
+    )
+    if default_db is not None:
+        parsed = parsed.withColumn("db", F.coalesce(F.col("db"), F.lit(default_db)))
+    if default_sensor is not None:
+        parsed = parsed.withColumn(
+            "sensor", F.coalesce(F.col("sensor"), F.lit(default_sensor))
+        )
+    # group by (db, sensor): tiny driver loop over *distinct sensors in
+    # this batch* (bounded by catalog size, not data size), exactly the
+    # reference's DbMeterData grouping; the per-sensor rows stay in
+    # Spark end-to-end (write_long_df pivots distributedly)
+    parsed = parsed.persist()
+    try:
+        targets = [
+            (r["db"], r["sensor"])
+            for r in parsed.select("db", "sensor").distinct().collect()
+        ]
+        for db, sensor in targets:
+            sub = parsed.filter((F.col("db") == db) & (F.col("sensor") == sensor))
+            engine.write_long_df(
+                db, sensor, sub.select("metric", "value", TS_COL), fill_value=fill_value
+            )
+    finally:
+        parsed.unpersist()

@@ -1,0 +1,225 @@
+"""Unit tests for the operator modules (dedup, text, similarity,
+downsample, multimodal, influx source, streaming ingest, maintenance).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ong_tsdb_spark import OngTsdbSpark
+from ong_tsdb_spark.operators import dedup, multimodal, similarity, text
+from ong_tsdb_spark.sources import influx
+
+
+# ----------------------------------------------------------------------
+# dedup
+# ----------------------------------------------------------------------
+def _docs(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),          # exact dup of 1
+        (3, "a b c d e f g"),        # near dup of 1
+        (4, "x y z w v u"),
+        (5, "completely different words here now"),
+        (6, "x"),                    # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    out = dedup.exact_duplicates(_docs(spark)).collect()
+    by_n = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_n[1] == 2  # docs 1 and 2 collapse
+    assert len(out) == 5  # 5 distinct contents
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], "text string")
+    out = df.select(dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == []
+
+
+def test_ngram_jaccard(spark):
+    out = dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # doc 3 shares 4 of its 5 shingles with 1 and 2: j = 4/5
+    assert pairs[(1, 3)] == pytest.approx(0.8)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    out = dedup.lsh_candidate_pairs(_docs(spark)).collect()
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    assert (1, 2) in pairs  # identical docs always collide on all bands
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_for_near_docs(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham13 < ham14
+
+
+# ----------------------------------------------------------------------
+# text
+# ----------------------------------------------------------------------
+def test_text_features(spark):
+    df = spark.createDataFrame([(1, "the quick fox and the dog")], "doc_id long, text string")
+    q = text.quality_features(df).first()
+    assert q["n_tokens"] == 6
+    assert q["stopword_ratio"] == pytest.approx(3 / 6)  # the, and, the
+    lid = text.language_id(df).first()
+    assert lid["lang_pred"] == "en"
+    es = spark.createDataFrame([(2, "el perro y la casa es grande")], "doc_id long, text string")
+    assert text.language_id(es).first()["lang_pred"] == "es"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello   WORLD ")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+# ----------------------------------------------------------------------
+# similarity
+# ----------------------------------------------------------------------
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    out = similarity.cosine_topk(df, q, k=5, exclude_ids=[0]).collect()
+    # numpy oracle
+    d = vecs.astype("float64")
+    cos = (d @ d[0]) / (np.linalg.norm(d, axis=1) * np.linalg.norm(d[0]))
+    cos[0] = -np.inf
+    expect = np.argsort(-cos)[:5].tolist()
+    assert [r["vec_id"] for r in out] == expect
+    for r in out:
+        assert r["cosine"] == pytest.approx(cos[r["vec_id"]], rel=1e-9)
+
+
+def test_cosine_pairs_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [1.0, 0.01], "a"),   # near dup of 1, same block
+        (3, [0.0, 1.0], "a"),
+        (4, [1.0, 0.0], "b"),    # identical to 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = similarity.cosine_pairs_blocked(df, "label", threshold=0.99).collect()
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p[0] != 4 and p[1] != 4 for p in pairs)  # cross-block never compared
+
+
+# ----------------------------------------------------------------------
+# influx source
+# ----------------------------------------------------------------------
+def test_influx_parse(spark):
+    lines = spark.createDataFrame(
+        [
+            ("mydb,key=sensor1 active=9,reactive=10 1672617600000000000",),
+            ("mydb,key=sensor1 active=11 1672617601000000000",),
+            ("otherdb,key=s2 m=1.5",),  # no timestamp
+        ],
+        "line string",
+    )
+    out = influx.parse_lines(lines).collect()
+    assert len(out) == 4
+    r0 = out[0]
+    assert (r0["db"], r0["sensor"], r0["metric"], r0["value"]) == (
+        "mydb", "sensor1", "active", 9.0,
+    )
+    assert r0["ts_ns"] == 1672617600000000000
+    assert out[3]["ts_ns"] is None
+
+
+def test_influx_format_parse_roundtrip(spark):
+    df = spark.createDataFrame([(5.25, 1672617600000000000)], "v double, ts long")
+    lines = influx.format_lines(
+        df, F.lit("db1"), F.lit("s1"), [("m1", F.col("v"))], F.col("ts")
+    )
+    out = influx.parse_lines(lines).first()
+    assert out["value"] == 5.25
+    assert out["ts_ns"] == 1672617600000000000
+
+
+# ----------------------------------------------------------------------
+# multimodal
+# ----------------------------------------------------------------------
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame([(1, "hello", "s")], "doc_id long, text string, source string")
+    media = multimodal.fake_media_table(docs)
+    out = multimodal.extract_features(media).first()
+    assert out["n_bytes"] == 5
+    assert out["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert 64 <= out["width"] <= 255 and out["duration_s"] == 0.0
+
+
+# ----------------------------------------------------------------------
+# engine downsample + maintenance + streaming
+# ----------------------------------------------------------------------
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = OngTsdbSpark(spark, str(tmp_path / "tsdb"))
+    e.create_db("d")
+    return e
+
+
+def test_engine_read_downsampled(eng):
+    eng.create_sensor("d", "s", "1s", ["v"])
+    idx = pd.date_range("2023-01-02", periods=100, freq="1s", tz="UTC")
+    eng.write_df("d", "s", pd.DataFrame({"v": np.arange(100.0)}, index=idx))
+    start, end = idx[0].timestamp(), idx[-1].timestamp()
+    out = eng.read_downsampled("d", "s", start, end, max_datapoints=10).collect()
+    assert len(out) == 10
+    assert [r["v"] for r in out] == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+
+
+def test_maintenance_verify_and_compact(eng):
+    from ong_tsdb_spark.plans import maintenance
+
+    eng.create_sensor("d", "s", "1h", ["v"])
+    idx = pd.date_range("2023-01-02", periods=50, freq="1h", tz="UTC")
+    eng.write_df("d", "s", pd.DataFrame({"v": np.ones(50)}, index=idx))
+    st = maintenance.verify_sensor(eng, "d", "s")
+    assert st.n_rows == 50 and st.duplicate_ts == 0 and st.off_grid == 0
+    n = maintenance.compact_sensor(eng, "d", "s", codec="zstd")
+    assert n == st.n_chunks
+    # data unchanged after compaction
+    assert eng.read_pandas("d", "s")["v"].sum() == 50.0
+
+
+def test_streaming_ingest(eng, tmp_path):
+    from ong_tsdb_spark.streaming import ingest
+
+    eng.create_sensor("d", "s", "1s", ["active", "reactive"])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "batch1.txt").write_text(
+        "d,key=s active=1,reactive=2 1672617600000000000\n"
+        "d,key=s active=3 1672617601000000000\n"
+    )
+    q = ingest.start_influx_file_stream(
+        eng, str(in_dir), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    out = eng.read_pandas("d", "s")
+    assert len(out) == 2
+    assert out["active"].tolist() == [1.0, 3.0]
+    assert out["reactive"].iloc[0] == 2.0 and math.isnan(out["reactive"].iloc[1])
