@@ -67,13 +67,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
+        t0 = time.perf_counter()
         fn(spark, sf_dir).count()  # warmup (plan + code cache + page cache)
+        warm = time.perf_counter() - t0
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        print(f"[bench] {name}: warmup {warm:.2f}s best {best:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

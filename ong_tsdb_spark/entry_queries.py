@@ -546,9 +546,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SHINGLE_CTE
     + """
     , mh AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS h
-      FROM sh CROSS JOIN range(0, 16) t(seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id, seed, min(h) AS h FROM (
+        SELECT doc_id, s.seed * 4 + j.j AS seed,
+               substr(md5(s.seed::VARCHAR || '|' || shingle), j.j * 8 + 1, 8) AS h
+        FROM sh CROSS JOIN range(0, 4) s(seed) CROSS JOIN range(0, 4) j(j)
+      ) GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, seed // 2 AS band, string_agg(h, '' ORDER BY seed) AS sig
@@ -744,6 +746,29 @@ def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key bounds the quadratic comparison)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+
+
+@register(
+    "emb_neardup_numpy",
+    f"""
+    SELECT d1, d2, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+               / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS scale path for blocked near-dup pairs (applyInPandas +
+    numpy matmul per block, ~4x the Catalyst fold).  Cosines rounded
+    to 6 digits on both sides: BLAS vs sequential summation differ by
+    ~1e-15, far under the rounding grain."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blocked_numpy(
+        emb, block_col="label", threshold=0.4, round_digits=6
+    )
 
 
 @register(

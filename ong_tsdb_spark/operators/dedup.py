@@ -47,11 +47,15 @@ def exact_duplicates(
 # ----------------------------------------------------------------------
 # shingling
 # ----------------------------------------------------------------------
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>; docs shorter than n
-    words produce an empty array.  1-based element_at matches the
-    oracle's 1-based list indexing."""
-    toks = F.split(text, " ")
+def _shingles_of(toks: Column, n: int) -> Column:
+    """n-gram shingles from a *materialized* token-array column.
+
+    CRITICAL PERF NOTE: ``toks`` must be a bound column reference, not
+    a computed expression.  A captured expression (e.g. ``F.split``)
+    is re-evaluated for every ``element_at`` inside the lambda —
+    observed as O(len^2) interpreted ``StringSplit`` per doc, turning
+    the sf0.1 shingle scan from seconds into minutes.  1-based
+    element_at matches the oracle's 1-based list indexing."""
     count = F.size(toks)
     idx = F.when(count >= n, F.sequence(F.lit(1), count - F.lit(n - 1))).otherwise(
         F.array().cast("array<int>")
@@ -64,13 +68,75 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a text column; fine for expression
+    contexts, but dataframe-level shingling should go through
+    shingle_table* (token materialization, see _shingles_of)."""
+    return _shingles_of(F.split(text, " "), n)
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input has fewer partitions (e.g. one small Parquet file -> one
+    split -> one task doing ALL the per-doc compute).  No-op at scale
+    where scans already produce many splits; the small shuffle this
+    adds is repaid many times over by parallel lambda evaluation."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, __arr): per-doc distinct shingle array, with tokens and
+    the shingle array materialized in separate projections so nothing
+    is recomputed inside lambdas or across consumers."""
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(_shingles_of(F.col("__toks"), n)).alias("__arr"),
+    )
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per doc — the inverted index."""
+    """(id, shingle) rows, distinct per doc — the inverted index.
+    Dedup happens *inside the row* (array_distinct before explode), so
+    no shuffle is spent on DISTINCT — shingles of one doc never span
+    partitions."""
+    # explode_outer, NOT explode: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which clones the whole shingle
+    # expression into a filter pushed below the repartition — i.e. the
+    # entire O(doc) lambda pipeline re-runs serially on the unsplit
+    # input.  outer + isNotNull keeps the plan shape with zero
+    # recompute (observed 3.6 s -> 0.6 s on the sf0.1 shingle scan).
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-        .distinct()
+        _shingle_arrays(df, text_col, id_col, n)
+        .select(F.col(id_col), F.explode_outer(F.col("__arr")).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def shingle_table_with_size(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Like shingle_table but each row also carries the doc's distinct
+    shingle count — computed from the array pre-explode, which later
+    saves a groupBy(doc) shuffle plus two joins in Jaccard scoring."""
+    return (
+        _shingle_arrays(df, text_col, id_col, n)
+        .select(
+            F.col(id_col),
+            F.size(F.col("__arr")).alias("n_sh"),
+            F.explode_outer(F.col("__arr")).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -88,51 +154,133 @@ def ngram_jaccard_pairs(
     """All pairs (d1 < d2) with shingle-set Jaccard >= threshold.
     Returns (d1, d2, jaccard double — exact int division, so
     bit-identical across engines)."""
-    sh = shingle_table(df, text_col, id_col, n)
+    sh = shingle_table_with_size(df, text_col, id_col, n)
     if max_shingle_freq is not None:
+        # NOTE: capping drops hot (stopword-like) shingles from both
+        # the intersection AND the sizes, so Jaccard stays consistent;
+        # it bounds the join blowup like salting would.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
-        sh = (
-            sh.join(F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)), "shingle", "left_anti")
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
+            "shingle",
+            "left_anti",
         )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh2"))
+        sh = sh.drop("n_sh").join(sizes, id_col).withColumnRenamed("n_sh2", "n_sh")
     a = sh.alias("a")
     b = sh.alias("b")
+    # n_sh rides along into the pair groupBy keys — no sizes join needed
     inter = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("n_inter")
     ).cast("double")
-    return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    # null-tolerant threshold (coalesce): a plain `>=` is
+    # null-intolerant, so Catalyst infers isnotnull(n1/n2) constraints
+    # and pushes them below the repartition with the whole shingle
+    # expression substituted in — re-running the O(doc) lambda pipeline
+    # serially on the unsplit input.  jaccard is never null, so the
+    # semantics are identical.
+    return inter.select("d1", "d2", jac.alias("jaccard")).filter(
+        F.coalesce(F.col("jaccard") >= threshold, F.lit(False))
     )
 
 
 # ----------------------------------------------------------------------
 # MinHash + LSH
 # ----------------------------------------------------------------------
+HASHES_PER_DIGEST = 4  # one md5 yields four independent 32-bit minhashes
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """(id, seed, h): per-doc min of md5(seed || '|' || shingle) for
-    each of ``num_hashes`` seeded hash functions.  md5 hex min is a
-    portable MinHash (same digest + binary collation in the oracle)."""
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .withColumn(
-            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+    """(id, seed, h): per-doc min of the i-th hash of each shingle.
+
+    Hash family: seed s (s = i div 4) selects an md5 of
+    ``s || '|' || shingle``; the digest's four 8-hex-char substrings
+    are four independent 32-bit hash functions.  One md5 per shingle
+    per *digest-seed* instead of per hash — 4x less hashing, the
+    dominant cost of MinHash at corpus scale.  md5+substr exist in the
+    oracle engine with identical semantics (binary collation min)."""
+    n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
+    digests = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    entries = []
+    for s in range(n_seeds):
+        for j in range(HASHES_PER_DIGEST):
+            i = s * HASHES_PER_DIGEST + j
+            if i >= num_hashes:
+                break
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    F.substring(F.col(f"_d{s}"), j * 8 + 1, 8).alias("h"),
+                )
+            )
+    exploded = digests.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(F.col(id_col), F.col("e.seed").alias("seed"), F.col("e.h").alias("h"))
+    return exploded.groupBy(id_col, "seed").agg(F.min("h").alias("h"))
+
+
+def band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures in ONE shuffle: the 16
+    minhashes are 16 ``min`` aggregate columns over the shingle table
+    (digests computed once per shingle pre-agg, map-side partial min),
+    and band keys are plain column concats — no per-hash row
+    explosion, no collect_list second shuffle."""
+    sh = shingle_table(df, text_col, id_col, n)
+    n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
+    with_digests = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    mins = []
+    for i in range(num_hashes):
+        s, j = divmod(i, HASHES_PER_DIGEST)
+        mins.append(
+            F.min(F.substring(F.col(f"_d{s}"), j * 8 + 1, 8)).alias(f"h{i}")
         )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("h"))
+    sigs = with_digests.groupBy(id_col).agg(*mins)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + k}") for k in range(band_size)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
 
 
@@ -150,20 +298,7 @@ def lsh_candidate_pairs(
     The band signature join is an equi-join on (band, sig) — at scale
     the shuffle key cardinality is ~n_docs x n_bands and each bucket
     is tiny unless documents truly collide."""
-    sh = shingle_table(df, text_col, id_col, n)
-    mh = minhash_signatures(sh, id_col, num_hashes)
-    band = F.expr("seed div " + str(band_size)).alias("band")
-    sigs = (
-        mh.groupBy(F.col(id_col), band)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda s: s["h"]
-                ),
-                "",
-            ).alias("sig")
-        )
-    )
+    sigs = band_signatures(df, text_col, id_col, n, num_hashes, band_size)
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
