@@ -749,6 +749,112 @@ def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_asof_join",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           s.value AS value_right, epoch_us(s.ts) AS ts_us_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND epoch_us(p.ts) >= epoch_us(s.ts)
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join: each purchase picks up the user's most
+    recent signup at-or-before it.  Implemented as union + per-key
+    windowed last_value — one shuffle, no range explosion (operators/
+    asof.py); the oracle uses DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", "event_type", "value", _us("ts").alias("ts_us"))
+    left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    right = ev.filter(F.col("event_type") == "signup").drop("event_type", "event_id")
+    return asof_join(left, right, ts_col="ts_us", by=["user_id"], value_cols=["value"])
+
+
+@register(
+    "ts_delta",
+    """
+    SELECT event_type, epoch_us(ts) AS ts_us, value,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY epoch_us(ts), event_id) AS delta
+    FROM events
+    """,
+)
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series delta (discrete derivative) — lag window; the
+    partition key is the series so the sort never crosses series."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
+    w = Window.partitionBy("event_type").orderBy(F.col("ts_us"), F.col("event_id"))
+    return ev.select(
+        "event_type",
+        "ts_us",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "tpch_rollup",
+    """
+    SELECT n_name, o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    GROUP BY ROLLUP (n_name, o_year)
+    """,
+)
+def tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (nation, year) — grouping sets are free in
+    Spark (SURVEY §2.4 notes the reference has none)."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(15,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(15,2)")
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .withColumn("o_year", F.year(F.col("o_orderdate").cast("timestamp")).cast("bigint"))
+    )
+    return j.rollup("n_name", "o_year").agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT k, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+    GROUP BY k
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (scalar-function surface
+    beyond the reference, which has no JSON query functions)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "emb_neardup_numpy",
     f"""
     SELECT d1, d2, round(cosine, 6) AS cosine FROM (

@@ -223,3 +223,38 @@ def test_streaming_ingest(eng, tmp_path):
     assert len(out) == 2
     assert out["active"].tolist() == [1.0, 3.0]
     assert out["reactive"].iloc[0] == 2.0 and math.isnan(out["reactive"].iloc[1])
+
+
+# ----------------------------------------------------------------------
+# as-of join
+# ----------------------------------------------------------------------
+def test_asof_join_basic(spark):
+    from ong_tsdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 200), (3, "u2", 150), (4, "u3", 50)],
+        "event_id long, user string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 9.0), ("u1", 150, 15.0), ("u2", 150, 99.0)],
+        "user string, ts long, v double",
+    )
+    out = {
+        r["event_id"]: (r["v_right"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["user"], ["v"]).collect()
+    }
+    assert out[1] == (9.0, 90)     # latest right <= 100
+    assert out[2] == (15.0, 150)   # picks the newer one
+    assert out[3] == (99.0, 150)   # exactly simultaneous matches
+    assert out[4] == (None, None)  # no right rows for u3
+
+
+def test_asof_join_tolerance(spark):
+    from ong_tsdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "u", 1000)], "id long, user string, ts long")
+    right = spark.createDataFrame([("u", 100, 5.0)], "user string, ts long, v double")
+    out = asof_join(left, right, "ts", ["user"], ["v"], tolerance=100).first()
+    assert out["v_right"] is None  # match is 900 ticks old > tolerance
+    out2 = asof_join(left, right, "ts", ["user"], ["v"], tolerance=1000).first()
+    assert out2["v_right"] == 5.0
