@@ -855,6 +855,141 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_gap_fill",
+    """
+    WITH obs AS (
+      SELECT event_type, s - (s % 900) AS tick, value,
+             row_number() OVER (PARTITION BY event_type, s - (s % 900)
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events)
+    ), cells AS (SELECT event_type, tick, value FROM obs WHERE rn = 1),
+    bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM cells GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) AS tick_s FROM bounds)
+    SELECT g.event_type, g.tick_s,
+           last_value(c.value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.tick_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN cells c
+      ON c.event_type = g.event_type AND c.tick = g.tick_s
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill + forward fill on the 15 m grid: materialize every
+    tick between each series' bounds, carry the last observation
+    forward (operators/gapfill.py — per-series sequence explode + one
+    windowed last, no driver loops)."""
+    from .operators.gapfill import gap_fill_ffill
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
+        "s", _sec("ts")
+    )
+    out = gap_fill_ffill(
+        ev,
+        ts_sec_col="s",
+        series_cols=["event_type"],
+        value_cols=["value"],
+        tick_seconds=900,
+        tiebreak_cols=["us", "event_id"],
+    )
+    return out.select("event_type", "tick_s", "value")
+
+
+@register(
+    "ts_rolling_mean",
+    """
+    SELECT event_type, us AS ts_us, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS rolling_mean
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean over a 4-row frame per series — decimal-exact
+    frame sum divided by the frame count (cross-engine stable)."""
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts_us"), F.col("event_id"))
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_type",
+        "ts_us",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("rolling_mean"),
+    )
+
+
+@register(
+    "tpch_q6",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= {T_1996_01_01}
+      AND epoch_us(l_shipdate) < {T_1997_01_01}
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue filter+agg — every predicate
+    pushes to the Parquet scan (row-group stats skipping)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (_us_of(li, "l_shipdate") >= T_1996_01_01)
+            & (_us_of(li, "l_shipdate") < T_1997_01_01)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * F.col("l_discount").cast("decimal(15,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "ts_pivot_daily",
+    """
+    SELECT day_s,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+    FROM (SELECT s - (s % 86400) AS day_s, event_type, value
+          FROM (SELECT epoch_us(ts)//1000000 AS s, event_type, value FROM events))
+    GROUP BY day_s
+    """,
+)
+def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: one column per series per day (the reference's
+    wide-metric read shape built from long events)."""
+    ev = load(spark, sf_dir, "events")
+    s = _sec("ts")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select((s - (s % F.lit(86400))).alias("day_s"), "event_type", "value")
+        .groupBy("day_s")
+        .pivot("event_type", kinds)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
     "emb_neardup_numpy",
     f"""
     SELECT d1, d2, round(cosine, 6) AS cosine FROM (
