@@ -44,6 +44,54 @@ HEADLINE = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
+def bench_engine(spark, sf_dir: str) -> dict[str, float]:
+    """Engine write/read path throughput on the reference's workload
+    shape: fixed-interval upsert ingest + pruned range reads.  Uses
+    the events table as the tick source (ns ts -> 1 s grid)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    base = tempfile.mkdtemp(prefix="bench_tsdb_")
+    out: dict[str, float] = {}
+    try:
+        eng = OngTsdbSpark(spark, base)
+        eng.create_db("bench")
+        eng.create_sensor("bench", "events_1s", "1s", ["value"])
+        ev = entry_queries.load(spark, sf_dir, "events")
+        ticks = ev.select(
+            (F.col("ts") / F.lit(1e9)).alias("ts_sec"),
+            F.col("value").cast("double").alias("value"),
+        )
+        n = ticks.count()
+        t0 = time.perf_counter()
+        eng.write_spark_df("bench", "events_1s", ticks)
+        ingest_s = time.perf_counter() - t0
+        out["engine_ingest"] = round(ingest_s, 4)
+        print(f"[bench] engine_ingest: {n} ticks in {ingest_s:.2f}s "
+              f"({n / ingest_s:,.0f} rows/s)", file=sys.stderr)
+
+        # upsert a 10% slice on top (read-modify-write of touched partitions)
+        slice_df = ticks.limit(max(n // 10, 1))
+        t0 = time.perf_counter()
+        eng.write_spark_df("bench", "events_1s", slice_df)
+        out["engine_upsert_10pct"] = round(time.perf_counter() - t0, 4)
+
+        lo = ticks.agg(F.min("ts_sec")).first()[0]
+        t0 = time.perf_counter()
+        eng.read("bench", "events_1s", start_ts=lo, end_ts=lo + 7 * 86400).count()
+        out["engine_range_read"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        eng.get_last_timestamp("bench", "events_1s")
+        out["engine_last_ts"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +113,7 @@ def main() -> None:
 
     registry = entry_queries.queries()
     timings: dict[str, float] = {}
+    timings.update(bench_engine(spark, sf_dir))
     for name in HEADLINE:
         fn = registry[name]
         t0 = time.perf_counter()

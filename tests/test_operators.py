@@ -258,3 +258,80 @@ def test_asof_join_tolerance(spark):
     assert out["v_right"] is None  # match is 900 ticks old > tolerance
     out2 = asof_join(left, right, "ts", ["user"], ["v"], tolerance=1000).first()
     assert out2["v_right"] == 5.0
+
+
+# ----------------------------------------------------------------------
+# stateful streaming (EWMA anomaly)
+# ----------------------------------------------------------------------
+def test_ewma_anomaly_stream(spark, tmp_path):
+    import json
+
+    from ong_tsdb_spark.streaming.stateful import ewma_anomaly_stream
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    rows = [{"sensor": "s1", "ts_sec": float(i), "value": 10.0} for i in range(20)]
+    rows.append({"sensor": "s1", "ts_sec": 20.0, "value": 1000.0})  # spike
+    (in_dir / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    ticks = (
+        spark.readStream.schema("sensor string, ts_sec double, value double")
+        .json(str(in_dir))
+    )
+    out = ewma_anomaly_stream(ticks, alpha=0.2, z_threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM ewma_out ORDER BY ts_sec").collect()
+    assert len(res) == 21
+    assert all(r["is_anomaly"] == 0 for r in res[:20])  # flat series: no anomalies
+    assert res[20]["is_anomaly"] == 1                   # the spike flags
+    assert res[20]["value"] == 1000.0
+
+
+def test_ewma_state_survives_batches(spark, tmp_path):
+    import json
+
+    from ong_tsdb_spark.streaming.stateful import ewma_anomaly_stream
+
+    in_dir = tmp_path / "stream_in2"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps({"sensor": "s", "ts_sec": float(i), "value": 5.0}) for i in range(10))
+    )
+    ticks = (
+        spark.readStream.schema("sensor string, ts_sec double, value double")
+        .json(str(in_dir))
+    )
+    out = ewma_anomaly_stream(ticks, alpha=0.5, z_threshold=2.0)
+    ckpt = str(tmp_path / "ckpt2")
+    sink = str(tmp_path / "sink2")
+
+    def run_once():
+        q = (
+            out.writeStream.format("json").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch: a spike that is only anomalous if state persisted
+    (in_dir / "b2.json").write_text(json.dumps({"sensor": "s", "ts_sec": 10.0, "value": 500.0}))
+    run_once()
+    res = (
+        spark.read.schema(
+            "sensor string, ts_sec double, value double, ewma double, zscore double, is_anomaly long"
+        )
+        .json(sink)
+        .orderBy("ts_sec")
+        .collect()
+    )
+    assert len(res) == 11
+    assert res[10]["is_anomaly"] == 1
