@@ -57,21 +57,56 @@ def _q(name: str) -> str:
 
 
 class OngTsdbSpark:
-    """Engine façade. One instance per (SparkSession, base_dir)."""
+    """Engine façade. One instance per (SparkSession, base_dir).
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    ``admin_key=None`` (default) disables auth entirely; with a key
+    set, DDL requires the admin key and per-sensor read/write keys in
+    the sensor config are enforced with constant-time compares
+    (reference _check_auth, database.py:170-187).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, admin_key: str | None = None):
         self.spark = spark
         self.catalog = Catalog(base_dir)
+        self.admin_key = admin_key
         self._locks: dict[tuple[str, str], threading.Lock] = {}
         self._locks_guard = threading.Lock()
 
     # ------------------------------------------------------------------
+    # auth (service layer, SURVEY §2.13)
+    # ------------------------------------------------------------------
+    def _auth(
+        self,
+        action,
+        db: str | None = None,
+        sensor: str | None = None,
+        key: str | None = None,
+    ) -> None:
+        from .auth import Action, check_auth, require
+
+        if self.admin_key is None:
+            return  # auth disabled
+        read_key = write_key = None
+        if db is not None and sensor is not None and self.catalog.exist_sensor(db, sensor):
+            cfg = self.catalog.get_config(db, sensor)
+            read_key = cfg.read_key or None
+            write_key = cfg.write_key or None
+        ok = check_auth(key, action, self.admin_key, read_key, write_key)
+        require(ok, action, f"{db}.{sensor}" if sensor else (db or "<catalog>"))
+
+    # ------------------------------------------------------------------
     # lifecycle (M3/M4) — thin catalog passthroughs
     # ------------------------------------------------------------------
-    def create_db(self, db: str) -> None:
+    def create_db(self, db: str, key: str | None = None) -> None:
+        from .auth import Action
+
+        self._auth(Action.ADMIN, db=db, key=key)
         self.catalog.create_db(db)
 
-    def delete_db(self, db: str) -> None:
+    def delete_db(self, db: str, key: str | None = None) -> None:
+        from .auth import Action
+
+        self._auth(Action.ADMIN, db=db, key=key)
         self.catalog.delete_db(db)
 
     def exist_db(self, db: str) -> bool:
@@ -84,11 +119,26 @@ class OngTsdbSpark:
         freq: str,
         metrics: list,
         metadata: dict[str, Any] | None = None,
+        read_key: str = "",
+        write_key: str = "",
+        key: str | None = None,
     ) -> None:
-        cfg = SensorConfig(freq=freq, metrics=list(metrics), metadata=metadata or {})
+        from .auth import Action
+
+        self._auth(Action.ADMIN, db=db, key=key)
+        cfg = SensorConfig(
+            freq=freq,
+            metrics=list(metrics),
+            metadata=metadata or {},
+            read_key=read_key,
+            write_key=write_key,
+        )
         self.catalog.create_sensor(db, sensor, cfg)
 
-    def delete_sensor(self, db: str, sensor: str) -> None:
+    def delete_sensor(self, db: str, sensor: str, key: str | None = None) -> None:
+        from .auth import Action
+
+        self._auth(Action.ADMIN, db=db, sensor=sensor, key=key)
         self.catalog.delete_sensor(db, sensor)
 
     def exist_sensor(self, db: str, sensor: str) -> bool:
@@ -100,7 +150,12 @@ class OngTsdbSpark:
     def get_metadata(self, db: str, sensor: str) -> dict[str, Any]:
         return self.catalog.get_config(db, sensor).metadata
 
-    def update_metadata(self, db: str, sensor: str, metadata: dict[str, Any]) -> None:
+    def update_metadata(
+        self, db: str, sensor: str, metadata: dict[str, Any], key: str | None = None
+    ) -> None:
+        from .auth import Action
+
+        self._auth(Action.WRITE, db=db, sensor=sensor, key=key)
         self.catalog.update_metadata(db, sensor, metadata)
 
     # ------------------------------------------------------------------
@@ -168,13 +223,21 @@ class OngTsdbSpark:
         self.write_spark_df(db, sensor, wide, fill_value=fill_value)
 
     def write_spark_df(
-        self, db: str, sensor: str, sdf: DataFrame, fill_value: float = 0.0
+        self,
+        db: str,
+        sensor: str,
+        sdf: DataFrame,
+        fill_value: float = 0.0,
+        key: str | None = None,
     ) -> None:
         """The core M1 upsert. ``sdf`` columns: ``ts_sec`` (double epoch
         seconds) or ``ts`` (timestamp), plus one numeric column per
         metric.  Cell rule (database.py:479-486): a non-NaN input value
         overwrites the stored cell; NaN/absent inputs leave it alone.
         """
+        from .auth import Action
+
+        self._auth(Action.WRITE, db=db, sensor=sensor, key=key)
         cfg = self.catalog.get_config(db, sensor)
         grid = cfg.grid
 
@@ -303,12 +366,16 @@ class OngTsdbSpark:
         start_ts: float | None = None,
         end_ts: float | None = None,
         metrics: list | None = None,
+        key: str | None = None,
     ) -> DataFrame | None:
         """Range read -> Spark DataFrame (ts_sec asc + float metric
         columns).  start is snapped down to the grid, end inclusive
         (database.py:627-631,757-759). Column pruning pushes into the
         Parquet scan — an improvement the reference can't do (it always
         reads all metric columns, database.py:624)."""
+        from .auth import Action
+
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
         cfg = self.catalog.get_config(db, sensor)
         grid = cfg.grid
         df = self._read_raw(db, sensor, cfg)

@@ -335,3 +335,43 @@ def test_ewma_state_survives_batches(spark, tmp_path):
     )
     assert len(res) == 11
     assert res[10]["is_anomaly"] == 1
+
+
+# ----------------------------------------------------------------------
+# auth
+# ----------------------------------------------------------------------
+def test_auth_roles(spark, tmp_path):
+    from ong_tsdb_spark.auth import NotAuthorizedError, generate_token
+
+    admin = generate_token()
+    e = OngTsdbSpark(spark, str(tmp_path / "authdb"), admin_key=admin)
+    with pytest.raises(NotAuthorizedError):
+        e.create_db("d")  # no key
+    with pytest.raises(NotAuthorizedError):
+        e.create_db("d", key="wrong")
+    e.create_db("d", key=admin)
+    e.create_sensor("d", "s", "1s", ["v"], read_key="rk", write_key="wk", key=admin)
+
+    idx = pd.date_range("2023-01-02", periods=2, freq="1s", tz="UTC")
+    pdf = pd.DataFrame({"v": [1.0, 2.0]}, index=idx)
+
+    with pytest.raises(NotAuthorizedError):
+        e.write_spark_df("d", "s", spark.createDataFrame([(1.0, 1.0)], "ts_sec double, v double"), key="rk")
+
+    # write key can write AND read; read key reads only
+    sdf = spark.createDataFrame([(1672617600.0, 5.0)], "ts_sec double, v double")
+    e.write_spark_df("d", "s", sdf, key="wk")
+    assert e.read("d", "s", key="wk").count() == 1
+    assert e.read("d", "s", key="rk").count() == 1
+    assert e.read("d", "s", key=admin).count() == 1
+    with pytest.raises(NotAuthorizedError):
+        e.read("d", "s", key="wrong")
+    with pytest.raises(NotAuthorizedError):
+        e.delete_sensor("d", "s", key="wk")  # DDL needs admin
+
+
+def test_auth_disabled_by_default(spark, tmp_path):
+    e = OngTsdbSpark(spark, str(tmp_path / "open"))
+    e.create_db("d")
+    e.create_sensor("d", "s", "1s", ["v"])
+    assert e.read("d", "s") is None  # no data yet, but no auth error
