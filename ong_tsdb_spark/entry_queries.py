@@ -73,6 +73,31 @@ def _sec(col: str) -> F.Column:
     return F.expr(f"{col} div 1000000000")
 
 
+def _ts_pred_ge(df: DataFrame, col: str, us: int) -> F.Column:
+    """Pushdown-friendly `epoch_us(col) >= us`: compares the RAW
+    column (long ns or timestamp) so the predicate reaches the Parquet
+    row-group stats.  Equivalent because floor(ts/1000) >= us  <=>
+    ts >= us*1000 (floor is monotone; positive domain)."""
+    if df.schema[col].dataType.simpleString() == "bigint":
+        return F.col(col) >= us * 1000
+    return F.col(col) >= F.timestamp_micros(F.lit(us)).cast(df.schema[col].dataType)
+
+
+def _ts_pred_lt(df: DataFrame, col: str, us: int) -> F.Column:
+    """Pushdown-friendly `epoch_us(col) < us` (raw-column compare)."""
+    if df.schema[col].dataType.simpleString() == "bigint":
+        return F.col(col) < us * 1000
+    return F.col(col) < F.timestamp_micros(F.lit(us)).cast(df.schema[col].dataType)
+
+
+def _ts_pred_le(df: DataFrame, col: str, us: int) -> F.Column:
+    """Pushdown-friendly `epoch_us(col) <= us`: ts div 1000 <= us <=>
+    ts < (us+1)*1000."""
+    if df.schema[col].dataType.simpleString() == "bigint":
+        return F.col(col) < (us + 1) * 1000
+    return F.col(col) < F.timestamp_micros(F.lit(us + 1)).cast(df.schema[col].dataType)
+
+
 @dataclass(frozen=True)
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -107,9 +132,9 @@ def ts_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the range predicate and the column pruning into the Parquet
     scan (reference reads all columns then slices, database.py:624)."""
     ev = load(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", _us("ts").alias("ts_us"), "user_id", "event_type", "value"
-    ).filter(F.col("ts_us").between(T_2024_01_05, T_2024_01_10))
+    return ev.filter(
+        _ts_pred_ge(ev, "ts", T_2024_01_05) & _ts_pred_le(ev, "ts", T_2024_01_10)
+    ).select("event_id", _us("ts").alias("ts_us"), "user_id", "event_type", "value")
 
 
 @register(
@@ -338,7 +363,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + tax)
     n = F.count("*")
     return (
-        li.filter(_us_of(li, "l_shipdate") <= T_1998_09_02)
+        li.filter(_ts_pred_le(li, "l_shipdate", T_1998_09_02))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
@@ -380,9 +405,9 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle."""
     cu = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     od = load(spark, sf_dir, "orders")
-    od = od.filter(_us_of(od, "o_orderdate") < T_1995_03_15)
+    od = od.filter(_ts_pred_lt(od, "o_orderdate", T_1995_03_15))
     li = load(spark, sf_dir, "lineitem")
-    li = li.filter(_us_of(li, "l_shipdate") > T_1995_03_15)
+    li = li.filter(_ts_pred_ge(li, "l_shipdate", T_1995_03_15 + 1))
     rev = F.col("l_extendedprice").cast("decimal(15,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(15,2)")
     )
@@ -426,8 +451,8 @@ def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load(spark, sf_dir, "customer")
     od = load(spark, sf_dir, "orders")
     od = od.filter(
-        (_us_of(od, "o_orderdate") >= T_1996_01_01)
-        & (_us_of(od, "o_orderdate") < T_1997_01_01)
+        _ts_pred_ge(od, "o_orderdate", T_1996_01_01)
+        & _ts_pred_lt(od, "o_orderdate", T_1997_01_01)
     )
     li = load(spark, sf_dir, "lineitem")
     su = load(spark, sf_dir, "supplier")
@@ -944,8 +969,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (_us_of(li, "l_shipdate") >= T_1996_01_01)
-            & (_us_of(li, "l_shipdate") < T_1997_01_01)
+            _ts_pred_ge(li, "l_shipdate", T_1996_01_01)
+            & _ts_pred_lt(li, "l_shipdate", T_1997_01_01)
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
