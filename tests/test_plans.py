@@ -13,6 +13,8 @@ from ong_tsdb_spark import entry_queries
 
 
 def _executed_plan(df) -> str:
+    # default maxMetadataStringLength=100 truncates PushedFilters lists
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
