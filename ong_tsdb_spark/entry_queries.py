@@ -1037,6 +1037,29 @@ def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ann_lsh", None)  # LSH planes have no oracle twin -> rows-only
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path end-to-end: random-hyperplane LSH buckets ->
+    candidate set = query's bucket -> exact cosine re-rank of the
+    candidates only.  At 100 TB the bucket join replaces the full
+    scan; here the candidate set is typically a few % of the corpus.
+    Falls back to brute force when the bucket has < k members."""
+    emb = load(spark, sf_dir, "embeddings")
+    dim = 64
+    buckets = similarity.lsh_cosine_buckets(emb, dim=dim, num_planes=8)
+    with_buckets = emb.join(buckets, "vec_id")
+    qrow = with_buckets.filter(F.col("vec_id") == 0).select("embedding", "bucket").first()
+    qvec, qbucket = qrow[0], qrow[1]
+    candidates = with_buckets.filter(
+        F.coalesce(F.col("bucket") == qbucket, F.lit(False))
+    ).drop("bucket")
+    if candidates.count() < 11:
+        candidates = emb
+    return similarity.cosine_topk(candidates, qvec, k=10, exclude_ids=[0]).select(
+        "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 @register(
     "multimodal_features",
     """
