@@ -1,0 +1,229 @@
+"""Drop-in client façade with the reference client's public API
+(``OngTsdbClient``, reference src/ong_tsdb/client.py) so code written
+against the reference ports verbatim — same method names, signatures,
+return conventions (bools for DDL, None-on-missing for metadata,
+pandas frames whose index tz follows ``date_from``).
+
+Backed directly by the Spark engine (the reference's ``local_read``
+mode, client.py:27-36,468-491); the HTTP hop is replaced by the
+SparkSession.  ``url`` is accepted for signature parity; it selects
+the engine base dir.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .auth import NotAuthorizedError
+from .catalog import ElementAlreadyExistsError, ElementNotFoundError
+from .engine import OngTsdbSpark
+from .sources.influx import PARSED_COLS  # noqa: F401 (re-export convenience)
+
+
+class OngTsdbClient:
+    """Reference-API client over the Spark engine."""
+
+    def __init__(
+        self,
+        url: str,
+        token: str | None = None,
+        spark: SparkSession | None = None,
+        admin_key: str | None = None,
+    ):
+        base_dir = url.replace("file://", "")
+        self.token = token
+        self._engine = OngTsdbSpark(
+            spark or SparkSession.builder.getOrCreate(), base_dir, admin_key=admin_key
+        )
+
+    # -- db lifecycle ---------------------------------------------------
+    def exist_db(self, database: str) -> bool:
+        return self._engine.exist_db(database)
+
+    def create_db(self, database: str) -> bool:
+        try:
+            self._engine.create_db(database, key=self.token)
+            return True
+        except ElementAlreadyExistsError:
+            return False
+
+    def delete_db(self, database: str) -> bool:
+        try:
+            self._engine.delete_db(database, key=self.token)
+            return True
+        except ElementNotFoundError:
+            return False
+
+    # -- sensor lifecycle ----------------------------------------------
+    def exist_sensor(self, database: str, sensor: str) -> bool:
+        return self._engine.exist_sensor(database, sensor)
+
+    def create_sensor(
+        self,
+        database: str,
+        sensor: str,
+        period: str,
+        metrics: list,
+        read_key: str = "",
+        write_key: str = "",
+        metadata: dict[str, Any] | None = None,
+        level_names: list[str] | None = None,
+    ) -> bool:
+        if metadata is not None and not isinstance(metadata, dict):
+            raise ValueError(
+                f"Wrong metadata type, it must be a dict. Passed metadata={metadata}"
+            )
+        if level_names:
+            metadata = dict(metadata or {})
+            metadata["level_names"] = list(level_names)
+        try:
+            self._engine.create_sensor(
+                database,
+                sensor,
+                freq=period,
+                metrics=metrics,
+                metadata=metadata,
+                read_key=read_key,
+                write_key=write_key,
+                key=self.token,
+            )
+            return True
+        except ElementAlreadyExistsError:
+            return False
+
+    def delete_sensor(self, database: str, sensor: str) -> bool:
+        try:
+            self._engine.delete_sensor(database, sensor, key=self.token)
+            return True
+        except ElementNotFoundError:
+            return False
+
+    # -- writes ---------------------------------------------------------
+    def write(self, sequence: Sequence, fill_value: float = 0) -> bool:
+        """Influx-format strings, or (db, sensor, columns, values,
+        ts_ns) tuples (the reference's msgpack shape,
+        client.py:337-382)."""
+        if not sequence:
+            return False
+        if isinstance(sequence[0], str):
+            from pyspark.sql import functions as F
+
+            from .sources.influx import parse_lines
+            from .streaming.ingest import upsert_parsed_batch
+
+            lines = self._engine.spark.createDataFrame(
+                [(s,) for s in sequence], "line string"
+            )
+            upsert_parsed_batch(self._engine, parse_lines(lines), fill_value=fill_value)
+            return True
+        if isinstance(sequence[0], (list, tuple)):
+            by_target: dict[tuple[str, str], list] = {}
+            for db, sensor, columns, values, ts_ns in sequence:
+                pts = by_target.setdefault((db, sensor), [])
+                for m, v in zip(columns, values):
+                    pts.append((m, v, float(ts_ns) / 1e9))
+            for (db, sensor), pts in by_target.items():
+                self._engine.write_points(db, sensor, pts, fill_value=fill_value)
+            return True
+        return False
+
+    def write_df(self, db: str, sensor: str, df: pd.DataFrame, fill_value: float = 0) -> bool:
+        self._engine.write_df(db, sensor, df, fill_value=fill_value)
+        return True
+
+    # -- metadata -------------------------------------------------------
+    def config_reload(self) -> bool:
+        return True  # catalog reads are always fresh (M6 is a no-op here)
+
+    def get_metrics(self, db: str, sensor: str) -> list | None:
+        try:
+            return self._engine.get_metrics(db, sensor)
+        except ElementNotFoundError:
+            return None
+
+    def get_metadata(self, db: str, sensor: str) -> dict[str, Any] | None:
+        try:
+            return self._engine.get_metadata(db, sensor)
+        except ElementNotFoundError:
+            return None
+
+    def set_level_names(self, db: str, sensor: str, level_names: list[str]) -> bool:
+        metadata = self.get_metadata(db, sensor) or {}
+        metadata["level_names"] = list(level_names)
+        self._engine.update_metadata(db, sensor, metadata, key=self.token)
+        return True
+
+    def get_lasttimestamp(self, db: str, sensor: str) -> float | None:
+        return self._engine.get_last_timestamp(db, sensor)
+
+    def get_lastdate(self, db: str, sensor: str, tz: str | None = None):
+        ts = self.get_lasttimestamp(db, sensor)
+        if ts is None:
+            return None
+        utc_date = pd.Timestamp.utcfromtimestamp(ts)
+        if tz is None:
+            return utc_date.tz_localize(None) if utc_date.tzinfo else utc_date
+        return (utc_date.tz_localize("UTC") if utc_date.tzinfo is None else utc_date).tz_convert(tz)
+
+    # -- reads ----------------------------------------------------------
+    def read(
+        self,
+        db: str,
+        sensor: str,
+        date_from: pd.Timestamp,
+        date_to: pd.Timestamp | None = None,
+        metrics: list | None = None,
+    ) -> pd.DataFrame:
+        """Index tz follows date_from: naive in -> naive out
+        (client.py:558-563)."""
+        date_from = pd.Timestamp(date_from)
+        naive = date_from.tzinfo is None
+        start = (date_from.tz_localize("UTC") if naive else date_from).timestamp()
+        end = None
+        if date_to is not None:
+            date_to = pd.Timestamp(date_to)
+            end = (date_to.tz_localize("UTC") if date_to.tzinfo is None else date_to).timestamp()
+        out = self._engine.read_pandas(
+            db, sensor, start_ts=start, end_ts=end, metrics=metrics, tz="UTC"
+        )
+        if naive:
+            out.index = out.index.tz_localize(None)
+        else:
+            out.index = out.index.tz_convert(date_from.tzinfo)
+        return out
+
+    # the reference distinguishes HTTP read vs in-process local_read
+    # (client.py:468-491); here both are the engine path
+    local_read = read
+
+    def read_grafana(
+        self,
+        db: str,
+        sensor: str,
+        date_from: pd.Timestamp,
+        date_to: pd.Timestamp,
+        max_datapoints: int = 100,
+        metrics: list | None = None,
+    ) -> pd.DataFrame:
+        """Downsampled read (the grafana /query flow, W1)."""
+        date_from, date_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+        naive = date_from.tzinfo is None
+        start = (date_from.tz_localize("UTC") if naive else date_from).timestamp()
+        end = (date_to.tz_localize("UTC") if date_to.tzinfo is None else date_to).timestamp()
+        df = self._engine.read_downsampled(
+            db, sensor, start, end, max_datapoints, metrics=metrics
+        )
+        if df is None:
+            return pd.DataFrame()
+        pdf = df.toPandas()
+        idx = pd.to_datetime((pdf["ts_sec"] * 1e9).round().astype("int64"), utc=True)
+        pdf = pdf.drop(columns=["ts_sec"])
+        pdf.index = idx.dt.tz_localize(None) if naive else idx.dt.tz_convert(date_from.tzinfo)
+        pdf.index.name = None
+        return pdf
+
+    def update_token(self, token: str) -> None:
+        self.token = token
