@@ -1037,6 +1037,112 @@ def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per series — Spark `percentile`
+    and DuckDB `quantile_cont` agree bit-exactly (verified)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
+    "orders_with_late_lines",
+    f"""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + {90 * 86400 * US}
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS — left-semi join (one shuffle, lineitem
+    never materialized into the output)."""
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.join(od, li.l_orderkey == od.o_orderkey).filter(
+        _us_of(li, "l_shipdate") > _us_of(od, "o_orderdate") + 90 * 86400 * US
+    ).select("l_orderkey")
+    semi = od.join(late, od.o_orderkey == late.l_orderkey, "left_semi")
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "customers_without_recent_orders",
+    f"""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND epoch_us(o_orderdate) >= {T_1997_01_01}
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    recent = od.filter(_ts_pred_ge(od, "o_orderdate", T_1997_01_01)).select("o_custkey")
+    anti = cu.join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+    return anti.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "ts_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sessions AS (
+      SELECT user_id, us, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30 min inactivity gap) via lag + running sum —
+    the batch analog of a session window, one shuffle per user key."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("us"), F.col("event_id"))
+    gap = F.col("us") - F.lag("us").over(w)
+    seq = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > 1800 * US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = seq.withColumn("session_id", F.sum("is_start").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
 @register("emb_ann_lsh", None)  # LSH planes have no oracle twin -> rows-only
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: random-hyperplane LSH buckets ->
