@@ -1143,6 +1143,55 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "users_set_ops",
+    """
+    SELECT 'both' AS kind, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only' AS kind, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in the reference, exposed
+    Spark-native): INTERSECT / EXCEPT / UNION ALL over user sets."""
+    ev = load(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = click.intersect(buy).select(F.lit("both").alias("kind"), "user_id")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep a
+    # user whose click count merely exceeds their purchase count
+    only = click.subtract(buy).select(F.lit("click_only").alias("kind"), "user_id")
+    return both.unionByName(only)
+
+
+@register(
+    "tpch_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets in
+    one pass (SURVEY §2.4: free in Spark, absent in the reference)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 @register("emb_ann_lsh", None)  # LSH planes have no oracle twin -> rows-only
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: random-hyperplane LSH buckets ->
