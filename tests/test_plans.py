@@ -63,3 +63,44 @@ def test_engine_read_partition_pruning(spark, tmp_path):
     plan = _executed_plan(df)
     assert "PartitionFilters" in plan and "chunk_start" in plan
     assert "PushedFilters" in plan and "ts_sec" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path, sf_dir):
+    """Both sides bucketed by the join key -> SortMergeJoin with no
+    Exchange on either side (the co-located join contract)."""
+    from ong_tsdb_spark.plans.layout import bucketize
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        bo = bucketize(od, "b_orders", ["o_orderkey"], 8)
+        bl = bucketize(li, "b_lineitem", ["l_orderkey"], 8)
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderpriority").count()
+        plan = _executed_plan(j)
+        assert "SortMergeJoin" in plan
+        # no shuffle below the join (the groupBy above it may shuffle)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from ong_tsdb_spark.plans.layout import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ["hot", "cold"] for i in range({"hot": 500, "cold": 5}[k])],
+        "k string, payload int",
+    )
+    right = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    out = salted_join(left, right, "k", num_salts=8)
+    plain = left.join(right, "k")
+    assert out.count() == plain.count() == 505
+    assert out.filter("k = 'hot'").agg({"w": "sum"}).first()[0] == 500.0
