@@ -1192,6 +1192,20 @@ def tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: train a deterministic k-means coarse
+    quantizer (iterative DataFrame Lloyd's — genuinely non-SQL), probe
+    the 2 nearest lists, exact re-rank.  The scale path for
+    similarity search over partitioned corpora."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, k=8, iters=3)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2, exclude_ids=[0]).select(
+        "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 @register("emb_ann_lsh", None)  # LSH planes have no oracle twin -> rows-only
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: random-hyperplane LSH buckets ->

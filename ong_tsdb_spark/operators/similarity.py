@@ -156,6 +156,109 @@ def cosine_pairs_blocked_numpy(
     return df.groupBy(block_col).applyInPandas(block, "d1 long, d2 long, cosine double")
 
 
+# ----------------------------------------------------------------------
+# IVF: deterministic k-means coarse quantizer + nprobe search
+# ----------------------------------------------------------------------
+def _centroid_literal(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+
+
+def _nearest_centroid(vec_col: Column, centroids: list[list[float]], dim: int) -> Column:
+    """argmin over centroid literals by cosine distance — an
+    array_min over (dist, idx) structs, fully JVM-side."""
+    import math
+
+    nv = _norm(vec_col, dim)
+    entries = []
+    for i, c in enumerate(centroids):
+        nc = math.sqrt(sum(x * x for x in c)) or 1.0
+        dist = F.lit(1.0) - _dot(vec_col, _centroid_literal(c), dim) / (nv * F.lit(nc))
+        entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
+    return F.array_min(F.array(*entries))["idx"]
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means as an iterative DataFrame algorithm: the driver
+    loop holds only k centroid vectors; assignment and the per-cluster
+    mean are distributed (posexplode + groupBy avg — one shuffle of
+    k x dim cells per iteration, independent of corpus size).
+    Deterministic: init = the k lowest-id vectors, no RNG."""
+    dim = _infer_dim(df, vec_col)
+    init = (
+        df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    slim = df.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        for _ in range(iters):
+            assigned = slim.withColumn(
+                "__c", _nearest_centroid(F.col(vec_col), centroids, dim)
+            )
+            pos = F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("pos")
+            means = (
+                assigned.select("__c", pos, F.col(vec_col))
+                .withColumn("val", F.element_at(F.col(vec_col), F.col("pos")).cast("double"))
+                .groupBy("__c", "pos")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("__c")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("arr"))
+                .select("__c", F.transform("arr", lambda s: s["m"]).alias("centroid"))
+                .collect()
+            )
+            new = {r["__c"]: [float(x) for x in r["centroid"]] for r in means}
+            # empty clusters keep their previous centroid
+            centroids = [new.get(i, centroids[i]) for i in range(k)]
+    finally:
+        slim.unpersist()
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the coarse-quantizer cluster id (the IVF list key)."""
+    dim = _infer_dim(df, vec_col)
+    return df.withColumn("ivf_cluster", _nearest_centroid(F.col(vec_col), centroids, dim))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ANN search: probe the ``nprobe`` nearest IVF lists, exact
+    cosine re-rank inside them.  At scale the assignment column is
+    precomputed/persisted (partition by ivf_cluster) so a query scans
+    only ~nprobe/k of the corpus."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_to_q(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[
+        :nprobe
+    ]
+    assigned = ivf_assign(df, centroids, vec_col)
+    candidates = assigned.filter(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col, exclude_ids)
+
+
 def _hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a seed —
     a small LCG so the planes are reproducible across sessions with

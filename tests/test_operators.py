@@ -375,3 +375,38 @@ def test_auth_disabled_by_default(spark, tmp_path):
     e.create_db("d")
     e.create_sensor("d", "s", "1s", ["v"])
     assert e.read("d", "s") is None  # no data yet, but no auth error
+
+
+# ----------------------------------------------------------------------
+# IVF (k-means coarse quantizer + nprobe search)
+# ----------------------------------------------------------------------
+def test_ivf_kmeans_and_search(spark):
+    rng = np.random.RandomState(11)
+    # 3 well-separated clusters in 8-d
+    centers = np.eye(3, 8) * 10
+    vecs = np.vstack([centers[i % 3] + rng.randn(8) * 0.1 for i in range(90)]).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from ong_tsdb_spark.operators.similarity import (
+        cosine_topk, ivf_assign, ivf_topk, train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(df, k=3, iters=4)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    # all members of one true cluster land in one IVF list
+    assigned = ivf_assign(df, cents)
+    purity = (
+        assigned.withColumn("true_c", F.col("vec_id") % 3)
+        .groupBy("true_c")
+        .agg(F.countDistinct("ivf_cluster").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in purity)
+
+    # nprobe=1 search returns exactly the brute-force top-k (clusters
+    # are separated, so the true neighbors share the query's list)
+    q = [float(x) for x in vecs[0]]
+    ivf = ivf_topk(df, cents, q, k=5, nprobe=1, exclude_ids=[0]).collect()
+    brute = cosine_topk(df, q, k=5, exclude_ids=[0]).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
