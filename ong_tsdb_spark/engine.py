@@ -268,11 +268,19 @@ class OngTsdbSpark:
             norm = sdf.withColumn(TS_COL, snapped).withColumn(
                 "_arrival", F.monotonically_increasing_id()
             )
+            norm = norm.withColumn(PART_COL, grid.chunk_start_expr(F.col(TS_COL)))
             val_cols = []
             for m in in_metrics:
                 c = F.col(_q(m)).cast("float")
                 val_cols.append(F.when(~F.isnan(c) & c.isNotNull(), c).alias(m))
-            norm = norm.select(TS_COL, "_arrival", *val_cols)
+            norm = norm.select(TS_COL, PART_COL, "_arrival", *val_cols)
+
+            # SINGLE shuffle: repartition by chunk, then the last-wins
+            # groupBy over (chunk, ts) reuses that partitioning
+            # (HashPartitioning on a key subset satisfies the agg's
+            # ClusteredDistribution), and the final partitionBy write
+            # needs no further exchange — each chunk is one task.
+            norm = norm.repartition(PART_COL)
 
             # last non-null wins per (ts, metric) within the batch
             aggs = [
@@ -281,8 +289,7 @@ class OngTsdbSpark:
                 ).alias(m)
                 for m in in_metrics
             ]
-            batch = norm.groupBy(TS_COL).agg(*aggs)
-            batch = batch.withColumn(PART_COL, grid.chunk_start_expr(F.col(TS_COL)))
+            batch = norm.groupBy(PART_COL, TS_COL).agg(*aggs)
 
             existing = self._read_raw(db, sensor, cfg)
             if existing is not None:
@@ -302,11 +309,14 @@ class OngTsdbSpark:
                     c = F.lit(float("nan")).cast("float")
                 out_cols.append(c.alias(m))
             out = merged.select(*out_cols, F.col(PART_COL))
+            if existing is not None:
+                # merge join may have re-clustered; re-bucket per chunk
+                # so each partition dir is written by one task
+                out = out.repartition(PART_COL)
 
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (
-                out.repartition(PART_COL)
-                .sortWithinPartitions(TS_COL)
+                out.sortWithinPartitions(TS_COL)
                 .write.mode("overwrite")
                 .partitionBy(PART_COL)
                 .option("compression", "zstd")
