@@ -597,6 +597,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(docs)
 
 
+@register("dedup_simhash32", dedup.simhash_portable_oracle_sql(32))
+def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 32-bit SimHash signatures — fully value-checked
+    (md5-substring token hashes exist identically in the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_portable(docs, bits=32)
+
+
 @register(
     "text_tokens",
     """

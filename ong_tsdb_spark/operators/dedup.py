@@ -335,6 +335,49 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Oracle-portable SimHash: token hash = first 8 hex chars of
+    md5 as a 32-bit int (Spark ``conv(hex,16,10)`` == DuckDB
+    ``('0x'||hex)::BIGINT``), signature = sign-bit aggregate.  Slower
+    than the xxhash64 variant (md5 + string slicing per token) but
+    bit-identical across engines, so it gets a full value-check."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    per_tok = df.select(F.col(id_col), toks).withColumn(
+        "h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.expr(f"(h32 >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = per_tok.groupBy(id_col).agg(*bit_cols)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_portable_oracle_sql(bits: int = 32) -> str:
+    """The DuckDB twin of simhash_portable, generated to keep the 32
+    per-bit terms in lockstep with the Spark side."""
+    terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h32 FROM tok)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+    FROM h GROUP BY doc_id
+    """
+
+
 def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates: equal 16-bit SimHash sub-bands (docs within
     hamming distance 3 of each other share at least one of 4 bands)."""
