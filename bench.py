@@ -29,16 +29,22 @@ HEADLINE = [
     "ts_snap_grid",
     "ts_downsample_first",
     "ts_upsert_last_wins",
+    "ts_asof_join",
+    "ts_gap_fill",
+    "ts_sessionize",
     "tpch_q1",
     "tpch_q3_topk",
     "tpch_q5ish",
+    "tpch_q6",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash32",
     "text_quality",
     "text_langid",
     "emb_cosine_topk",
     "emb_neardup_blocked",
+    "emb_neardup_numpy",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -1,0 +1,112 @@
+"""CLI — the reference's maintenance surface (``python -m ong_tsdb``
+verify/repair/migrate, reference src/ong_tsdb/__main__.py:96-254)
+re-expressed for the Spark engine:
+
+    python -m ong_tsdb_spark verify  --base DIR [--db DB] [--sensor S]
+    python -m ong_tsdb_spark compact --base DIR --db DB --sensor S
+                                     [--codec zstd] [--keep-recent N]
+    python -m ong_tsdb_spark rollup  --base DIR --db DB --sensor S
+                                     --dst S_1h --freq 1h [--agg avg]
+    python -m ong_tsdb_spark stats   --base DIR
+
+(repair has no Spark analog — Parquet footers make truncation
+detection native; compact rewrites salvage what a rewrite can.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _engine(base: str):
+    from pyspark.sql import SparkSession
+
+    from .engine import OngTsdbSpark
+
+    spark = (
+        SparkSession.builder.appName("ong_tsdb_spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    return OngTsdbSpark(spark, base)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ong_tsdb_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("verify", help="X1: per-sensor integrity + usage stats")
+    pv.add_argument("--base", required=True)
+    pv.add_argument("--db")
+    pv.add_argument("--sensor")
+
+    pc = sub.add_parser("compact", help="X3/X4: rewrite cold partitions with a codec")
+    pc.add_argument("--base", required=True)
+    pc.add_argument("--db", required=True)
+    pc.add_argument("--sensor", required=True)
+    pc.add_argument("--codec", default="zstd")
+    pc.add_argument("--keep-recent", type=int, default=0)
+
+    pr = sub.add_parser("rollup", help="materialize a downsampled sensor")
+    pr.add_argument("--base", required=True)
+    pr.add_argument("--db", required=True)
+    pr.add_argument("--sensor", required=True)
+    pr.add_argument("--dst", required=True)
+    pr.add_argument("--freq", required=True)
+    pr.add_argument("--agg", default="avg")
+
+    ps = sub.add_parser("stats", help="catalog overview")
+    ps.add_argument("--base", required=True)
+
+    args = p.parse_args(argv)
+    eng = _engine(args.base)
+
+    if args.cmd == "verify":
+        from .plans.maintenance import verify_all, verify_sensor
+
+        if args.db and args.sensor:
+            stats = [verify_sensor(eng, args.db, args.sensor)]
+        else:
+            stats = verify_all(eng)
+        bad = 0
+        for s in stats:
+            flag = ""
+            if s.duplicate_ts or s.off_grid:
+                flag = "  <-- CORRUPT"
+                bad += 1
+            print(
+                f"{s.db}.{s.sensor}: {s.n_rows} rows, {s.n_chunks} chunks, "
+                f"ts [{s.min_ts}, {s.max_ts}], dup={s.duplicate_ts}, "
+                f"off_grid={s.off_grid}{flag}"
+            )
+        return 1 if bad else 0
+
+    if args.cmd == "compact":
+        from .plans.maintenance import compact_sensor
+
+        n = compact_sensor(
+            eng, args.db, args.sensor, codec=args.codec, keep_recent_chunks=args.keep_recent
+        )
+        print(f"rewrote {n} partitions of {args.db}.{args.sensor} with {args.codec}")
+        return 0
+
+    if args.cmd == "rollup":
+        from .plans.rollup import rollup_sensor
+
+        rollup_sensor(eng, args.db, args.sensor, args.dst, freq=args.freq, agg=args.agg)
+        print(f"materialized {args.db}.{args.dst} = {args.agg}({args.sensor}) @ {args.freq}")
+        return 0
+
+    if args.cmd == "stats":
+        for db in eng.catalog.get_dbs():
+            for sensor in eng.catalog.get_sensors(db):
+                cfg = eng.catalog.get_config(db, sensor)
+                print(f"{db}.{sensor}: freq={cfg.freq} metrics={cfg.metrics}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Materialized rollups — continuous-aggregate-style downsampled
+sensors (the "hypertable rollup" pattern).
+
+The reference only downsamples at query time (W1); at 100 TB the
+standard play is to materialize coarse grids once and serve dashboard
+ranges from them.  A rollup is just another sensor (same storage,
+partitioning, read path), derived by a windowed aggregation of the
+source — so every engine feature (pruned reads, downsampled reads,
+verify, compaction) works on rollups for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..engine import PART_COL, TS_COL, OngTsdbSpark
+from ..grid import Grid
+from ..pandas_edge import flatten_metrics
+
+#: supported per-metric aggregations (column-expr factories)
+_AGGS = {
+    "avg": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "count": lambda c: F.count(c),
+}
+
+
+def rollup_sensor(
+    engine: OngTsdbSpark,
+    db: str,
+    src_sensor: str,
+    dst_sensor: str,
+    freq: str,
+    agg: str = "avg",
+    start_ts: float | None = None,
+    end_ts: float | None = None,
+) -> None:
+    """Materialize ``src_sensor`` aggregated to ``freq`` into
+    ``dst_sensor`` (created on first call).  Incremental refresh:
+    restrict with start/end — only touched destination partitions are
+    overwritten (the upsert's dynamic-overwrite contract), so a
+    periodic refresh job costs O(new data), not O(history).
+
+    NaN cells are excluded from the aggregates (they mean "cell never
+    written", reference scatter semantics), matching np.nanmean-style
+    rollups.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"unsupported agg {agg!r}; one of {sorted(_AGGS)}")
+    cfg = engine.catalog.get_config(db, src_sensor)
+    metrics = flatten_metrics(cfg.metrics)
+    if not engine.exist_sensor(db, dst_sensor):
+        engine.create_sensor(
+            db,
+            dst_sensor,
+            freq=freq,
+            metrics=list(metrics),
+            metadata={**cfg.metadata, "rollup_of": src_sensor, "rollup_agg": agg},
+        )
+    grid = Grid.from_freq(freq)
+    src = engine.read(db, src_sensor, start_ts=start_ts, end_ts=end_ts)
+    if src is None:
+        return
+    bucket = grid.snap_expr(F.col(TS_COL)).cast("double").alias(TS_COL)
+    fn = _AGGS[agg]
+    aggs = []
+    for m in metrics:
+        c = F.col(f"`{m}`")
+        clean = F.when(~F.isnan(c) & c.isNotNull(), c)  # NaN cell = absent
+        aggs.append(fn(clean).cast("double").alias(m))
+    rolled = src.select(bucket, *[F.col(f"`{m}`") for m in metrics]).groupBy(TS_COL).agg(*aggs)
+    engine.write_spark_df(db, dst_sensor, rolled)

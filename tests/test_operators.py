@@ -410,3 +410,28 @@ def test_ivf_kmeans_and_search(spark):
     ivf = ivf_topk(df, cents, q, k=5, nprobe=1, exclude_ids=[0]).collect()
     brute = cosine_topk(df, q, k=5, exclude_ids=[0]).collect()
     assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
+
+
+# ----------------------------------------------------------------------
+# rollup (continuous aggregates)
+# ----------------------------------------------------------------------
+def test_rollup_sensor(eng):
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+
+    eng.create_sensor("d", "raw", "1s", ["v"])
+    idx = pd.date_range("2023-01-02", periods=3600, freq="1s", tz="UTC")
+    eng.write_df("d", "raw", pd.DataFrame({"v": np.arange(3600.0)}, index=idx))
+    rollup_sensor(eng, "d", "raw", "raw_1h", freq="1h", agg="avg")
+    out = eng.read_pandas("d", "raw_1h")
+    assert len(out) == 1
+    assert out["v"].iloc[0] == pytest.approx(np.arange(3600.0).mean())
+    assert eng.get_metadata("d", "raw_1h")["rollup_of"] == "raw"
+    # incremental refresh: new source hour -> only that bucket changes
+    idx2 = pd.date_range("2023-01-02 01:00", periods=3600, freq="1s", tz="UTC")
+    eng.write_df("d", "raw", pd.DataFrame({"v": np.full(3600, 7.0)}, index=idx2))
+    rollup_sensor(eng, "d", "raw", "raw_1h", freq="1h", agg="avg",
+                  start_ts=idx2[0].timestamp())
+    out2 = eng.read_pandas("d", "raw_1h")
+    assert len(out2) == 2
+    assert out2["v"].iloc[0] == pytest.approx(np.arange(3600.0).mean())  # untouched
+    assert out2["v"].iloc[1] == 7.0
