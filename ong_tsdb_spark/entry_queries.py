@@ -1200,6 +1200,76 @@ def tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact: user' || doc_id || '@example.com ip 10.0.' || (doc_id % 256) || '.7',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/IPs/phones) — synthetic PII is appended
+    per doc so the masks actually fire, then the chained
+    regexp_replace pass runs JVM-side; oracle applies identical RE2/
+    Java-compatible patterns."""
+    docs = load(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return with_pii.select("doc_id", text.scrub_pii(F.col("text")).alias("scrubbed"))
+
+
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t)-1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(s) > 0
+                THEN 1.0 - len(list_distinct(s))::DOUBLE / len(s)::DOUBLE
+                ELSE 0.0 END AS rep_ratio
+    FROM sh
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — boilerplate/quality signal (1 -
+    distinct/total shingles); single double division, cross-engine
+    exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    from .operators.dedup import _shingles_of
+
+    sh = toks.select("doc_id", _shingles_of(F.col("__toks"), 3).alias("s"))
+    total = F.size(F.col("s"))
+    distinct = F.size(F.array_distinct(F.col("s")))
+    return sh.select(
+        "doc_id",
+        F.when(
+            total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse

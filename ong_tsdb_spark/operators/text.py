@@ -73,6 +73,38 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# PII patterns chosen for cross-engine regex parity (Java regex and
+# RE2 agree on these constructs: char classes, +, {m,n}, alternation)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails, phone numbers and IPv4 addresses — the standard
+    pre-training scrub pass, as chained JVM-side regexp_replace."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Boilerplate signal: 1 - distinct_ngrams/total_ngrams (0 = no
+    repetition). Computed on a materialized token array (see
+    dedup._shingles_of for why)."""
+    # exposed as an expression for single-column use; the query path
+    # materializes tokens first (operators/dedup.py pattern)
+    from .dedup import word_shingles
+
+    sh = word_shingles(text, n)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace, trim."""

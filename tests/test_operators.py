@@ -435,3 +435,18 @@ def test_rollup_sensor(eng):
     assert len(out2) == 2
     assert out2["v"].iloc[0] == pytest.approx(np.arange(3600.0).mean())  # untouched
     assert out2["v"].iloc[1] == 7.0
+
+
+def test_scrub_pii_and_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "write to bob.smith+x@mail.co or call +1 (555) 123-4567 at 192.168.0.1 now"),
+         (2, "a b a b a b a b"),
+         (3, "all words unique here today")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["s"] for r in df.select("doc_id", text.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1] and "<IP>" in out[1]
+    assert "bob" not in out[1] and "555" not in out[1] and "192.168" not in out[1]
+    rep = {r["doc_id"]: r["r"] for r in df.select("doc_id", text.repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert rep[2] > 0.5      # heavy 3-gram repetition
+    assert rep[3] == 0.0     # no repeats
