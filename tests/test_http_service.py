@@ -1,0 +1,98 @@
+"""HTTP façade tests — the reference's server routes driven through
+the Flask test client (the reference's own hermetic pattern,
+tests/test_write_point_list.py / test_server_module_layout.py).
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from ong_tsdb_spark import OngTsdbSpark
+from ong_tsdb_spark.service.server import create_app
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    eng = OngTsdbSpark(spark, str(tmp_path / "http_db"), admin_key="admintoken")
+    app = create_app(eng)
+    app.testing = True
+    return app.test_client()
+
+
+def _auth(token: str) -> dict:
+    cred = base64.b64encode(f"token:{token}".encode()).decode()
+    return {"Authorization": f"Basic {cred}"}
+
+
+def test_ddl_auth_and_lifecycle(client):
+    # no token -> 401
+    assert client.post("/db/iot").status_code == 401
+    assert client.post("/db/iot", headers=_auth("wrong")).status_code == 401
+    assert client.post("/db/iot", headers=_auth("admintoken")).status_code == 201
+    # duplicate -> 409
+    assert client.post("/db/iot", headers=_auth("admintoken")).status_code == 409
+    assert client.get("/db/iot/exist").get_json()["exists"] is True
+    r = client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active", "reactive"]},
+        headers=_auth("admintoken"),
+    )
+    assert r.status_code == 201
+    assert client.get("/db/iot/sensor/power/exist").get_json()["exists"] is True
+    # missing sensor read -> 404
+    assert client.post("/iot/nope/metrics").status_code == 404
+
+
+def test_influx_write_then_read_df(client):
+    client.post("/db/iot", headers=_auth("admintoken"))
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active", "reactive"]},
+        headers=_auth("admintoken"),
+    )
+    t0 = 1672617600
+    lines = "\n".join(
+        [
+            f"iot,key=power active=1.5,reactive=2.5 {t0 * 10**9}",
+            f"iot,key=power active=3.5 {(t0 + 1) * 10**9}",
+        ]
+    )
+    r = client.post("/influx", data=lines)
+    assert r.status_code == 200 and r.get_json()["points"] == 2
+    r = client.post("/iot/power/read_df", json={"start_ts": t0})
+    body = r.get_json()
+    assert body["dates"] == [float(t0), float(t0 + 1)]
+    assert body["values"][0] == [1.5, 2.5]
+    assert body["values"][1] == [3.5, None]  # NaN cell -> null on the wire
+    assert body["metrics"] == ["active", "reactive"]
+    # last_timestamp + metrics routes
+    assert client.post("/iot/power/last_timestamp").get_json()["last_timestamp"] == t0 + 1
+    assert client.post("/iot/power/metrics").get_json() == ["active", "reactive"]
+
+
+def test_grafana_query_route(client):
+    client.post("/db/iot", headers=_auth("admintoken"))
+    client.post(
+        "/db/iot/sensor/m",
+        json={"period": "1s", "metrics": ["v"]},
+        headers=_auth("admintoken"),
+    )
+    t0 = 1672617600
+    lines = "\n".join(
+        f"iot,key=m v={i}.0 {(t0 + i) * 10**9}" for i in range(100)
+    )
+    client.post("/influx", data=lines)
+    r = client.post(
+        "/iot/m/query",
+        json={
+            "range": {"from": t0, "to": t0 + 99},
+            "maxDataPoints": 10,
+            "targets": [{"target": "v"}],
+        },
+    )
+    out = r.get_json()
+    assert out[0]["target"] == "v"
+    assert len(out[0]["datapoints"]) == 10
+    assert out[0]["datapoints"][0] == [0.0, t0 * 1000]
