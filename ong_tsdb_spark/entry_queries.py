@@ -1270,6 +1270,73 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_us(ts), event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+             / CAST(SUM(next_us - us) AS DOUBLE) / 100.0 AS twa
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (the TSDB `time_weight`
+    operator): each observation weighted by its holding interval.
+    Pure-bigint numerator (value as exact cents x interval-µs —
+    order-free sums) with one double division at the edge; DECIMAL->
+    DOUBLE was avoided because DuckDB double-rounds that conversion
+    (observed 1-ulp drift)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(F.col("us"), F.col("event_id"))
+    seq = (
+        ev.withColumn("cents", cents)
+        .withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+    )
+    dt = F.col("next_us") - F.col("us")
+    return seq.groupBy("event_type").agg(
+        (
+            F.sum(F.col("cents") * dt).cast("double")
+            / F.sum(dt).cast("double")
+            / F.lit(100.0)
+        ).alias("twa")
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — rank window partitioned by the group, so the
+    sort never crosses groups (vs a global top-k)."""
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse

@@ -450,3 +450,39 @@ def test_scrub_pii_and_repetition(spark):
     rep = {r["doc_id"]: r["r"] for r in df.select("doc_id", text.repetition_ratio(F.col("text")).alias("r")).collect()}
     assert rep[2] > 0.5      # heavy 3-gram repetition
     assert rep[3] == 0.0     # no repeats
+
+
+# ----------------------------------------------------------------------
+# streaming windowed aggregation (watermarked)
+# ----------------------------------------------------------------------
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    import json
+
+    from ong_tsdb_spark.streaming.windows import windowed_agg
+
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    rows = [
+        {"sensor": "s", "ts": "2023-01-02 00:00:05", "value": 1.0},
+        {"sensor": "s", "ts": "2023-01-02 00:00:40", "value": 2.0},
+        {"sensor": "s", "ts": "2023-01-02 00:01:10", "value": 3.0},
+        {"sensor": "s", "ts": "2023-01-02 00:05:00", "value": 9.0},  # advances watermark
+    ]
+    (in_dir / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    ticks = (
+        spark.readStream.schema("sensor string, ts timestamp, value double")
+        .json(str(in_dir))
+    )
+    out = windowed_agg(ticks, "1 minute", watermark_delay="2 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = {r["window_start"].isoformat(): r for r in spark.sql("SELECT * FROM win_out").collect()}
+    # windows sealed by the watermark (00:00 and 00:01) are emitted
+    assert "2023-01-02T00:00:00" in res
+    w0 = res["2023-01-02T00:00:00"]
+    assert w0["n"] == 2 and w0["sum_v"] == 3.0 and w0["max_v"] == 2.0
+    assert res["2023-01-02T00:01:00"]["n"] == 1
