@@ -58,7 +58,28 @@ def extract_features(
     generator-of-DataFrames shape keeps peak memory to one Arrow batch
     regardless of partition size."""
 
+    # NOTE: the batch function must be fully self-contained — any
+    # reference to a module-level name would be pickled *by reference*
+    # and executor Python workers would need ong_tsdb_spark importable
+    # (they inherit PYTHONPATH, not the driver's sys.path mutations).
+    col_names = [f.name for f in FEATURE_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def decode(payload: bytes, media_type: str) -> tuple[int, int, float]:
+            # inline twin of _decode_one (keep in sync) — a closure
+            # cell pointing at the module function would pickle by
+            # reference and require the package on executor workers
+            if media_type not in ("image", "audio", "video"):
+                raise NotImplementedError(f"unknown media_type {media_type!r}")
+            d = _hashlib.sha256(payload).digest()
+            return 64 + d[0] % 192, 64 + d[1] % 192, (
+                0.0 if media_type == "image" else float(1 + d[2] % 60)
+            )
+
         for pdf in batches:
             payloads = pdf[payload_col]
             types = pdf[type_col]
@@ -66,19 +87,19 @@ def extract_features(
             for i in range(len(pdf)):
                 raw = bytes(payloads.iloc[i] or b"")
                 mt = types.iloc[i]
-                w, h, dur = _decode_one(raw, mt)
+                w, h, dur = decode(raw, mt)
                 rows.append(
                     (
                         int(pdf[id_col].iloc[i]),
                         mt,
                         len(raw),
-                        hashlib.sha256(raw).hexdigest(),
+                        _hashlib.sha256(raw).hexdigest(),
                         w,
                         h,
                         dur,
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield _pd.DataFrame(rows, columns=col_names)
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
