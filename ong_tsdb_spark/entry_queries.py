@@ -1337,6 +1337,52 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_ohlc",
+    """
+    WITH seq AS (
+      SELECT event_type, s - (s % 3600) AS bucket_s, value,
+             row_number() OVER (PARTITION BY event_type, s - (s % 3600)
+                                ORDER BY us, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, s - (s % 3600)
+                                ORDER BY us DESC, event_id DESC) AS rn_close
+      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events)
+    )
+    SELECT event_type, bucket_s,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close,
+           count(*) AS n
+    FROM seq GROUP BY event_type, bucket_s
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlesticks per series per hour — open/close via
+    total-ordered row_number (ties by event_id), high/low plain
+    min/max; one window pass + one aggregation."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
+        "s", _sec("ts")
+    )
+    ev = ev.withColumn("bucket_s", F.col("s") - (F.col("s") % F.lit(3600)))
+    asc = Window.partitionBy("event_type", "bucket_s").orderBy(
+        F.col("us"), F.col("event_id")
+    )
+    desc = Window.partitionBy("event_type", "bucket_s").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    seq = ev.withColumn("rn_open", F.row_number().over(asc)).withColumn(
+        "rn_close", F.row_number().over(desc)
+    )
+    return seq.groupBy("event_type", "bucket_s").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse
