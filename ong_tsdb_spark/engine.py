@@ -210,15 +210,27 @@ class OngTsdbSpark:
         DataFrame of any size (e.g. a streaming micro-batch) is pivoted
         to wide *inside Spark* — the only driver-side data is the
         distinct metric-name list (bounded by schema width, not rows).
-        """
+
+        The pivot groups by the *snapped* timestamp: two off-grid
+        points landing in one grid cell must resolve last-non-NaN-wins
+        HERE, while ``_arrival`` still reflects input order (assigning
+        arrival ids after the pivot would order by shuffle output —
+        arbitrary; this was a real bug caught by the model-based test).
+        NaN values are excluded from the arrival race entirely (a NaN
+        input never overwrites, database.py:480-483)."""
         names = sorted(
             r[0] for r in long_df.select("metric").distinct().collect() if r[0]
         )
         if not names:
             return
+        grid = self.catalog.get_config(db, sensor).grid
         sdf = long_df.withColumn("_arrival", F.monotonically_increasing_id())
+        sdf = sdf.withColumn(TS_COL, grid.snap_expr(F.col(TS_COL)).cast("double"))
         wide = sdf.groupBy(TS_COL).pivot("metric", names).agg(
-            F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN _arrival END)")
+            F.expr(
+                "max_by(value, CASE WHEN value IS NOT NULL AND NOT isnan(value) "
+                "THEN _arrival END)"
+            )
         )
         self.write_spark_df(db, sensor, wide, fill_value=fill_value)
 

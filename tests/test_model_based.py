@@ -1,0 +1,103 @@
+"""Model-based upsert testing: random write sequences are applied both
+to the engine and to a trivial Python model of the reference's
+semantics (a dict of grid-cell -> value with last-non-NaN-wins); reads
+must agree exactly.  This is the strongest form of the reference's
+round-trip oracle (SURVEY §5): rather than one scripted rotation, it
+explores arbitrary interleavings of partial rows, duplicate cells,
+off-grid timestamps, NaN inputs and schema growth.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ong_tsdb_spark import OngTsdbSpark
+
+TICK = 60  # 1m sensor
+BASE = 1_672_617_600  # 2023-01-02, grid-aligned
+
+# a write op: (metric, value|None(=NaN), seconds-offset possibly off-grid)
+op = st.tuples(
+    st.sampled_from(["m1", "m2", "m3"]),
+    st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+    st.integers(min_value=0, max_value=600),
+)
+batches = st.lists(st.lists(op, min_size=1, max_size=6), min_size=1, max_size=4)
+
+
+class Model:
+    """The reference's storage semantics in ~20 lines: snap-to-grid,
+    last-non-NaN-wins per cell, fill for rows predating a metric."""
+
+    def __init__(self, initial_metrics: list[str], fill: float = 0.0):
+        self.metrics = list(initial_metrics)
+        self.fill = fill
+        self.rows: dict[int, dict[str, float]] = {}  # ts -> {metric: value}
+        self.row_born_metrics: dict[int, set[str]] = {}
+
+    def write_batch(self, ops: list[tuple[str, int | None, int]]) -> None:
+        new_metrics = {m for m, _, _ in ops if m not in self.metrics}
+        for m in sorted(new_metrics):
+            self.metrics.append(m)
+        for m, v, off in ops:
+            ts = BASE + (off // TICK) * TICK  # snap
+            if ts not in self.rows:
+                self.rows[ts] = {}
+                self.row_born_metrics[ts] = set(self.metrics)
+            if v is not None:  # NaN input never overwrites
+                self.rows[ts][m] = float(v)
+
+    def read(self) -> list[tuple[int, list[float]]]:
+        out = []
+        for ts in sorted(self.rows):
+            vals = []
+            for m in self.metrics:
+                if m in self.rows[ts]:
+                    vals.append(self.rows[ts][m])
+                elif m not in self.row_born_metrics[ts]:
+                    # metric added after this row was written -> fill
+                    vals.append(self.fill)
+                else:
+                    vals.append(float("nan"))
+            out.append((ts, vals))
+        return out
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=batches)
+def test_upsert_matches_model(spark, tmp_path_factory, batches):
+    base = tmp_path_factory.mktemp("mb")
+    eng = OngTsdbSpark(spark, str(base))
+    eng.create_db("d")
+    eng.create_sensor("d", "s", "1m", ["m1"])
+    model = Model(["m1"])
+
+    for ops in batches:
+        pts = [
+            (m, float("nan") if v is None else float(v), float(BASE + off))
+            for m, v, off in ops
+        ]
+        eng.write_points("d", "s", pts)
+        model.write_batch(ops)
+
+    out = eng.read_pandas("d", "s")
+    expected = model.read()
+    assert len(out) == len(expected), "row count differs from model"
+    assert list(out.columns) == model.metrics
+    for (ts, vals), (idx, row) in zip(expected, out.iterrows()):
+        assert idx.timestamp() == ts
+        for m, v in zip(model.metrics, vals):
+            got = row[m]
+            if math.isnan(v):
+                assert math.isnan(got), f"ts={ts} {m}: expected NaN got {got}"
+            else:
+                assert got == v, f"ts={ts} {m}: expected {v} got {got}"
