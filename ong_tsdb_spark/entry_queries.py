@@ -1383,6 +1383,60 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_gap_fill_linear",
+    """
+    WITH obs AS (
+      SELECT event_type, s - (s % 900) AS tick, value,
+             row_number() OVER (PARTITION BY event_type, s - (s % 900)
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events)
+    ), cells AS (SELECT event_type, tick, value FROM obs WHERE rn = 1),
+    bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM cells GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) AS tick_s FROM bounds),
+    j AS (
+      SELECT g.event_type, g.tick_s, c.value AS v
+      FROM grid g LEFT JOIN cells c ON c.event_type = g.event_type AND c.tick = g.tick_s
+    ), marked AS (
+      SELECT event_type, tick_s, v,
+        last_value(v IGNORE NULLS) OVER back AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN tick_s END IGNORE NULLS) OVER back AS pt,
+        first_value(v IGNORE NULLS) OVER fwd AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN tick_s END IGNORE NULLS) OVER fwd AS nt
+      FROM j
+      WINDOW back AS (PARTITION BY event_type ORDER BY tick_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY event_type ORDER BY tick_s
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, tick_s,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN nv IS NOT NULL AND pv IS NOT NULL
+                  THEN pv + (nv - pv) * ((tick_s - pt)::DOUBLE / (nt - pt)::DOUBLE)
+                ELSE pv END AS value
+    FROM marked
+    """,
+)
+def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with linear interpolation on the 15 m grid — the
+    resample/interpolate operator (operators/gapfill.gap_fill_linear);
+    identical expression shape on both engines, bit-equal doubles."""
+    from .operators.gapfill import gap_fill_linear
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
+        "s", _sec("ts")
+    )
+    out = gap_fill_linear(
+        ev,
+        ts_sec_col="s",
+        series_cols=["event_type"],
+        value_col="value",
+        tick_seconds=900,
+        tiebreak_cols=["us", "event_id"],
+    )
+    return out.select("event_type", "tick_s", "value")
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse

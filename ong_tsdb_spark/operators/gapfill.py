@@ -72,3 +72,85 @@ def gap_fill_ffill(
     for c in value_cols:
         out_cols.append(F.last(F.col(c), ignorenulls=True).over(w_ffill).alias(c))
     return joined.select(*out_cols)
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    ts_sec_col: str,
+    series_cols: list[str],
+    value_col: str,
+    tick_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Linear interpolation on the grid: every tick between a series'
+    bounds gets ``prev + (next-prev) * (t-pt)/(nt-pt)`` from the
+    nearest observations on either side (exact observations pass
+    through; trailing ticks after the last observation hold it).
+
+    Same one-shuffle-per-series window structure as forward fill; the
+    interpolation itself is per-row arithmetic (deterministic — one
+    expression evaluation order)."""
+    t = int(tick_seconds)
+    snapped = (F.col(ts_sec_col) - (F.col(ts_sec_col) % F.lit(t))).cast("long")
+    ties = tiebreak_cols or []
+    obs = df.select(
+        *series_cols, F.col(ts_sec_col).alias("__raw_ts"), snapped.alias("__tick"),
+        *ties, F.col(value_col),
+    )
+    w_cell = Window.partitionBy(*series_cols, "__tick").orderBy(
+        F.col("__raw_ts").desc(), *[F.col(c).desc() for c in ties]
+    )
+    obs = (
+        obs.withColumn("__rn", F.row_number().over(w_cell))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__raw_ts", *ties)
+    )
+    bounds = obs.groupBy(*series_cols).agg(
+        F.min("__tick").alias("__lo"), F.max("__tick").alias("__hi")
+    )
+    grid = bounds.select(
+        *series_cols,
+        F.explode_outer(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(t).cast("long"))
+        ).alias("__tick"),
+    )
+    joined = grid.join(obs, on=[*series_cols, "__tick"], how="left")
+    back = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("__tick"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*series_cols)
+        .orderBy(F.col("__tick"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    marked = joined.select(
+        *series_cols,
+        F.col("__tick"),
+        v,
+        F.last(v, ignorenulls=True).over(back).alias("__pv"),
+        F.last(F.when(v.isNotNull(), F.col("__tick")), ignorenulls=True)
+        .over(back)
+        .alias("__pt"),
+        F.first(v, ignorenulls=True).over(fwd).alias("__nv"),
+        F.first(F.when(v.isNotNull(), F.col("__tick")), ignorenulls=True)
+        .over(fwd)
+        .alias("__nt"),
+    )
+    frac = (F.col("__tick") - F.col("__pt")).cast("double") / (
+        F.col("__nt") - F.col("__pt")
+    ).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(
+            F.col("__nv").isNotNull() & F.col("__pv").isNotNull(),
+            F.col("__pv").cast("double")
+            + (F.col("__nv").cast("double") - F.col("__pv").cast("double")) * frac,
+        )
+        .otherwise(F.col("__pv").cast("double"))  # trailing: hold last
+    )
+    return marked.select(
+        *series_cols, F.col("__tick").alias("tick_s"), interp.alias(value_col)
+    )

@@ -71,6 +71,38 @@ def verify_all(engine: OngTsdbSpark) -> list[SensorStats]:
     return out
 
 
+def apply_retention(
+    engine: OngTsdbSpark, db: str, sensor: str, older_than_ts: float
+) -> int:
+    """X4-adjacent: drop whole chunk partitions strictly older than
+    the cutoff — a pure partition-directory delete, no data scan or
+    rewrite (the lifecycle-policy analog of the reference's
+    compression tiering).  Partitions *containing* the cutoff are
+    kept (rows are only removed at chunk granularity, like deleting
+    the reference's chunk files).  Returns partitions dropped."""
+    import shutil
+
+    cfg = engine.catalog.get_config(db, sensor)
+    grid = cfg.grid
+    cutoff_chunk = grid.chunk_start(float(older_than_ts))
+    path = engine.catalog.data_path(db, sensor)
+    if not os.path.isdir(path):
+        return 0
+    dropped = 0
+    with engine._sensor_lock(db, sensor):
+        for entry in os.listdir(path):
+            if not entry.startswith(f"{PART_COL}="):
+                continue
+            try:
+                part = float(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if part < cutoff_chunk:
+                shutil.rmtree(os.path.join(path, entry))
+                dropped += 1
+    return dropped
+
+
 def compact_sensor(
     engine: OngTsdbSpark,
     db: str,

@@ -486,3 +486,33 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     w0 = res["2023-01-02T00:00:00"]
     assert w0["n"] == 2 and w0["sum_v"] == 3.0 and w0["max_v"] == 2.0
     assert res["2023-01-02T00:01:00"]["n"] == 1
+
+
+def test_retention_drop(eng):
+    from ong_tsdb_spark.plans import maintenance
+
+    eng.create_sensor("d", "ret", "1s", ["v"])
+    # 3 chunks: 16384 s apart
+    idx = pd.to_datetime([1672617600 + i * 16384 for i in range(3)], unit="s", utc=True)
+    eng.write_df("d", "ret", pd.DataFrame({"v": [1.0, 2.0, 3.0]}, index=idx))
+    st = maintenance.verify_sensor(eng, "d", "ret")
+    assert st.n_chunks == 3
+    dropped = maintenance.apply_retention(eng, "d", "ret", older_than_ts=idx[2].timestamp())
+    assert dropped == 2
+    out = eng.read_pandas("d", "ret")
+    assert out["v"].tolist() == [3.0]
+
+
+def test_gap_fill_linear(spark):
+    from ong_tsdb_spark.operators.gapfill import gap_fill_linear
+
+    df = spark.createDataFrame(
+        [("s", 0, 10.0), ("s", 40, 50.0), ("s", 50, 0.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["tick_s"]: r["v"]
+        for r in gap_fill_linear(df, "ts", ["k"], "v", tick_seconds=10).collect()
+    }
+    assert out[0] == 10.0 and out[40] == 50.0 and out[50] == 0.0
+    assert out[10] == 20.0 and out[20] == 30.0 and out[30] == 40.0  # interpolated
