@@ -179,13 +179,19 @@ class OngTsdbClient:
     ) -> pd.DataFrame:
         """Index tz follows date_from: naive in -> naive out
         (client.py:558-563)."""
+        import time
+
         date_from = pd.Timestamp(date_from)
         naive = date_from.tzinfo is None
         start = (date_from.tz_localize("UTC") if naive else date_from).timestamp()
-        end = None
         if date_to is not None:
             date_to = pd.Timestamp(date_to)
             end = (date_to.tz_localize("UTC") if date_to.tzinfo is None else date_to).timestamp()
+        else:
+            # reference default: missing date_to means "now" — future-
+            # dated rows stay invisible (client.read end_ts default,
+            # database.py:627-631)
+            end = time.time()
         out = self._engine.read_pandas(
             db, sensor, start_ts=start, end_ts=end, metrics=metrics, tz="UTC"
         )

@@ -117,3 +117,24 @@ def test_read_grafana_downsampled(client):
     )
     assert len(out) == 20
     assert out.index.tz is None
+
+
+def test_read_default_end_hides_future(client):
+    import time
+
+    client.create_db("db")
+    client.create_sensor("db", "s", "1s", ["v"])
+    now = time.time()
+    future = now + 7 * 86400
+    client.write([f"db,key=s v=1.0 {int((now - 60) * 1e9)}",
+                  f"db,key=s v=2.0 {int(future * 1e9)}"])
+    # no date_to -> reference semantics: end = now, future row invisible
+    out = client.read("db", "s", pd.Timestamp(now - 3600, unit="s", tz="UTC"))
+    assert out["v"].tolist() == [1.0]
+    # explicit future end makes it visible
+    out2 = client.read(
+        "db", "s",
+        pd.Timestamp(now - 3600, unit="s", tz="UTC"),
+        pd.Timestamp(future + 60, unit="s", tz="UTC"),
+    )
+    assert out2["v"].tolist() == [1.0, 2.0]
