@@ -1437,6 +1437,48 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "tick_s", "value")
 
 
+@register(
+    "ts_rate",
+    """
+    SELECT event_type, us AS ts_us,
+           (value - lag(value) OVER w)
+             / ((us - lag(us) OVER w)::DOUBLE / 1000000.0) AS rate_per_s
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    """,
+)
+def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series rate of change (delta value / delta seconds) — the
+    counter-rate operator; identical expression order both engines."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("event_type").orderBy(F.col("us"), F.col("event_id"))
+    dv = F.col("value") - F.lag("value").over(w)
+    dt_s = (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1000000.0)
+    return ev.select("event_type", F.col("us").alias("ts_us"), (dv / dt_s).alias("rate_per_s"))
+
+
+@register(
+    "ts_value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per series (width 50) — the
+    distribution-profile operator."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.floor(F.col("value") / 50) * 50).cast("bigint").alias("bucket_lo"),
+        )
+        .groupBy("event_type", "bucket_lo")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse
