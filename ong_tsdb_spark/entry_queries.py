@@ -1479,6 +1479,60 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_type_like",
+    """
+    SELECT p_brand, count(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+    FROM part
+    WHERE p_type LIKE '%BRASS%' AND p_name NOT LIKE '%green%'
+    GROUP BY p_brand
+    """,
+)
+def part_type_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicates (LIKE / NOT LIKE) + agg — StartsWith/Contains
+    push down to the scan as string filters."""
+    pa = load(spark, sf_dir, "part")
+    return (
+        pa.filter(F.col("p_type").like("%BRASS%") & ~F.col("p_name").like("%green%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(15,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+    SELECT c_custkey, c_acctbal, n_name FROM (
+      SELECT c_custkey, c_acctbal, n_name,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE c_acctbal > nation_avg
+    """,
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern (customers above their nation's
+    average balance) as a decimal-exact window — one shuffle by the
+    correlation key instead of a correlated subquery per row."""
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(15,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        j.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_acctbal", "n_name")
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse
