@@ -104,3 +104,35 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k")
     assert out.count() == plain.count() == 505
     assert out.filter("k = 'hot'").agg({"w": "sum"}).first()[0] == 500.0
+
+
+def test_fresh_ingest_single_shuffle(spark, tmp_path):
+    """The write path's one-shuffle contract: a fresh write's plan has
+    exactly one Exchange (the chunk repartition) — the last-wins agg
+    reuses it and the partitionBy write adds none."""
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark import OngTsdbSpark
+    from ong_tsdb_spark.engine import PART_COL, TS_COL
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "t"))
+    eng.create_db("d")
+    eng.create_sensor("d", "s", "1s", ["v"])
+    cfg = eng.catalog.get_config("d", "s")
+    grid = cfg.grid
+    sdf = spark.range(1000).select(
+        (F.lit(1672617600) + F.col("id") * 60).cast("double").alias(TS_COL),
+        F.col("id").cast("double").alias("v"),
+    )
+    # replicate write_spark_df's plan shape up to the write
+    norm = (
+        sdf.withColumn(TS_COL, grid.snap_expr(F.col(TS_COL)).cast("double"))
+        .withColumn(PART_COL, grid.chunk_start_expr(F.col(TS_COL)))
+        .withColumn("_arrival", F.monotonically_increasing_id())
+        .repartition(PART_COL)
+    )
+    batch = norm.groupBy(PART_COL, TS_COL).agg(
+        F.expr("max_by(v, CASE WHEN v IS NOT NULL THEN _arrival END)").alias("v")
+    )
+    plan = _executed_plan(batch)
+    assert plan.count("Exchange") == 1, f"expected 1 exchange, plan:\n{plan}"
