@@ -1533,6 +1533,53 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_cumulative_sum",
+    """
+    SELECT event_type, us AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY event_type ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    """,
+)
+def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per series — decimal-exact prefix sums (each
+    prefix < 2^53, so the double cast is single-rounded identically)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("us"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_type",
+        F.col("us").alias("ts_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "doc_stats_by_lang",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition stats per (lang, source) — the first report
+    every training-data pipeline produces."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
 @register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train a deterministic k-means coarse
