@@ -98,6 +98,19 @@ def _ts_pred_le(df: DataFrame, col: str, us: int) -> F.Column:
     return F.col(col) < F.timestamp_micros(F.lit(us + 1)).cast(df.schema[col].dataType)
 
 
+def _topk_ranked(df: DataFrame, order: list[F.Column], k: int) -> DataFrame:
+    """Distributed top-k with a rank column.  ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (per-task k-row heaps merged on
+    the driver — no global sort shuffle, no single-task window over
+    the full input); ``row_number`` then runs over only the k rows.
+    ``order`` must be a total order (tiebreak by a unique key) so the
+    result is deterministic."""
+    w = Window.orderBy(*order)
+    return df.orderBy(*order).limit(k).withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
 @dataclass(frozen=True)
 class Query:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -420,12 +433,9 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("o_orderdate_us"),
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-    return (
-        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "revenue", "o_orderdate_us", "rank")
-    )
+    return _topk_ranked(
+        j, [F.col("revenue").desc(), F.col("l_orderkey")], 10
+    ).select("l_orderkey", "revenue", "o_orderdate_us", "rank")
 
 
 @register(
@@ -487,12 +497,9 @@ def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit (SURVEY §2.6) with deterministic tiebreak."""
     od = load(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        od.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "o_totalprice", "rank")
-    )
+    return _topk_ranked(
+        od, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10
+    ).select("o_orderkey", "o_totalprice", "rank")
 
 
 @register(
@@ -1123,8 +1130,8 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, us, event_id,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM seq
     )
     SELECT user_id, session_id, count(*) AS n_events,

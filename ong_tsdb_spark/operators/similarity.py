@@ -70,11 +70,15 @@ def cosine_topk(
     )
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "cosine", "rank")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: each task
+    # keeps a k-row heap, the driver merges per-partition heaps — no
+    # global shuffle, no single-task window over the full corpus.
+    # Ranks are then attached with a window over just the k rows.
+    order = [F.col("cosine").desc(), F.col(id_col).asc()]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "cosine", "rank"
     )
 
 

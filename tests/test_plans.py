@@ -106,6 +106,17 @@ def test_salted_join_matches_plain_join(spark):
     assert out.filter("k = 'hot'").agg({"w": "sum"}).first()[0] == 500.0
 
 
+@pytest.mark.parametrize("qname", ["top_orders", "tpch_q3_topk", "emb_cosine_topk"])
+def test_topk_is_take_ordered(spark, sf_dir, qname):
+    """Top-k queries must compile to TakeOrderedAndProject (per-task
+    k-row heaps, driver merge) — NOT a global-window row_number that
+    funnels every row through one task.  The rank attachment may sort
+    the k-row result, but no full-input single-partition exchange."""
+    df = entry_queries.queries()[qname](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, f"{qname}: no TakeOrderedAndProject:\n{plan}"
+
+
 def test_fresh_ingest_single_shuffle(spark, tmp_path):
     """The write path's one-shuffle contract: a fresh write's plan has
     exactly one Exchange (the chunk repartition) — the last-wins agg
