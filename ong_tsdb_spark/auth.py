@@ -46,19 +46,18 @@ def check_auth(
     write_key: str | None = None,
 ) -> bool:
     """admin -> everything; write key -> write+read on its sensor;
-    read key -> read only. Unset sensor keys mean the sensor is open
-    for that action (auth disabled unless keys configured)."""
+    read key -> read only.  Reference parity (_check_auth
+    database.py:170-187 with __is_key database.py:142-152): a sensor
+    with NO configured key for an action admits ONLY the admin key —
+    unset keys are closed, not open.  Auth as a whole is off only
+    when the engine has no admin key (engine._auth returns early)."""
     if _eq(key, admin_key):
         return True
     if action == Action.ADMIN:
         return False
     if action == Action.WRITE:
-        if write_key is None:
-            return True
         return _eq(key, write_key)
     # READ: write key implies read (reference: write superset of read)
-    if read_key is None and write_key is None:
-        return True
     return _eq(key, read_key) or _eq(key, write_key)
 
 

@@ -117,7 +117,9 @@ class OngTsdbClient:
             lines = self._engine.spark.createDataFrame(
                 [(s,) for s in sequence], "line string"
             )
-            upsert_parsed_batch(self._engine, parse_lines(lines), fill_value=fill_value)
+            upsert_parsed_batch(
+                self._engine, parse_lines(lines), fill_value=fill_value, key=self.token
+            )
             return True
         if isinstance(sequence[0], (list, tuple)):
             by_target: dict[tuple[str, str], list] = {}
@@ -126,12 +128,14 @@ class OngTsdbClient:
                 for m, v in zip(columns, values):
                     pts.append((m, v, float(ts_ns) / 1e9))
             for (db, sensor), pts in by_target.items():
-                self._engine.write_points(db, sensor, pts, fill_value=fill_value)
+                self._engine.write_points(
+                    db, sensor, pts, fill_value=fill_value, key=self.token
+                )
             return True
         return False
 
     def write_df(self, db: str, sensor: str, df: pd.DataFrame, fill_value: float = 0) -> bool:
-        self._engine.write_df(db, sensor, df, fill_value=fill_value)
+        self._engine.write_df(db, sensor, df, fill_value=fill_value, key=self.token)
         return True
 
     # -- metadata -------------------------------------------------------
@@ -140,13 +144,13 @@ class OngTsdbClient:
 
     def get_metrics(self, db: str, sensor: str) -> list | None:
         try:
-            return self._engine.get_metrics(db, sensor)
+            return self._engine.get_metrics(db, sensor, key=self.token)
         except ElementNotFoundError:
             return None
 
     def get_metadata(self, db: str, sensor: str) -> dict[str, Any] | None:
         try:
-            return self._engine.get_metadata(db, sensor)
+            return self._engine.get_metadata(db, sensor, key=self.token)
         except ElementNotFoundError:
             return None
 
@@ -157,7 +161,7 @@ class OngTsdbClient:
         return True
 
     def get_lasttimestamp(self, db: str, sensor: str) -> float | None:
-        return self._engine.get_last_timestamp(db, sensor)
+        return self._engine.get_last_timestamp(db, sensor, key=self.token)
 
     def get_lastdate(self, db: str, sensor: str, tz: str | None = None):
         ts = self.get_lasttimestamp(db, sensor)
@@ -193,7 +197,8 @@ class OngTsdbClient:
             # database.py:627-631)
             end = time.time()
         out = self._engine.read_pandas(
-            db, sensor, start_ts=start, end_ts=end, metrics=metrics, tz="UTC"
+            db, sensor, start_ts=start, end_ts=end, metrics=metrics, tz="UTC",
+            key=self.token,
         )
         if naive:
             out.index = out.index.tz_localize(None)
@@ -220,7 +225,7 @@ class OngTsdbClient:
         start = (date_from.tz_localize("UTC") if naive else date_from).timestamp()
         end = (date_to.tz_localize("UTC") if date_to.tzinfo is None else date_to).timestamp()
         df = self._engine.read_downsampled(
-            db, sensor, start, end, max_datapoints, metrics=metrics
+            db, sensor, start, end, max_datapoints, metrics=metrics, key=self.token
         )
         if df is None:
             return pd.DataFrame()

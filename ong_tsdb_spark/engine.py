@@ -144,10 +144,19 @@ class OngTsdbSpark:
     def exist_sensor(self, db: str, sensor: str) -> bool:
         return self.catalog.exist_sensor(db, sensor)
 
-    def get_metrics(self, db: str, sensor: str) -> list:
+    def get_metrics(self, db: str, sensor: str, key: str | None = None) -> list:
+        from .auth import Action
+
+        # reference requires READ for metric names (database.py:522-526)
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
         return self.catalog.get_config(db, sensor).metrics
 
-    def get_metadata(self, db: str, sensor: str) -> dict[str, Any]:
+    def get_metadata(
+        self, db: str, sensor: str, key: str | None = None
+    ) -> dict[str, Any]:
+        from .auth import Action
+
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
         return self.catalog.get_config(db, sensor).metadata
 
     def update_metadata(
@@ -169,7 +178,14 @@ class OngTsdbSpark:
         with self._locks_guard:
             return self._locks.setdefault((db, sensor), threading.Lock())
 
-    def write_df(self, db: str, sensor: str, pdf: pd.DataFrame, fill_value: float = 0.0) -> None:
+    def write_df(
+        self,
+        db: str,
+        sensor: str,
+        pdf: pd.DataFrame,
+        fill_value: float = 0.0,
+        key: str | None = None,
+    ) -> None:
         """Write a pandas frame (DatetimeIndex x metric columns) —
         parity with client.write_df (client.py:372-382)."""
         ts_sec, values, names = pdf_to_records(pdf)
@@ -179,7 +195,7 @@ class OngTsdbSpark:
             + [T.StructField(n, T.DoubleType()) for n in names]
         )
         sdf = self.spark.createDataFrame(rows, schema)
-        self.write_spark_df(db, sensor, sdf, fill_value=fill_value)
+        self.write_spark_df(db, sensor, sdf, fill_value=fill_value, key=key)
 
     def write_points(
         self,
@@ -187,6 +203,7 @@ class OngTsdbSpark:
         sensor: str,
         points: Iterable[tuple[str, float, float]],
         fill_value: float = 0.0,
+        key: str | None = None,
     ) -> None:
         """Write (metric, value, ts_sec) long-form tuples — the influx
         ingest shape after parsing (server.py:214-293). Scatters into a
@@ -201,10 +218,15 @@ class OngTsdbSpark:
             ]
         )
         sdf = self.spark.createDataFrame(long_rows, schema)
-        self.write_long_df(db, sensor, sdf, fill_value=fill_value)
+        self.write_long_df(db, sensor, sdf, fill_value=fill_value, key=key)
 
     def write_long_df(
-        self, db: str, sensor: str, long_df: DataFrame, fill_value: float = 0.0
+        self,
+        db: str,
+        sensor: str,
+        long_df: DataFrame,
+        fill_value: float = 0.0,
+        key: str | None = None,
     ) -> None:
         """Distributed long-form upsert: a (metric, value, ts_sec)
         DataFrame of any size (e.g. a streaming micro-batch) is pivoted
@@ -232,7 +254,7 @@ class OngTsdbSpark:
                 "THEN _arrival END)"
             )
         )
-        self.write_spark_df(db, sensor, wide, fill_value=fill_value)
+        self.write_spark_df(db, sensor, wide, fill_value=fill_value, key=key)
 
     def write_spark_df(
         self,
@@ -326,11 +348,14 @@ class OngTsdbSpark:
                 # so each partition dir is written by one task
                 out = out.repartition(PART_COL)
 
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # per-write dynamic overwrite: only touched chunk_start
+            # dirs are replaced, and the session-global conf (which
+            # would change unrelated writes' semantics) stays untouched
             (
                 out.sortWithinPartitions(TS_COL)
                 .write.mode("overwrite")
                 .partitionBy(PART_COL)
+                .option("partitionOverwriteMode", "dynamic")
                 .option("compression", "zstd")
                 .parquet(self.catalog.data_path(db, sensor))
             )
@@ -438,12 +463,13 @@ class OngTsdbSpark:
         end_ts: float | None = None,
         metrics: list | None = None,
         tz: str = "UTC",
+        key: str | None = None,
     ) -> pd.DataFrame:
         """Range read -> pandas frame with tz-aware DatetimeIndex and
         float32 values — the reference client's read() shape
         (client.py:540-571)."""
         cfg = self.catalog.get_config(db, sensor)
-        df = self.read(db, sensor, start_ts, end_ts, metrics)
+        df = self.read(db, sensor, start_ts, end_ts, metrics, key=key)
         sel_metrics = cfg.metrics if metrics is None else list(metrics)
         flat = flatten_metrics(sel_metrics)
         if df is None:
@@ -471,6 +497,7 @@ class OngTsdbSpark:
         end_ts: float,
         max_datapoints: int,
         metrics: list | None = None,
+        key: str | None = None,
     ) -> DataFrame | None:
         """W1 — grafana-style maxDataPoints read: first stored point
         per thinning bucket (server.py:412-475).  Runs as a pruned
@@ -478,7 +505,7 @@ class OngTsdbSpark:
         max_datapoints regardless of the range size."""
         from .operators.downsample import downsample_max_datapoints
 
-        df = self.read(db, sensor, start_ts, end_ts, metrics)
+        df = self.read(db, sensor, start_ts, end_ts, metrics, key=key)
         if df is None:
             return None
         value_cols = [c for c in df.columns if c != TS_COL]
@@ -496,11 +523,16 @@ class OngTsdbSpark:
     # ------------------------------------------------------------------
     # aggregates (A1)
     # ------------------------------------------------------------------
-    def get_last_timestamp(self, db: str, sensor: str) -> float | None:
-        """Max timestamp. The reference reads only the last chunk
-        (database.py:522-546); here partition pruning + Parquet
-        column stats make the max cheap: scan only the max
-        chunk_start partition."""
+    def get_last_timestamp(
+        self, db: str, sensor: str, key: str | None = None
+    ) -> float | None:
+        """Max timestamp. The reference reads only the last chunk and
+        requires READ auth (database.py:522-546); here partition
+        pruning + Parquet column stats make the max cheap: scan only
+        the max chunk_start partition."""
+        from .auth import Action
+
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
         cfg = self.catalog.get_config(db, sensor)
         df = self._read_raw(db, sensor, cfg)
         if df is None:

@@ -18,13 +18,18 @@ Semantics reproduced exactly (cited against the reference):
 * ``chunk_timestamp(ts) = int(ts / chunk_duration) * chunk_duration``
   — ``chunker.py:74-76``
 * ``getpos(ts) = int((ts - chunk_start) / tick)`` (snap-to-grid by
-  truncation) — ``chunker.py:88-95``
+  truncation) — ``chunker.py:88-95``.  Deliberate deviation: we floor
+  toward -inf instead of truncating toward zero so pre-1970 (negative)
+  timestamps partition consistently between the driver scalars and the
+  Catalyst ``F.floor`` expressions (identical for ts >= 0, which is
+  the reference's only supported domain).
 * calendar units are fixed-width UTC seconds (1d == 86400 s always;
   never ``date_trunc`` with a session timezone) — ``chunker.py:47-54``
 """
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -123,14 +128,18 @@ class Grid:
         return CHUNK_ROWS * self.tick_seconds
 
     # -- driver-side scalar math ------------------------------------
+    # floor (toward -inf), NOT int() (toward zero): the executor-side
+    # *_expr use F.floor, and for pre-1970 (negative) timestamps a
+    # truncating driver scalar would prune the partition the write
+    # path actually chose — rows would silently vanish from reads.
     def chunk_start(self, ts_seconds: float) -> float:
         """Chunk window start for an epoch-seconds timestamp."""
         d = self.chunk_duration
-        return int(ts_seconds / d) * d
+        return math.floor(ts_seconds / d) * d
 
     def pos(self, ts_seconds: float) -> int:
-        """Row position inside the chunk (0-based, truncating)."""
-        return int((ts_seconds - self.chunk_start(ts_seconds)) / self.tick_seconds)
+        """Row position inside the chunk (0-based, flooring)."""
+        return math.floor((ts_seconds - self.chunk_start(ts_seconds)) / self.tick_seconds)
 
     def snap(self, ts_seconds: float) -> float:
         """Snap an off-grid timestamp down to the tick grid."""

@@ -111,8 +111,9 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         if not lines:
             return jsonify(ok=False, error="empty body"), 400
         ldf = engine.spark.createDataFrame([(l,) for l in lines], "line string")
-        # auth: the upsert itself enforces per-sensor write keys
-        upsert_parsed_batch(engine, parse_lines(ldf), fill_value=fv)
+        # auth: the upsert enforces per-sensor write keys with the
+        # caller's token (reference server.py:214-293 decorator)
+        upsert_parsed_batch(engine, parse_lines(ldf), fill_value=fv, key=_token())
         return jsonify(ok=True, points=len(lines))
 
     # -- reads --------------------------------------------------------
@@ -143,15 +144,17 @@ def create_app(engine: OngTsdbSpark) -> Flask:
 
     @app.post("/<db>/<sensor>/last_timestamp")
     def last_timestamp(db: str, sensor: str):
-        return jsonify(last_timestamp=engine.get_last_timestamp(db, sensor))
+        return jsonify(
+            last_timestamp=engine.get_last_timestamp(db, sensor, key=_token())
+        )
 
     @app.post("/<db>/<sensor>/metrics")
     def metrics(db: str, sensor: str):
-        return jsonify(engine.get_metrics(db, sensor))
+        return jsonify(engine.get_metrics(db, sensor, key=_token()))
 
     @app.post("/<db>/<sensor>/metadata")
     def metadata(db: str, sensor: str):
-        return jsonify(engine.get_metadata(db, sensor))
+        return jsonify(engine.get_metadata(db, sensor, key=_token()))
 
     @app.post("/db/<db>/sensor/<sensor>/set_metadata")
     def set_metadata(db: str, sensor: str):
@@ -166,7 +169,9 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         end = float(body["range"]["to"])
         maxdp = int(body.get("maxDataPoints", 100))
         targets = [t["target"] for t in body.get("targets", [])] or None
-        df = engine.read_downsampled(db, sensor, start, end, maxdp, metrics=targets)
+        df = engine.read_downsampled(
+            db, sensor, start, end, maxdp, metrics=targets, key=_token()
+        )
         cfg = engine.catalog.get_config(db, sensor)
         names = flatten_metrics(targets or cfg.metrics)
         out = []

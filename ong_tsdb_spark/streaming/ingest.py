@@ -32,6 +32,7 @@ def start_influx_file_stream(
     default_sensor: str | None = None,
     fill_value: float = 0.0,
     trigger_once: bool = False,
+    key: str | None = None,
 ) -> StreamingQuery:
     """Stream line-protocol text files from ``input_dir`` into the
     engine.  One upsert per (db, sensor) group per micro-batch —
@@ -41,7 +42,7 @@ def start_influx_file_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_parsed_batch(engine, parse_lines(batch_df.withColumnRenamed("value", "line")),
-                            default_db, default_sensor, fill_value)
+                            default_db, default_sensor, fill_value, key=key)
 
     writer = (
         lines.writeStream.foreachBatch(process_batch)
@@ -58,10 +59,12 @@ def upsert_parsed_batch(
     default_db: str | None = None,
     default_sensor: str | None = None,
     fill_value: float = 0.0,
+    key: str | None = None,
 ) -> None:
     """Upsert a parsed long-form batch (db, sensor, metric, value,
     ts_ns).  Missing ts -> current time (server default,
-    server_utils.py:16)."""
+    server_utils.py:16).  ``key`` is checked per sensor by the upsert
+    (reference: per-sensor write keys, database.py:170-187)."""
     parsed = parsed.withColumn(
         TS_COL,
         F.when(
@@ -87,7 +90,11 @@ def upsert_parsed_batch(
         for db, sensor in targets:
             sub = parsed.filter((F.col("db") == db) & (F.col("sensor") == sensor))
             engine.write_long_df(
-                db, sensor, sub.select("metric", "value", TS_COL), fill_value=fill_value
+                db,
+                sensor,
+                sub.select("metric", "value", TS_COL),
+                fill_value=fill_value,
+                key=key,
             )
     finally:
         parsed.unpersist()

@@ -47,6 +47,21 @@ def test_roundtrip_multichunk(eng):
     assert out.equals(pdf.astype("float32"))
 
 
+def test_roundtrip_negative_timestamps(eng):
+    """Pre-1970 rows: write-path floor partitioning and read-path
+    pruning must agree (int() truncation would prune the wrong chunk
+    and silently drop rows — ADVICE r1)."""
+    eng.create_sensor("test", "sneg", "1h", ["a"])
+    pdf = _mk_pdf(48, "1h", start="1969-12-30", metrics=("a",))
+    eng.write_df("test", "sneg", pdf)
+    out = eng.read_pandas(
+        "test", "sneg", start_ts=pdf.index[0].timestamp(),
+        end_ts=pdf.index[-1].timestamp(),
+    )
+    assert len(out) == 48
+    assert out.equals(pdf.astype("float32"))
+
+
 def test_range_read_start_end_inclusive(eng):
     eng.create_sensor("test", "s", "1h", ["a"])
     pdf = _mk_pdf(24, "1h", metrics=("a",))

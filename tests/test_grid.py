@@ -77,7 +77,12 @@ def test_grid_exprs_match_scalar(spark):
     import pyspark.sql.functions as F
 
     g = Grid(900.0)
-    ts_vals = [0.0, 1.5, 899.9, 900.0, 16384 * 900.0 - 1, 16384 * 900.0, 1.7e9 + 123.4]
+    # includes pre-1970 (negative) values: driver scalars must agree
+    # with the Catalyst floor exprs there too (toward -inf, not zero)
+    ts_vals = [
+        0.0, 1.5, 899.9, 900.0, 16384 * 900.0 - 1, 16384 * 900.0, 1.7e9 + 123.4,
+        -1.0, -899.9, -900.0, -16384 * 900.0 - 1, -1.7e9 + 123.4,
+    ]
     df = spark.createDataFrame([(t,) for t in ts_vals], "ts_sec double").select(
         "ts_sec",
         g.chunk_start_expr(F.col("ts_sec")).alias("cs"),

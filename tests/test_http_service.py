@@ -41,8 +41,10 @@ def test_ddl_auth_and_lifecycle(client):
     )
     assert r.status_code == 201
     assert client.get("/db/iot/sensor/power/exist").get_json()["exists"] is True
-    # missing sensor read -> 404
-    assert client.post("/iot/nope/metrics").status_code == 404
+    # missing sensor read: authenticated -> 404; unauthenticated -> 401
+    # (auth precedes existence, reference _check_auth database.py:170-187)
+    assert client.post("/iot/nope/metrics", headers=_auth("admintoken")).status_code == 404
+    assert client.post("/iot/nope/metrics").status_code == 401
 
 
 def test_influx_write_then_read_df(client):
@@ -59,17 +61,32 @@ def test_influx_write_then_read_df(client):
             f"iot,key=power active=3.5 {(t0 + 1) * 10**9}",
         ]
     )
-    r = client.post("/influx", data=lines)
+    # keyless sensor + admin_key set: unauthenticated callers are
+    # denied (reference: only the admin key opens keyless sensors)
+    assert client.post("/influx", data=lines).status_code == 401
+    r = client.post("/influx", data=lines, headers=_auth("admintoken"))
     assert r.status_code == 200 and r.get_json()["points"] == 2
-    r = client.post("/iot/power/read_df", json={"start_ts": t0})
+    assert client.post("/iot/power/read_df", json={"start_ts": t0}).status_code == 401
+    r = client.post(
+        "/iot/power/read_df", json={"start_ts": t0}, headers=_auth("admintoken")
+    )
     body = r.get_json()
     assert body["dates"] == [float(t0), float(t0 + 1)]
     assert body["values"][0] == [1.5, 2.5]
     assert body["values"][1] == [3.5, None]  # NaN cell -> null on the wire
     assert body["metrics"] == ["active", "reactive"]
-    # last_timestamp + metrics routes
-    assert client.post("/iot/power/last_timestamp").get_json()["last_timestamp"] == t0 + 1
-    assert client.post("/iot/power/metrics").get_json() == ["active", "reactive"]
+    # last_timestamp + metrics routes need READ auth (ADVICE r1)
+    assert client.post("/iot/power/last_timestamp").status_code == 401
+    assert client.post("/iot/power/metrics").status_code == 401
+    hdr = _auth("admintoken")
+    assert (
+        client.post("/iot/power/last_timestamp", headers=hdr).get_json()["last_timestamp"]
+        == t0 + 1
+    )
+    assert client.post("/iot/power/metrics", headers=hdr).get_json() == [
+        "active",
+        "reactive",
+    ]
 
 
 def test_grafana_query_route(client):
@@ -83,7 +100,7 @@ def test_grafana_query_route(client):
     lines = "\n".join(
         f"iot,key=m v={i}.0 {(t0 + i) * 10**9}" for i in range(100)
     )
-    client.post("/influx", data=lines)
+    client.post("/influx", data=lines, headers=_auth("admintoken"))
     r = client.post(
         "/iot/m/query",
         json={
@@ -91,6 +108,7 @@ def test_grafana_query_route(client):
             "maxDataPoints": 10,
             "targets": [{"target": "v"}],
         },
+        headers=_auth("admintoken"),
     )
     out = r.get_json()
     assert out[0]["target"] == "v"

@@ -370,6 +370,34 @@ def test_auth_roles(spark, tmp_path):
         e.delete_sensor("d", "s", key="wk")  # DDL needs admin
 
 
+def test_auth_keyless_sensor_requires_admin(spark, tmp_path):
+    """Reference parity (__is_key database.py:142-152): when an admin
+    key exists, a sensor with no configured read/write keys admits
+    ONLY the admin key — unset keys are closed, not open."""
+    from ong_tsdb_spark.auth import NotAuthorizedError, generate_token
+
+    admin = generate_token()
+    e = OngTsdbSpark(spark, str(tmp_path / "authdb2"), admin_key=admin)
+    e.create_db("d", key=admin)
+    e.create_sensor("d", "s", "1s", ["v"], key=admin)  # no sensor keys
+    sdf = spark.createDataFrame([(1672617600.0, 5.0)], "ts_sec double, v double")
+    with pytest.raises(NotAuthorizedError):
+        e.write_spark_df("d", "s", sdf)  # no key
+    e.write_spark_df("d", "s", sdf, key=admin)
+    # every read-shaped accessor now requires READ auth (ADVICE r1)
+    for call in (
+        lambda k: e.read("d", "s", key=k),
+        lambda k: e.read_pandas("d", "s", key=k),
+        lambda k: e.read_downsampled("d", "s", 0, 2e9, 10, key=k),
+        lambda k: e.get_last_timestamp("d", "s", key=k),
+        lambda k: e.get_metrics("d", "s", key=k),
+        lambda k: e.get_metadata("d", "s", key=k),
+    ):
+        with pytest.raises(NotAuthorizedError):
+            call(None)
+        call(admin)  # admin key passes
+
+
 def test_auth_disabled_by_default(spark, tmp_path):
     e = OngTsdbSpark(spark, str(tmp_path / "open"))
     e.create_db("d")
