@@ -44,6 +44,7 @@ HEADLINE = [
     "text_langid",
     "emb_cosine_topk",
     "emb_neardup_blocked",
+    "emb_neardup_lsh",
     "emb_neardup_numpy",
 ]
 

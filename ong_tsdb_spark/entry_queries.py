@@ -702,6 +702,22 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
 
 
+def _lsh_bucket_sql(col: str, dim: int, num_planes: int) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr: the hyperplanes are
+    deterministic literals, and both engines evaluate the projection
+    as the same sequential left fold, so the sign bits (and hence the
+    bucket) agree bit-exactly."""
+    terms = []
+    for p in range(num_planes):
+        plane = "[" + ", ".join(repr(v) for v in similarity._hyperplane(p, dim)) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {col}[i]::DOUBLE * ({plane})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "emb_cosine_topk",
     f"""
@@ -783,9 +799,52 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (IVF-style: the
-    block key bounds the quadratic comparison)."""
+    block key bounds the quadratic comparison).  Demo of the generic
+    operator; ``emb_neardup_lsh`` is the scale path (quantizer-derived
+    blocks, parallelism = bucket count)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+
+
+_NEARDUP_LSH_PLANES = 8
+_NEARDUP_LSH_CAP = 256
+
+
+def _neardup_lsh_sql() -> str:
+    b = _lsh_bucket_sql("embedding", 64, _NEARDUP_LSH_PLANES)
+    cos = (
+        _DOT_SQL.format(a="a.embedding", b="c.embedding")
+        + f" / ({_norm_sql('a.embedding')} * {_norm_sql('c.embedding')})"
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+    sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    kept AS (SELECT b.vec_id, b.embedding, b.bucket
+             FROM b JOIN sizes USING (bucket) WHERE n <= {_NEARDUP_LSH_CAP})
+    SELECT a.vec_id AS d1, c.vec_id AS d2, {cos} AS cosine
+    FROM kept a JOIN kept c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {cos} >= 0.3
+    """
+
+
+@register("emb_neardup_lsh", _neardup_lsh_sql())
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with QUANTIZER-DERIVED blocks: the block key is
+    the LSH sign-bucket computed as a Catalyst expression (no label,
+    no join to attach it), so parallelism equals bucket count (up to
+    2^{planes}) and ``max_block_size`` bounds every task's quadratic
+    term by construction — the 100 TB contract the label-blocked demo
+    can't make."""
+    emb = load(spark, sf_dir, "embeddings")
+    with_b = emb.withColumn(
+        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), 64, _NEARDUP_LSH_PLANES)
+    )
+    return similarity.cosine_pairs_blocked(
+        with_b,
+        block_col="bucket",
+        threshold=0.3,
+        max_block_size=_NEARDUP_LSH_CAP,
+    )
 
 
 @register(
@@ -1601,17 +1660,44 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ann_lsh", None)  # LSH planes have no oracle twin -> rows-only
+def _ann_lsh_sql() -> str:
+    b = _lsh_bucket_sql("embedding", 64, 8)
+    cos = (
+        _DOT_SQL.format(a="p.embedding", b="qe")
+        + f" / ({_norm_sql('p.embedding')} * {_norm_sql('qe')})"
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.embedding FROM b, q WHERE b.bucket = q.qb),
+    n AS (SELECT count(*) AS c FROM cand),
+    pool AS (
+      SELECT vec_id, embedding FROM cand WHERE (SELECT c FROM n) >= 11
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings WHERE (SELECT c FROM n) < 11
+    )
+    SELECT vec_id, cosine, rank FROM (
+      SELECT vec_id, cosine,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM (SELECT p.vec_id, {cos} AS cosine FROM pool p, q WHERE p.vec_id <> 0)
+    ) WHERE rank <= 10
+    """
+
+
+@register("emb_ann_lsh", _ann_lsh_sql())
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: random-hyperplane LSH buckets ->
     candidate set = query's bucket -> exact cosine re-rank of the
-    candidates only.  At 100 TB the bucket join replaces the full
+    candidates only.  At 100 TB the bucket filter replaces the full
     scan; here the candidate set is typically a few % of the corpus.
-    Falls back to brute force when the bucket has < k members."""
+    Falls back to brute force when the bucket has < k members.  The
+    planes are deterministic literals, so (unlike k-means IVF) the
+    whole pipeline HAS a DuckDB oracle twin — bit-exact buckets."""
     emb = load(spark, sf_dir, "embeddings")
     dim = 64
-    buckets = similarity.lsh_cosine_buckets(emb, dim=dim, num_planes=8)
-    with_buckets = emb.join(buckets, "vec_id")
+    with_buckets = emb.withColumn(
+        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), dim, 8)
+    )
     qrow = with_buckets.filter(F.col("vec_id") == 0).select("embedding", "bucket").first()
     qvec, qbucket = qrow[0], qrow[1]
     candidates = with_buckets.filter(

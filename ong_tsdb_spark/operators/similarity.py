@@ -88,9 +88,17 @@ def cosine_pairs_blocked(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within blocks: (d1 < d2,
     cosine >= threshold).  The block key bounds the quadratic term.
+
+    ``max_block_size`` enforces the bound *by construction*: blocks
+    larger than the cap are excluded from the pair join entirely (a
+    hot block at 100x data would otherwise become one quadratic
+    straggler task — route such blocks through a finer quantizer or
+    ``cosine_pairs_blocked_numpy``).  The size census reuses the same
+    shuffle key as the join, so the cap costs one small aggregate.
 
     Norms are computed once per *vector* (O(n)) and joined through, so
     each pair evaluates only one unrolled dot product (O(pairs)) —
@@ -102,6 +110,10 @@ def cosine_pairs_blocked(
         F.col(vec_col),
         _norm(F.col(vec_col), dim).alias("__nrm"),
     )
+    if max_block_size is not None:
+        sizes = slim.groupBy("__blk").agg(F.count("*").alias("__bn"))
+        keep = sizes.filter(F.col("__bn") <= max_block_size).select("__blk")
+        slim = slim.join(F.broadcast(keep), on="__blk")
     a, b = slim.alias("a"), slim.alias("b")
     cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (
         F.col("a.__nrm") * F.col("b.__nrm")
@@ -263,6 +275,72 @@ def ivf_topk(
     return cosine_topk(candidates, query_vec, k, vec_col, id_col, exclude_ids)
 
 
+# ----------------------------------------------------------------------
+# IVF index persistence: centroids sidecar + ivf_cluster partitioning
+# ----------------------------------------------------------------------
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: rows Parquet-partitioned by
+    ``ivf_cluster`` (so a probe prunes partitions instead of scanning
+    and re-assigning the corpus) plus a centroid sidecar JSON.  This is
+    the ROADMAP #3 scale contract: assignment cost is paid once at
+    build, a query reads only ~nprobe/k of the data."""
+    import json
+    import os
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    (
+        assigned.repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        return json.load(f)
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ANN search against a persisted IVF index: the ``ivf_cluster``
+    partition filter prunes non-probed lists at the source (check the
+    plan's PartitionFilters), then the exact re-rank runs only on
+    ~nprobe/k of the corpus.  No per-query re-assignment."""
+    import math
+
+    centroids = read_ivf_centroids(path)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_to_q(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-cos_to_q(centroids[i]), i))[
+        :nprobe
+    ]
+    df = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    return cosine_topk(df.drop("ivf_cluster"), query_vec, k, vec_col, id_col, exclude_ids)
+
+
 def _hyperplane(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a seed —
     a small LCG so the planes are reproducible across sessions with
@@ -274,6 +352,21 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
         vals.append((state / 2**31) - 1.0)  # [-1, 1)
     return vals
 
+def lsh_bucket_expr(vec_col: Column, dim: int, num_planes: int = 16) -> Column:
+    """The LSH bucket as a pure Catalyst expression: sign pattern of
+    ``num_planes`` deterministic hyperplane projections packed into a
+    long.  Usable as a ``withColumn`` (no join, no shuffle) — the
+    quantizer-derived block key for blocked near-dup at scale."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v).cast("double") for v in _hyperplane(p, dim)])
+        bit = F.when(_dot(vec_col, plane, dim) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
 def lsh_cosine_buckets(
     df: DataFrame,
     dim: int,
@@ -284,11 +377,6 @@ def lsh_cosine_buckets(
     """Random-hyperplane sketch: one integer bucket from the sign
     pattern of ``num_planes`` projections.  Join on the bucket to get
     candidate pairs at scale."""
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v).cast("double") for v in _hyperplane(p, dim)])
-        bit = F.when(_dot(F.col(vec_col), plane, dim) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + bit
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.select(
+        F.col(id_col), lsh_bucket_expr(F.col(vec_col), dim, num_planes).alias("bucket")
+    )

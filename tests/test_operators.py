@@ -440,6 +440,56 @@ def test_ivf_kmeans_and_search(spark):
     assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
 
 
+def test_ivf_index_persistence(spark, tmp_path):
+    """ROADMAP #3: persisted index (centroids sidecar + ivf_cluster
+    partitioning) returns the same results as in-memory ivf_topk, and
+    the probe prunes partitions at the source."""
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 16) * 8
+    vecs = np.vstack([centers[i % 4] + rng.randn(16) * 0.1 for i in range(80)]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    from ong_tsdb_spark.operators.similarity import (
+        ivf_topk, ivf_topk_persisted, read_ivf_centroids, train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(df, k=4, iters=4)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(df, cents, path)
+    assert read_ivf_centroids(path) == cents
+
+    q = [float(x) for x in vecs[1]]
+    live = ivf_topk(df, cents, q, k=5, nprobe=2, exclude_ids=[1]).collect()
+    persisted = ivf_topk_persisted(spark, path, q, k=5, nprobe=2, exclude_ids=[1])
+    got = persisted.collect()
+    assert [(r["vec_id"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["rank"]) for r in live
+    ]
+    # the probe must prune ivf_cluster partitions at the scan
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_blocked_pairs_max_block_size(spark):
+    """The cap excludes oversized blocks from the pair join entirely
+    (bounded quadratic term by construction)."""
+    from ong_tsdb_spark.operators.similarity import cosine_pairs_blocked
+
+    rows = [(i, "hot" if i < 50 else "cold", [1.0, 0.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, blk string, embedding array<float>")
+    capped = cosine_pairs_blocked(
+        df, block_col="blk", threshold=0.5, max_block_size=20
+    )
+    out = capped.collect()
+    # hot block (50 members) dropped; cold block (10) produces C(10,2)
+    assert len(out) == 45
+    assert all(r["d1"] >= 50 for r in out)
+
+
 # ----------------------------------------------------------------------
 # rollup (continuous aggregates)
 # ----------------------------------------------------------------------
