@@ -38,6 +38,15 @@ class OngTsdbClient:
         self._engine = OngTsdbSpark(
             spark or SparkSession.builder.getOrCreate(), base_dir, admin_key=admin_key
         )
+        # wire-parity version handshake (reference client.py:230-233):
+        # in-process the "server" is this same package, so this can
+        # only fail on a genuinely mixed install — but the check (and
+        # its exception type) is part of the public surface.
+        from . import __version__
+        from .check_versions import check_version_and_raise
+
+        self.server_version = __version__
+        check_version_and_raise(self.server_version)
 
     # -- db lifecycle ---------------------------------------------------
     def exist_db(self, database: str) -> bool:

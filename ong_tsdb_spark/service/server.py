@@ -7,28 +7,52 @@ metadata, grafana ``/query`` (maxDataPoints thinning), and db/sensor
 DDL — with HTTP Basic auth whose password is the token
 (auth_required, server.py:91-104).
 
-Wire format: JSON throughout. The reference ships raw ndarray bytes
-base64'd + zlib (server.py:339-385) because its client must avoid
-parsing overhead on a raspberry pi; a Spark-backed service talks to
-clients over JSON/Arrow and SURVEY S9 records the byte-level wire as
-N/A-by-design.  ``read_df`` returns ``{"dates": [epoch_s], "values":
-[[...]], "metrics": [...], "metadata": {...}}`` — the same logical
-payload.
+Wire format: ``read_df`` serves the reference's BYTE-LEVEL payload by
+default (S9 — base64(+zlib) of float64 dates ++ float32 values,
+server.py:339-385), so the reference's own ``OngTsdbClient`` can read
+from this façade; pass ``{"format": "json"}`` (or an
+``Accept: application/json`` header) for the JSON façade shape
+``{"dates": [epoch_s], "values": [[...]], "metrics": [...],
+"metadata": {...}}``.  ``/influx_binary`` accepts the reference
+client's msgpack tuples (server.py:317-327) via the stdlib-only codec
+in ``sources/msgpack_lite.py``.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import math
+import os
+import zlib
 from typing import Any
 
 from flask import Flask, jsonify, request
 
+from .. import __version__
 from ..auth import NotAuthorizedError
 from ..catalog import ElementAlreadyExistsError, ElementNotFoundError
 from ..engine import TS_COL, OngTsdbSpark
 from ..pandas_edge import flatten_metrics
 from ..sources.influx import parse_lines
 from ..streaming.ingest import upsert_parsed_batch
+
+#: reference HTTP_COMPRESS_THRESHOLD (__init__.py): compress read_df
+#: payloads only past this many date bytes
+HTTP_COMPRESS_THRESHOLD = 1024
+
+
+def _unpack_msgpack(data: bytes):
+    """Prefer a real msgpack wheel when present; fall back to the
+    bundled pure-Python subset codec (public spec)."""
+    try:
+        import msgpack  # type: ignore
+
+        return msgpack.loads(data)
+    except ImportError:
+        from ..sources.msgpack_lite import unpackb
+
+        return unpackb(data)
 
 
 def _token() -> str | None:
@@ -102,11 +126,17 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         return jsonify(exists=engine.exist_sensor(db, sensor))
 
     # -- ingest (S5) --------------------------------------------------
+    def _body_bytes() -> bytes:
+        data = request.get_data()
+        if request.headers.get("Content-Encoding", "") == "gzip":
+            data = zlib.decompress(data)
+        return data
+
     @app.post("/influx", defaults={"fill_value": 0.0})
     @app.post("/influx/<fill_value>")
     def influx(fill_value):
         fv = float("nan") if str(fill_value).lower() == "nan" else float(fill_value)
-        lines = request.get_data(as_text=True).splitlines()
+        lines = _body_bytes().decode().splitlines()
         lines = [l for l in lines if l.strip()]
         if not lines:
             return jsonify(ok=False, error="empty body"), 400
@@ -114,32 +144,98 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         # auth: the upsert enforces per-sensor write keys with the
         # caller's token (reference server.py:214-293 decorator)
         upsert_parsed_batch(engine, parse_lines(ldf), fill_value=fv, key=_token())
-        return jsonify(ok=True, points=len(lines))
+        return jsonify(ok=True, points=len(lines), version=__version__)
+
+    @app.post("/influx_binary", defaults={"fill_value": 0.0})
+    @app.post("/influx_binary/<fill_value>")
+    def influx_binary(fill_value):
+        """The reference client's msgpack write path (S6 — reference
+        server.py:317-327): an array of (db, sensor, metrics, values,
+        ts_ns) tuples.  Grouped per (db, sensor) exactly like
+        write_point_list (server.py:214-293); the engine upsert does
+        the chunking/last-wins work distributedly."""
+        fv = float("nan") if str(fill_value).lower() == "nan" else float(fill_value)
+        try:
+            tuples = _unpack_msgpack(_body_bytes())
+        except Exception as e:  # malformed payload
+            return jsonify(ok=False, error=f"bad msgpack body: {e}"), 400
+        if not isinstance(tuples, list) or not tuples:
+            return jsonify(ok=False, error="empty body"), 400
+        by_target: dict[tuple[str, str], list] = {}
+        try:
+            for db, sensor, columns, values, ts_ns in tuples:
+                pts = by_target.setdefault((db, sensor), [])
+                for m, v in zip(columns, values):
+                    pts.append((m, v, float(ts_ns) / 1e9))
+        except (TypeError, ValueError) as e:
+            return jsonify(ok=False, error=f"bad tuple shape: {e}"), 400
+        for (db, sensor), pts in by_target.items():
+            engine.write_points(db, sensor, pts, fill_value=fv, key=_token())
+        return jsonify(ok=True, points=len(tuples), version=__version__)
 
     # -- reads --------------------------------------------------------
     @app.post("/<db>/<sensor>/read_df")
     def read_df(db: str, sensor: str):
         body = request.get_json(force=True) or {}
-        df = engine.read(
-            db,
-            sensor,
-            start_ts=body.get("start_ts"),
-            end_ts=body.get("end_ts"),
-            metrics=body.get("metrics"),
-            key=_token(),
+        want_json = body.get("format") == "json" or (
+            request.accept_mimetypes["application/json"]
+            > request.accept_mimetypes["application/octet-stream"]
+            and "application/json" in request.headers.get("Accept", "")
         )
         cfg = engine.catalog.get_config(db, sensor)
-        metrics = body.get("metrics") or cfg.metrics
-        flat = flatten_metrics(metrics)
+        if want_json:
+            df = engine.read(
+                db,
+                sensor,
+                start_ts=body.get("start_ts"),
+                end_ts=body.get("end_ts"),
+                metrics=body.get("metrics"),
+                key=_token(),
+            )
+            metrics = body.get("metrics") or cfg.metrics
+            flat = flatten_metrics(metrics)
+            rows = [] if df is None else df.collect()
+            return jsonify(
+                dates=[r[TS_COL] for r in rows],
+                values=[[_clean(r[m]) for m in flat] for r in rows],
+                metrics=metrics,
+                metadata=cfg.metadata,
+            )
+
+        # S9 byte-level wire parity (reference server.py:339-385): the
+        # payload is base64(float64-dates-bytes ++ float32-values-bytes)
+        # keyed by len(dates_bytes); ALL metrics are returned (the
+        # reference client slices columns client-side), zlib-compressed
+        # past the threshold when the caller advertises gzip.
+        import numpy as np
+
+        df = engine.read(
+            db, sensor, start_ts=body.get("start_ts"), end_ts=body.get("end_ts"),
+            key=_token(),
+        )
         if df is None:
-            rows = []
-        else:
-            rows = df.collect()
+            return jsonify(msg="No data", ok=False, version=__version__), 404
+        pdf = df.toPandas()
+        flat = flatten_metrics(cfg.metrics)
+        bytes_dates = pdf[TS_COL].to_numpy(dtype="float64").tobytes()
+        bytes_values = (
+            pdf[flat].to_numpy(dtype="float32").tobytes() if len(pdf) else b""
+        )
+        encoded = base64.encodebytes(bytes_dates + bytes_values)
+        compressed = (
+            len(bytes_dates) > HTTP_COMPRESS_THRESHOLD
+            and request.headers.get("content-encoding", "") == "gzip"
+        )
+        if compressed:
+            encoded = zlib.compress(encoded)
         return jsonify(
-            dates=[r[TS_COL] for r in rows],
-            values=[[_clean(r[m]) for m in flat] for r in rows],
-            metrics=metrics,
-            metadata=cfg.metadata,
+            {
+                str(len(bytes_dates)): encoded.decode("ISO-8859-1"),
+                "metrics": cfg.metrics,
+                "metadata": cfg.metadata,
+                "compressed": compressed,
+                "version": __version__,
+            }
         )
 
     @app.post("/<db>/<sensor>/last_timestamp")
@@ -148,9 +244,31 @@ def create_app(engine: OngTsdbSpark) -> Flask:
             last_timestamp=engine.get_last_timestamp(db, sensor, key=_token())
         )
 
+    # /search is what a pointed Grafana datasource actually calls for
+    # target discovery — an alias of /metrics (reference server.py:479-483)
     @app.post("/<db>/<sensor>/metrics")
+    @app.post("/<db>/<sensor>/search")
     def metrics(db: str, sensor: str):
         return jsonify(engine.get_metrics(db, sensor, key=_token()))
+
+    @app.get("/get_md5/<path:filename>")
+    def get_md5(filename: str):
+        """MD5 of a file under the catalog base dir; path traversal is
+        blocked (reference server.py:486-498)."""
+        from ..auth import Action
+
+        engine._auth(Action.READ, key=_token())
+        base = os.path.realpath(engine.catalog.base_dir)
+        full_path = os.path.realpath(os.path.join(base, filename))
+        if not full_path.startswith(base + os.sep) and full_path != base:
+            return jsonify(msg="Invalid path", ok=False), 400
+        if not os.path.isfile(full_path):
+            return jsonify(msg="File not found", ok=False), 404
+        h = hashlib.md5()
+        with open(full_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return jsonify(md5=h.hexdigest())
 
     @app.post("/<db>/<sensor>/metadata")
     def metadata(db: str, sensor: str):
@@ -186,7 +304,8 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         return jsonify(out)
 
     @app.get("/config_reload")
+    @app.post("/config_reload")  # the reference exposes POST (server.py:112)
     def config_reload():
-        return jsonify(ok=True)  # catalog reads are always fresh (M6)
+        return jsonify(ok=True, version=__version__)  # catalog always fresh (M6)
 
     return app

@@ -1,0 +1,246 @@
+"""Minimal MessagePack codec (pure Python, zero dependencies).
+
+The reference's binary ingest route decodes a msgpack array of
+``(db, sensor, metrics, values, ts_ns)`` tuples (reference
+``src/ong_tsdb/server.py:317-327``, client ``client.py:357-366``).
+The container has no ``msgpack`` wheel, so this module implements the
+needed subset of the public MessagePack spec
+(https://github.com/msgpack/msgpack/blob/master/spec.md): nil, bool,
+all int/uint widths, float32/64, str, bin, array, map.  ``packb``
+exists so tests (and the compat client) can produce byte-identical
+payloads to the reference client; ``unpackb`` is what the server
+route uses.  Ext types are not needed by the wire shape and raise.
+
+If a real ``msgpack`` wheel is importable it is preferred by callers
+(see service/server.py) — this is the fallback, not a fork.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+
+class MsgpackError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------------------
+# encode
+# ----------------------------------------------------------------------
+def packb(obj: Any) -> bytes:
+    out = bytearray()
+    _pack(obj, out)
+    return bytes(out)
+
+
+def _pack(obj: Any, out: bytearray) -> None:
+    if obj is None:
+        out.append(0xC0)
+    elif obj is True:
+        out.append(0xC3)
+    elif obj is False:
+        out.append(0xC2)
+    elif isinstance(obj, int):
+        _pack_int(obj, out)
+    elif isinstance(obj, float):
+        out.append(0xCB)
+        out += struct.pack(">d", obj)
+    elif isinstance(obj, str):
+        b = obj.encode("utf-8")
+        n = len(b)
+        if n < 32:
+            out.append(0xA0 | n)
+        elif n < 2**8:
+            out += struct.pack(">BB", 0xD9, n)
+        elif n < 2**16:
+            out += struct.pack(">BH", 0xDA, n)
+        else:
+            out += struct.pack(">BI", 0xDB, n)
+        out += b
+    elif isinstance(obj, (bytes, bytearray)):
+        n = len(obj)
+        if n < 2**8:
+            out += struct.pack(">BB", 0xC4, n)
+        elif n < 2**16:
+            out += struct.pack(">BH", 0xC5, n)
+        else:
+            out += struct.pack(">BI", 0xC6, n)
+        out += obj
+    elif isinstance(obj, (list, tuple)):
+        n = len(obj)
+        if n < 16:
+            out.append(0x90 | n)
+        elif n < 2**16:
+            out += struct.pack(">BH", 0xDC, n)
+        else:
+            out += struct.pack(">BI", 0xDD, n)
+        for item in obj:
+            _pack(item, out)
+    elif isinstance(obj, dict):
+        n = len(obj)
+        if n < 16:
+            out.append(0x80 | n)
+        elif n < 2**16:
+            out += struct.pack(">BH", 0xDE, n)
+        else:
+            out += struct.pack(">BI", 0xDF, n)
+        for k, v in obj.items():
+            _pack(k, out)
+            _pack(v, out)
+    else:
+        # numpy scalars and the like: try the numeric protocols
+        try:
+            import numbers
+
+            if isinstance(obj, numbers.Integral):
+                _pack_int(int(obj), out)
+                return
+            if isinstance(obj, numbers.Real):
+                out.append(0xCB)
+                out += struct.pack(">d", float(obj))
+                return
+        except Exception:
+            pass
+        raise MsgpackError(f"cannot pack type {type(obj).__name__}")
+
+
+def _pack_int(v: int, out: bytearray) -> None:
+    if 0 <= v < 0x80:
+        out.append(v)
+    elif -32 <= v < 0:
+        out.append(v & 0xFF)
+    elif 0 <= v < 2**8:
+        out += struct.pack(">BB", 0xCC, v)
+    elif 0 <= v < 2**16:
+        out += struct.pack(">BH", 0xCD, v)
+    elif 0 <= v < 2**32:
+        out += struct.pack(">BI", 0xCE, v)
+    elif 0 <= v < 2**64:
+        out += struct.pack(">BQ", 0xCF, v)
+    elif -(2**7) <= v < 0:
+        out += struct.pack(">Bb", 0xD0, v)
+    elif -(2**15) <= v < 0:
+        out += struct.pack(">Bh", 0xD1, v)
+    elif -(2**31) <= v < 0:
+        out += struct.pack(">Bi", 0xD2, v)
+    elif -(2**63) <= v < 0:
+        out += struct.pack(">Bq", 0xD3, v)
+    else:
+        raise MsgpackError(f"int out of 64-bit range: {v}")
+
+
+# ----------------------------------------------------------------------
+# decode
+# ----------------------------------------------------------------------
+def unpackb(data: bytes) -> Any:
+    obj, pos = _unpack(memoryview(data), 0)
+    if pos != len(data):
+        raise MsgpackError(f"trailing bytes after msgpack object ({len(data) - pos})")
+    return obj
+
+
+def _unpack(mv: memoryview, pos: int) -> tuple[Any, int]:
+    if pos >= len(mv):
+        raise MsgpackError("truncated msgpack data")
+    b = mv[pos]
+    pos += 1
+    if b < 0x80:  # positive fixint
+        return b, pos
+    if b >= 0xE0:  # negative fixint
+        return b - 0x100, pos
+    if 0x80 <= b <= 0x8F:  # fixmap
+        return _unpack_map(mv, pos, b & 0x0F)
+    if 0x90 <= b <= 0x9F:  # fixarray
+        return _unpack_array(mv, pos, b & 0x0F)
+    if 0xA0 <= b <= 0xBF:  # fixstr
+        return _unpack_str(mv, pos, b & 0x1F)
+    if b == 0xC0:
+        return None, pos
+    if b == 0xC2:
+        return False, pos
+    if b == 0xC3:
+        return True, pos
+    if b == 0xC4:
+        (n,) = struct.unpack_from(">B", mv, pos)
+        return bytes(mv[pos + 1 : pos + 1 + n]), pos + 1 + n
+    if b == 0xC5:
+        (n,) = struct.unpack_from(">H", mv, pos)
+        return bytes(mv[pos + 2 : pos + 2 + n]), pos + 2 + n
+    if b == 0xC6:
+        (n,) = struct.unpack_from(">I", mv, pos)
+        return bytes(mv[pos + 4 : pos + 4 + n]), pos + 4 + n
+    if b == 0xCA:
+        (v,) = struct.unpack_from(">f", mv, pos)
+        return v, pos + 4
+    if b == 0xCB:
+        (v,) = struct.unpack_from(">d", mv, pos)
+        return v, pos + 8
+    if b == 0xCC:
+        return mv[pos], pos + 1
+    if b == 0xCD:
+        (v,) = struct.unpack_from(">H", mv, pos)
+        return v, pos + 2
+    if b == 0xCE:
+        (v,) = struct.unpack_from(">I", mv, pos)
+        return v, pos + 4
+    if b == 0xCF:
+        (v,) = struct.unpack_from(">Q", mv, pos)
+        return v, pos + 8
+    if b == 0xD0:
+        (v,) = struct.unpack_from(">b", mv, pos)
+        return v, pos + 1
+    if b == 0xD1:
+        (v,) = struct.unpack_from(">h", mv, pos)
+        return v, pos + 2
+    if b == 0xD2:
+        (v,) = struct.unpack_from(">i", mv, pos)
+        return v, pos + 4
+    if b == 0xD3:
+        (v,) = struct.unpack_from(">q", mv, pos)
+        return v, pos + 8
+    if b == 0xD9:
+        (n,) = struct.unpack_from(">B", mv, pos)
+        return _unpack_str(mv, pos + 1, n)
+    if b == 0xDA:
+        (n,) = struct.unpack_from(">H", mv, pos)
+        return _unpack_str(mv, pos + 2, n)
+    if b == 0xDB:
+        (n,) = struct.unpack_from(">I", mv, pos)
+        return _unpack_str(mv, pos + 4, n)
+    if b == 0xDC:
+        (n,) = struct.unpack_from(">H", mv, pos)
+        return _unpack_array(mv, pos + 2, n)
+    if b == 0xDD:
+        (n,) = struct.unpack_from(">I", mv, pos)
+        return _unpack_array(mv, pos + 4, n)
+    if b == 0xDE:
+        (n,) = struct.unpack_from(">H", mv, pos)
+        return _unpack_map(mv, pos + 2, n)
+    if b == 0xDF:
+        (n,) = struct.unpack_from(">I", mv, pos)
+        return _unpack_map(mv, pos + 4, n)
+    raise MsgpackError(f"unsupported msgpack type byte 0x{b:02x}")
+
+
+def _unpack_str(mv: memoryview, pos: int, n: int) -> tuple[str, int]:
+    if pos + n > len(mv):
+        raise MsgpackError("truncated string")
+    return bytes(mv[pos : pos + n]).decode("utf-8"), pos + n
+
+
+def _unpack_array(mv: memoryview, pos: int, n: int) -> tuple[list, int]:
+    out = []
+    for _ in range(n):
+        item, pos = _unpack(mv, pos)
+        out.append(item)
+    return out, pos
+
+
+def _unpack_map(mv: memoryview, pos: int, n: int) -> tuple[dict, int]:
+    out = {}
+    for _ in range(n):
+        k, pos = _unpack(mv, pos)
+        v, pos = _unpack(mv, pos)
+        out[k] = v
+    return out, pos

@@ -68,7 +68,9 @@ def test_influx_write_then_read_df(client):
     assert r.status_code == 200 and r.get_json()["points"] == 2
     assert client.post("/iot/power/read_df", json={"start_ts": t0}).status_code == 401
     r = client.post(
-        "/iot/power/read_df", json={"start_ts": t0}, headers=_auth("admintoken")
+        "/iot/power/read_df",
+        json={"start_ts": t0, "format": "json"},
+        headers=_auth("admintoken"),
     )
     body = r.get_json()
     assert body["dates"] == [float(t0), float(t0 + 1)]
@@ -87,6 +89,107 @@ def test_influx_write_then_read_df(client):
         "active",
         "reactive",
     ]
+
+
+def test_msgpack_lite_roundtrip():
+    from ong_tsdb_spark.sources.msgpack_lite import packb, unpackb
+
+    payload = [
+        ["iot", "power", ["active", "reactive"], [1.5, -2.5], 1672617600000000000],
+        ["iot", "power", ["active"], [3.5], 1672617601 * 10**9],
+    ]
+    assert unpackb(packb(payload)) == payload
+    # scalar coverage: fixint/negative/wide ints, floats, strs, nil, bool
+    vals = [0, 1, 127, 128, 255, 256, 65535, 65536, 2**40, -1, -32, -33,
+            -129, -65536, -(2**40), 1.25, "x" * 40, None, True, False,
+            b"\x00\xff", {"k": [1, 2]}]
+    assert unpackb(packb(vals)) == vals
+
+
+def test_influx_binary_route(client):
+    """S6: the reference client's msgpack tuple write
+    (reference server.py:317-327, tests/test_write_point_list.py)."""
+    from ong_tsdb_spark.sources.msgpack_lite import packb
+
+    hdr = _auth("admintoken")
+    client.post("/db/iot", headers=hdr)
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active", "reactive"]},
+        headers=hdr,
+    )
+    t0 = 1672617600
+    body = packb(
+        [
+            ["iot", "power", ["active", "reactive"], [1.5, 2.5], t0 * 10**9],
+            ["iot", "power", ["active"], [3.5], (t0 + 1) * 10**9],
+        ]
+    )
+    assert client.post("/influx_binary", data=body).status_code == 401  # no token
+    r = client.post("/influx_binary", data=body, headers=hdr)
+    assert r.status_code == 200 and r.get_json()["points"] == 2
+    r = client.post(
+        "/iot/power/read_df", json={"start_ts": t0, "format": "json"}, headers=hdr
+    )
+    assert r.get_json()["values"] == [[1.5, 2.5], [3.5, None]]
+    # malformed body -> 400
+    assert client.post("/influx_binary", data=b"\xc1", headers=hdr).status_code == 400
+
+
+def test_read_df_binary_wire(client):
+    """S9: decode the default read_df payload exactly as the
+    reference client does (client.py:540-567)."""
+    import numpy as np
+
+    hdr = _auth("admintoken")
+    client.post("/db/iot", headers=hdr)
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active", "reactive"]},
+        headers=hdr,
+    )
+    t0 = 1672617600
+    lines = f"iot,key=power active=1.5,reactive=2.5 {t0 * 10**9}"
+    client.post("/influx", data=lines, headers=hdr)
+    js = client.post("/iot/power/read_df", json={"start_ts": t0}, headers=hdr).get_json()
+    assert js["version"]
+    metrics = js.pop("metrics")
+    js.pop("metadata")
+    js.pop("version")
+    assert js.pop("compressed") is False
+    dates_len = int(next(iter(js.keys())))
+    bts = base64.decodebytes(js[str(dates_len)].encode("ISO-8859-1"))
+    dates = np.frombuffer(bts[:dates_len])
+    values = np.frombuffer(bts[dates_len:], dtype=np.float32)
+    values.shape = len(dates), len(metrics)
+    assert list(dates) == [float(t0)]
+    assert values[0, 0] == np.float32(1.5) and values[0, 1] == np.float32(2.5)
+    # empty sensor -> 404 like the reference
+    client.post(
+        "/db/iot/sensor/empty", json={"period": "1s", "metrics": ["v"]}, headers=hdr
+    )
+    assert client.post("/iot/empty/read_df", json={"start_ts": 0}, headers=hdr).status_code == 404
+
+
+def test_search_and_get_md5_routes(client, tmp_path):
+    hdr = _auth("admintoken")
+    client.post("/db/iot", headers=hdr)
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active"]},
+        headers=hdr,
+    )
+    # grafana target discovery alias
+    assert client.post("/iot/power/search", headers=hdr).get_json() == ["active"]
+    # md5 of a real file under the base dir (the sensor config JSON)
+    r = client.get("/get_md5/iot/power/_sensor.json", headers=hdr)
+    assert r.status_code == 200 and len(r.get_json()["md5"]) == 32
+    # unauthenticated -> 401; missing file -> 404
+    assert client.get("/get_md5/iot/power/_sensor.json").status_code == 401
+    assert client.get("/get_md5/iot/power/nope.bin", headers=hdr).status_code == 404
+    # path traversal is blocked
+    assert client.get("/get_md5/../../etc/passwd", headers=hdr).status_code in (400, 404)
+    assert client.get("/get_md5/..%2f..%2fetc%2fpasswd", headers=hdr).status_code in (400, 404)
 
 
 def test_grafana_query_route(client):
