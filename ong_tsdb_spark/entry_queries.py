@@ -557,10 +557,18 @@ _SHINGLE_CTE = """
     "dedup_ngram_jaccard",
     _SHINGLE_CTE
     + """
-    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    , freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY shingle),
+    -- adaptive hot-shingle cap, exact integer arithmetic: the same
+    -- max(64, ceil(32 * mean_freq)) rule as dedup.auto_shingle_cap
+    cap AS (SELECT greatest(64, (32 * sum(f) + count(*) - 1) // count(*)) AS c
+            FROM freq),
+    kept AS (SELECT sh.doc_id, sh.shingle
+             FROM sh JOIN freq USING (shingle) CROSS JOIN cap
+             WHERE freq.f <= cap.c),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT d1, d2, i::DOUBLE / (s1.n + s2.n - i)::DOUBLE AS jaccard
@@ -569,8 +577,12 @@ _SHINGLE_CTE = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index Jaccard with the ADAPTIVE hot-shingle cap on (a
+    uniform corpus sits below the cap, so results equal the uncapped
+    run; a skewed corpus gets its stopword-like mega-shingles dropped
+    before the pair join — ROADMAP #4)."""
     docs = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq="auto")
 
 
 @register(

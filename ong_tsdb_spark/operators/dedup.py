@@ -143,18 +143,48 @@ def shingle_table_with_size(
 # ----------------------------------------------------------------------
 # n-gram Jaccard via inverted-index join
 # ----------------------------------------------------------------------
+#: auto-cap rule: cap = max(AUTO_CAP_FLOOR, ceil(AUTO_CAP_MULT * mean
+#: shingle frequency)), computed in EXACT integer arithmetic so any
+#: engine reproduces the same cap from the same corpus.
+AUTO_CAP_FLOOR = 64
+AUTO_CAP_MULT = 32
+
+
+def auto_shingle_cap(sh: DataFrame) -> int:
+    """Choose the hot-shingle cap from the corpus frequency histogram:
+    one tiny aggregate (two bigints to the driver).  A uniform corpus
+    sits far below the cap (results identical to uncapped); a skewed
+    corpus has its stopword-like mega-shingles dropped, bounding the
+    inverted-index join blowup by construction."""
+    row = sh.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("shingle").alias("distinct"),
+    ).first()
+    total, distinct = row["total"], row["distinct"]
+    if not distinct:
+        return AUTO_CAP_FLOOR
+    # exact ceil(AUTO_CAP_MULT * total / distinct) in integers
+    return max(AUTO_CAP_FLOOR, -(-AUTO_CAP_MULT * total // distinct))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """All pairs (d1 < d2) with shingle-set Jaccard >= threshold.
     Returns (d1, d2, jaccard double — exact int division, so
-    bit-identical across engines)."""
+    bit-identical across engines).
+
+    ``max_shingle_freq="auto"`` (the default) derives the hot-shingle
+    cap from the corpus itself via :func:`auto_shingle_cap`; pass an
+    int for a fixed cap or ``None`` to disable capping entirely."""
     sh = shingle_table_with_size(df, text_col, id_col, n)
+    if max_shingle_freq == "auto":
+        max_shingle_freq = auto_shingle_cap(sh)
     if max_shingle_freq is not None:
         # NOTE: capping drops hot (stopword-like) shingles from both
         # the intersection AND the sizes, so Jaccard stays consistent;

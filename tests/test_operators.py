@@ -440,6 +440,41 @@ def test_ivf_kmeans_and_search(spark):
     assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
 
 
+def test_adaptive_shingle_cap_skewed_corpus(spark):
+    """ROADMAP #4: on a skewed corpus (one 3-gram shared by every doc)
+    the auto cap drops the mega-shingle before the pair join — pair
+    candidates collapse from C(n,2) to ~0.  On a corpus with no hot
+    shingle the auto cap changes nothing."""
+    from ong_tsdb_spark.operators import dedup
+
+    n_docs = 100
+    skewed = spark.createDataFrame(
+        [(i, f"common phrase here u{i}a u{i}b u{i}c") for i in range(n_docs)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.ngram_jaccard_pairs(
+        skewed, threshold=0.0, max_shingle_freq=None
+    ).count()
+    auto = dedup.ngram_jaccard_pairs(
+        skewed, threshold=0.0, max_shingle_freq="auto"
+    ).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2  # quadratic blowup
+    assert auto == 0  # hot shingle dropped, no candidates at all
+
+    uniform = spark.createDataFrame(
+        [(i, f"w{i}x w{i}y w{i}z w{i}q w{(i+1) % 20}x shared{i % 2}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plain = dedup.ngram_jaccard_pairs(
+        uniform, threshold=0.0, max_shingle_freq=None
+    ).collect()
+    adaptive = dedup.ngram_jaccard_pairs(
+        uniform, threshold=0.0, max_shingle_freq="auto"
+    ).collect()
+    key = lambda r: (r["d1"], r["d2"], r["jaccard"])
+    assert sorted(map(key, adaptive)) == sorted(map(key, plain))
+
+
 def test_ivf_index_persistence(spark, tmp_path):
     """ROADMAP #3: persisted index (centroids sidecar + ivf_cluster
     partitioning) returns the same results as in-memory ivf_topk, and
