@@ -65,10 +65,19 @@ class OngTsdbSpark:
     (reference _check_auth, database.py:170-187).
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str, admin_key: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        admin_key: str | None = None,
+        lock_timeout: float = 60.0,
+        lock_stale_after: float = 300.0,
+    ):
         self.spark = spark
         self.catalog = Catalog(base_dir)
         self.admin_key = admin_key
+        self.lock_timeout = lock_timeout
+        self.lock_stale_after = lock_stale_after
         self._locks: dict[tuple[str, str], threading.Lock] = {}
         self._locks_guard = threading.Lock()
 
@@ -178,6 +187,27 @@ class OngTsdbSpark:
         with self._locks_guard:
             return self._locks.setdefault((db, sensor), threading.Lock())
 
+    def _file_lock(self, db: str, sensor: str):
+        """Cross-process writer lock + version protocol (ROADMAP #2):
+        O_EXCL lockfile in the sensor dir, stale-broken after
+        ``lock_stale_after`` — serializes the read-merge-overwrite
+        cycle between separate driver processes, which the in-process
+        lock above cannot see."""
+        from .locks import SensorFileLock
+
+        return SensorFileLock(
+            self.catalog.sensor_path(db, sensor),
+            timeout=self.lock_timeout,
+            stale_after=self.lock_stale_after,
+        )
+
+    def get_write_version(self, db: str, sensor: str) -> int:
+        """Monotonic per-sensor write version (bumped on every commit)
+        — a cheap change cursor for cross-process cache invalidation."""
+        from .locks import read_version
+
+        return read_version(self.catalog.sensor_path(db, sensor))
+
     def write_df(
         self,
         db: str,
@@ -272,8 +302,8 @@ class OngTsdbSpark:
         from .auth import Action
 
         self._auth(Action.WRITE, db=db, sensor=sensor, key=key)
-        cfg = self.catalog.get_config(db, sensor)
-        grid = cfg.grid
+        if not self.catalog.exist_sensor(db, sensor):
+            self.catalog.get_config(db, sensor)  # raises ElementNotFoundError
 
         if TS_COL not in sdf.columns:
             if "ts" not in sdf.columns:
@@ -281,10 +311,14 @@ class OngTsdbSpark:
             sdf = sdf.withColumn(TS_COL, F.col("ts").cast("double")).drop("ts")
 
         in_metrics = [c for c in sdf.columns if c != TS_COL]
-        known = flatten_metrics(cfg.metrics)
 
         lock = self._sensor_lock(db, sensor)
-        with lock:
+        with lock, self._file_lock(db, sensor):
+            # config is (re-)read INSIDE the locks: another process may
+            # have grown the schema since our last look
+            cfg = self.catalog.get_config(db, sensor)
+            grid = cfg.grid
+            known = flatten_metrics(cfg.metrics)
             # M2: append-only schema growth + per-metric fill bookkeeping
             new_metrics = [m for m in in_metrics if m not in known]
             if new_metrics:
@@ -359,6 +393,10 @@ class OngTsdbSpark:
                 .option("compression", "zstd")
                 .parquet(self.catalog.data_path(db, sensor))
             )
+
+            from .locks import bump_version
+
+            bump_version(self.catalog.sensor_path(db, sensor))
 
     def _merge(
         self, old: DataFrame, new: DataFrame, known: list[str], cfg: SensorConfig

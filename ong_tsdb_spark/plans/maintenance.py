@@ -89,7 +89,7 @@ def apply_retention(
     if not os.path.isdir(path):
         return 0
     dropped = 0
-    with engine._sensor_lock(db, sensor):
+    with engine._sensor_lock(db, sensor), engine._file_lock(db, sensor):
         for entry in os.listdir(path):
             if not entry.startswith(f"{PART_COL}="):
                 continue
@@ -100,6 +100,10 @@ def apply_retention(
             if part < cutoff_chunk:
                 shutil.rmtree(os.path.join(path, entry))
                 dropped += 1
+        if dropped:
+            from ..locks import bump_version
+
+            bump_version(engine.catalog.sensor_path(db, sensor))
     return dropped
 
 
@@ -116,24 +120,28 @@ def compact_sensor(
     ``keep_recent_chunks`` leaves the hottest partitions untouched
     (the reference's uncompressed_chunks policy, chunker.py:65-72).
     Returns the number of partitions rewritten."""
-    cfg = engine.catalog.get_config(db, sensor)
-    df = engine._read_raw(db, sensor, cfg)
-    if df is None:
-        return 0
-    parts = sorted(r[0] for r in df.select(PART_COL).distinct().collect())
-    cold = parts[: len(parts) - keep_recent_chunks] if keep_recent_chunks else parts
-    if not cold:
-        return 0
-    known = flatten_metrics(cfg.metrics)
-    cols = [TS_COL] + [c for c in known if c in df.columns] + [PART_COL]
-    cold_df = df.filter(F.col(PART_COL).isin(cold)).select(*cols)
-    engine.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        cold_df.repartition(PART_COL)
-        .sortWithinPartitions(TS_COL)
-        .write.mode("overwrite")
-        .partitionBy(PART_COL)
-        .option("compression", codec)
-        .parquet(engine.catalog.data_path(db, sensor))
-    )
-    return len(cold)
+    with engine._sensor_lock(db, sensor), engine._file_lock(db, sensor):
+        cfg = engine.catalog.get_config(db, sensor)
+        df = engine._read_raw(db, sensor, cfg)
+        if df is None:
+            return 0
+        parts = sorted(r[0] for r in df.select(PART_COL).distinct().collect())
+        cold = parts[: len(parts) - keep_recent_chunks] if keep_recent_chunks else parts
+        if not cold:
+            return 0
+        known = flatten_metrics(cfg.metrics)
+        cols = [TS_COL] + [c for c in known if c in df.columns] + [PART_COL]
+        cold_df = df.filter(F.col(PART_COL).isin(cold)).select(*cols)
+        (
+            cold_df.repartition(PART_COL)
+            .sortWithinPartitions(TS_COL)
+            .write.mode("overwrite")
+            .partitionBy(PART_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", codec)
+            .parquet(engine.catalog.data_path(db, sensor))
+        )
+        from ..locks import bump_version
+
+        bump_version(engine.catalog.sensor_path(db, sensor))
+        return len(cold)

@@ -62,6 +62,105 @@ def test_concurrent_writers_with_schema_extension(eng):
 
 
 @pytest.mark.slow
+def _locked_increment_worker(sensor_dir: str, counter: str, n_iters: int) -> None:
+    """Module-level so multiprocessing 'spawn' can pickle it."""
+    from ong_tsdb_spark.locks import SensorFileLock
+
+    for _ in range(n_iters):
+        with SensorFileLock(sensor_dir, timeout=30.0):
+            with open(counter) as f:
+                v = int(f.read())
+            with open(counter, "w") as f:
+                f.write(str(v + 1))
+
+
+def test_file_lock_cross_process_mutual_exclusion(tmp_path):
+    """ROADMAP #2 lock protocol, proven across real OS processes: N
+    processes do lock-protected read-modify-write on one counter file;
+    every increment must survive (lost updates would show a lower
+    final count).  No Spark involved — this pins the O_EXCL mutex."""
+    import multiprocessing as mp
+    import os
+
+    sensor_dir = str(tmp_path / "sensor")
+    counter = str(tmp_path / "counter.txt")
+    os.makedirs(sensor_dir)
+    with open(counter, "w") as f:
+        f.write("0")
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_locked_increment_worker, args=(sensor_dir, counter, 25))
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+    assert all(p.exitcode == 0 for p in procs)
+    with open(counter) as f:
+        assert int(f.read()) == 100
+
+
+def test_stale_lock_is_broken(tmp_path):
+    import os
+    import time
+
+    from ong_tsdb_spark.locks import SensorFileLock, SensorLockTimeout
+
+    sensor_dir = str(tmp_path / "s")
+    os.makedirs(sensor_dir)
+    # a crashed writer left a lock; age it past stale_after
+    stale = SensorFileLock(sensor_dir)
+    stale.acquire()
+    old = time.time() - 1000
+    os.utime(stale.path, (old, old))
+    lk = SensorFileLock(sensor_dir, timeout=5.0, stale_after=300.0)
+    lk.acquire()  # breaks the stale lock instead of timing out
+    lk.release()
+    # a FRESH foreign lock is respected -> timeout
+    fresh = SensorFileLock(sensor_dir)
+    fresh.acquire()
+    with pytest.raises(SensorLockTimeout):
+        SensorFileLock(sensor_dir, timeout=0.3).acquire()
+    fresh.release()
+
+
+def test_two_engine_instances_serialize_writes(spark, tmp_path):
+    """Two engine INSTANCES (separate thread-lock registries — the
+    in-process lock cannot serialize them, exactly like two driver
+    processes) upsert interleaved batches to one sensor.  The file
+    lock must serialize the read-merge-overwrite cycles: every row
+    from both writers survives, and the write version counts every
+    commit."""
+    base_dir = str(tmp_path / "shared")
+    e1 = OngTsdbSpark(spark, base_dir)
+    e2 = OngTsdbSpark(spark, base_dir)
+    e1.create_db("d")
+    e1.create_sensor("d", "s", "1s", ["v"])
+    base = 1672617600
+    errors: list[Exception] = []
+
+    def writer(engine: OngTsdbSpark, offset: int) -> None:
+        try:
+            for batch in range(4):
+                pts = [
+                    ("v", float(offset + batch * 10 + i), float(base + offset + batch * 10 + i))
+                    for i in range(5)
+                ]
+                engine.write_points("d", "s", pts)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(e1, 0))
+    t2 = threading.Thread(target=writer, args=(e2, 1000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    out = e1.read_pandas("d", "s")
+    assert len(out) == 40  # 2 writers x 4 batches x 5 points, none lost
+    assert e1.get_write_version("d", "s") == 8  # one bump per commit
+
+
 def test_10k_point_round_trip(eng):
     # the reference's largest workload: 10k points, 10-min spacing,
     # 1 s sensor -> ~366 chunks (tests/test_client.py:148-153)
