@@ -527,6 +527,60 @@ class OngTsdbSpark:
         pdf.columns = build_column_index(sel_metrics, level_names)
         return pdf
 
+    def _pick_rollup_for(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float,
+        end_ts: float,
+        spread: int,
+        metrics: list | None,
+    ) -> str | None:
+        """Choose a materialized 'first' rollup that can serve a
+        maxDataPoints read EXACTLY (ROADMAP #7).  Exactness requires
+        every thinning bucket to be a union of complete rollup cells:
+        the rollup tick must divide the spread AND the bucket phase
+        (start_ts), and the rollup must be refreshed through the
+        requested range.  Coarsest qualifying rollup wins (fewest rows
+        scanned).  Returns None when only the raw scan is exact."""
+        try:
+            sensors = self.catalog.get_sensors(db)
+        except Exception:
+            return None
+        want = None if metrics is None else set(flatten_metrics(metrics))
+        best: tuple[float, str] | None = None
+        for cand in sensors:
+            if cand == sensor:
+                continue
+            try:
+                cfg = self.catalog.get_config(db, cand)
+            except Exception:
+                continue
+            md = cfg.metadata
+            if md.get("rollup_of") != sensor or md.get("rollup_agg") != "first":
+                continue
+            tick = cfg.grid.tick_seconds
+            if tick != int(tick) or tick <= 0:
+                continue
+            tick = int(tick)
+            if spread % tick or int(start_ts) % tick or start_ts != int(start_ts):
+                continue
+            if want is not None and not want <= set(flatten_metrics(cfg.metrics)):
+                continue
+            # freshness: the rollup must cover everything raw has in
+            # range (internal lookups — the caller's READ auth on the
+            # raw sensor was already checked by read_downsampled)
+            raw_last = self.get_last_timestamp(db, sensor, key=self.admin_key)
+            roll_last = self.get_last_timestamp(db, cand, key=self.admin_key)
+            if raw_last is None:
+                continue
+            horizon = min(float(end_ts), raw_last)
+            if roll_last is None or roll_last < cfg.grid.snap(horizon):
+                continue
+            if best is None or tick > best[0]:
+                best = (tick, cand)
+        return best[1] if best else None
+
     def read_downsampled(
         self,
         db: str,
@@ -536,14 +590,32 @@ class OngTsdbSpark:
         max_datapoints: int,
         metrics: list | None = None,
         key: str | None = None,
+        use_rollups: bool = True,
     ) -> DataFrame | None:
         """W1 — grafana-style maxDataPoints read: first stored point
         per thinning bucket (server.py:412-475).  Runs as a pruned
         scan + one window pass; output size is bounded by
-        max_datapoints regardless of the range size."""
+        max_datapoints regardless of the range size.
+
+        When a materialized 'first' rollup (plans/rollup.py) can serve
+        the request EXACTLY (tick divides the spread, aligned phase,
+        refreshed through the range), the scan reads the rollup sensor
+        instead of raw — O(range/tick) rows instead of O(range/grid)."""
+        from .auth import Action
         from .operators.downsample import downsample_max_datapoints
 
-        df = self.read(db, sensor, start_ts, end_ts, metrics, key=key)
+        # auth is always against the RAW sensor; a qualifying rollup is
+        # derived data of that same sensor (its own keys don't apply)
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
+        source = sensor
+        if use_rollups:
+            spread = max(int((int(end_ts) - int(start_ts) + 1) / max_datapoints), 1)
+            picked = self._pick_rollup_for(
+                db, sensor, start_ts, end_ts, spread, metrics
+            )
+            if picked is not None:
+                source = picked
+        df = self.read(db, source, start_ts, end_ts, metrics, key=self.admin_key)
         if df is None:
             return None
         value_cols = [c for c in df.columns if c != TS_COL]

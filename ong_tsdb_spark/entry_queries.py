@@ -1638,6 +1638,43 @@ def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_cumulative_sum_chunked",
+    """
+    SELECT event_type, us AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY event_type ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    """,
+)
+def ts_cumulative_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE running total: two-pass chunked prefix sum
+    (operators/prefix.py) with weekly chunks — parallelism is
+    event_types x weeks instead of one task per event_type, and the
+    decimal arithmetic makes it bit-identical to the single-window
+    plan (the oracle here is literally ts_cumulative_sum's SQL)."""
+    from .operators.prefix import chunked_running_sum
+
+    week_us = 7 * 86400 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", _us("ts").alias("us"), "event_id", "value"
+    )
+    out = chunked_running_sum(
+        ev,
+        key_cols=["event_type"],
+        order_cols=["us", "event_id"],
+        value=F.col("value").cast("decimal(18,2)"),
+        chunk=F.floor(F.col("us") / F.lit(week_us)),
+        out_col="__rt",
+    )
+    return out.select(
+        "event_type",
+        F.col("us").alias("ts_us"),
+        F.col("__rt").cast("double").alias("running_total"),
+    )
+
+
+@register(
     "doc_stats_by_lang",
     """
     SELECT lang, source, count(*) AS n_docs,
@@ -1741,7 +1778,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     media = multimodal.fake_media_table(docs, media_type="image")
-    feats = multimodal.extract_features(media)
+    # decoders="stub" pins determinism for the oracle: the payloads
+    # here are text bytes, not real media, so a real decoder must not
+    # be attempted even when the libraries happen to be installed
+    feats = multimodal.extract_features(media, decoders="stub")
     return feats.select("item_id", "media_type", "n_bytes", "sha256")
 
 

@@ -3,12 +3,18 @@ processed with Arrow-batched ``mapInPandas``.
 
 Design for 100 TB: the binary column never leaves the executor —
 decode/feature-extract runs per Arrow batch next to the Parquet scan;
-only small typed features shuffle.  The decode step itself is STUBBED
-(image/audio libraries are not in this container): ``decode_stub``
-computes deterministic fake features from the raw bytes so the
-Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested end-to-end; swap ``_decode_one`` for a real decoder (PIL,
-soundfile, av) in production.
+only small typed features shuffle.
+
+Decoders: REAL decoders (PIL for images, soundfile for audio, av for
+video) are used when the libraries are importable on the executors
+(``decoders="auto"``, the default tries them per media type); in
+environments without them — this container ships none — the decode
+step falls back to a clearly-deterministic STUB that derives fake
+(width, height, duration) from the payload digest, so the Spark-side
+plumbing — schema, batch shape, partitioning — stays real and tested
+end-to-end.  ``decoders="stub"`` forces determinism (the
+oracle-checked registry query uses it); ``decoders="real"`` raises if
+a library is missing instead of faking.
 """
 
 from __future__ import annotations
@@ -53,28 +59,64 @@ def extract_features(
     id_col: str = "item_id",
     payload_col: str = "payload",
     type_col: str = "media_type",
+    decoders: str = "auto",
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.  The
     generator-of-DataFrames shape keeps peak memory to one Arrow batch
-    regardless of partition size."""
+    regardless of partition size.
+
+    ``decoders``: "auto" (real library per media type when importable
+    on the executor, stub otherwise), "stub" (always deterministic),
+    or "real" (raise NotImplementedError when a library is missing)."""
+    if decoders not in ("auto", "stub", "real"):
+        raise ValueError(f"decoders must be auto|stub|real, got {decoders!r}")
 
     # NOTE: the batch function must be fully self-contained — any
     # reference to a module-level name would be pickled *by reference*
     # and executor Python workers would need ong_tsdb_spark importable
     # (they inherit PYTHONPATH, not the driver's sys.path mutations).
+    # Third-party libs (PIL/soundfile/av) import fine by name when
+    # installed on the executors.
     col_names = [f.name for f in FEATURE_SCHEMA.fields]
+    mode = decoders
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
 
+        def _try_import(name: str):
+            if mode == "stub":
+                return None
+            try:
+                return __import__(name, fromlist=["_"])
+            except ImportError:
+                if mode == "real":
+                    raise NotImplementedError(
+                        f"decoders='real' but {name!r} is not installed"
+                    ) from None
+                return None
+
+        pil_image = _try_import("PIL.Image")
+        soundfile = _try_import("soundfile")
+        av = _try_import("av")
+
         def decode(payload: bytes, media_type: str) -> tuple[int, int, float]:
-            # inline twin of _decode_one (keep in sync) — a closure
-            # cell pointing at the module function would pickle by
-            # reference and require the package on executor workers
             if media_type not in ("image", "audio", "video"):
                 raise NotImplementedError(f"unknown media_type {media_type!r}")
+            if media_type == "image" and pil_image is not None:
+                with pil_image.open(_io.BytesIO(payload)) as im:
+                    return im.width, im.height, 0.0
+            if media_type == "audio" and soundfile is not None:
+                info = soundfile.info(_io.BytesIO(payload))
+                return 0, 0, float(info.frames) / float(info.samplerate or 1)
+            if media_type == "video" and av is not None:
+                with av.open(_io.BytesIO(payload)) as container:
+                    stream = container.streams.video[0]
+                    dur = float(container.duration or 0) / 1_000_000.0
+                    return int(stream.width), int(stream.height), dur
+            # stub fallback: deterministic fake features from the digest
             d = _hashlib.sha256(payload).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, (
                 0.0 if media_type == "image" else float(1 + d[2] % 60)

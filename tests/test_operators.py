@@ -10,6 +10,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ong_tsdb_spark import OngTsdbSpark
@@ -169,6 +170,32 @@ def test_multimodal_features(spark):
     assert out["n_bytes"] == 5
     assert out["sha256"] == hashlib.sha256(b"hello").hexdigest()
     assert 64 <= out["width"] <= 255 and out["duration_s"] == 0.0
+
+
+def test_multimodal_decoder_modes(spark):
+    """decoders='real' refuses to fake when the media libs are absent
+    (this container has none); 'auto' and 'stub' agree here because
+    auto falls back to the deterministic stub.  When PIL exists in the
+    environment, 'auto' decodes a real PNG instead."""
+    docs = spark.createDataFrame([(1, "hello", "s")], "doc_id long, text string, source string")
+    media = multimodal.fake_media_table(docs)
+    stub = multimodal.extract_features(media, decoders="stub").first()
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        auto = multimodal.extract_features(media, decoders="auto").first()
+        assert auto == stub
+        with pytest.raises(Exception) as ei:
+            multimodal.extract_features(media, decoders="real").collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+    with pytest.raises(ValueError):
+        multimodal.extract_features(media, decoders="nope")
 
 
 # ----------------------------------------------------------------------
@@ -548,6 +575,76 @@ def test_rollup_sensor(eng):
     assert len(out2) == 2
     assert out2["v"].iloc[0] == pytest.approx(np.arange(3600.0).mean())  # untouched
     assert out2["v"].iloc[1] == 7.0
+
+
+def test_chunked_running_sum_matches_single_window(spark):
+    """The two-pass chunked prefix sum equals the single-window plan
+    value-for-value (decimal exactness), including chunk-boundary rows
+    and keys whose data spans one chunk only."""
+    from ong_tsdb_spark.operators.prefix import chunked_running_sum
+
+    rows = [
+        ("a", t, t % 7, float(t % 13) - 3.0) for t in range(200)
+    ] + [("b", t, t, 0.25 * t) for t in range(35)]
+    df = spark.createDataFrame(rows, "k string, ts long, id long, value double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = df.select(
+        "k", "ts", "id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rt"),
+    ).collect()
+    chunked = chunked_running_sum(
+        df,
+        key_cols=["k"],
+        order_cols=["ts", "id"],
+        value=F.col("value").cast("decimal(18,2)"),
+        chunk=F.floor(F.col("ts") / F.lit(50)),
+        out_col="rt",
+    ).select("k", "ts", "id", F.col("rt").cast("double").alias("rt")).collect()
+    key = lambda r: (r["k"], r["ts"], r["id"])
+    assert sorted(chunked, key=key) == sorted(plain, key=key)
+
+
+def test_read_downsampled_served_from_rollup(eng):
+    """ROADMAP #7: a 'first' rollup serves maxDataPoints reads exactly
+    when its tick divides the spread and the phase aligns; misaligned
+    or stale requests fall back to the raw scan."""
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+
+    eng.create_sensor("d", "r2", "1s", ["v"])
+    t0 = 1672617600  # aligned to any integer tick
+    idx = pd.date_range("2023-01-02", periods=7200, freq="1s", tz="UTC")
+    eng.write_df("d", "r2", pd.DataFrame({"v": np.arange(7200.0)}, index=idx))
+    rollup_sensor(eng, "d", "r2", "r2_1m", freq="60s", agg="first")
+
+    start, end = float(t0), float(t0 + 7199)
+    # spread = 7200/60 = 120 s -> divisible by the 60 s rollup tick
+    assert eng._pick_rollup_for("d", "r2", start, end, 120, None) == "r2_1m"
+    served = eng.read_downsampled("d", "r2", start, end, 60).collect()
+    raw = eng.read_downsampled("d", "r2", start, end, 60, use_rollups=False).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in raw]
+    assert len(served) == 60
+
+    # misaligned phase (start not on the rollup grid) -> raw fallback
+    assert eng._pick_rollup_for("d", "r2", start + 7, end + 7, 120, None) is None
+    # spread not a multiple of the tick -> raw fallback
+    assert eng._pick_rollup_for("d", "r2", start, end, 90, None) is None
+
+    # stale rollup (new raw data past the rollup horizon) -> fallback
+    idx2 = pd.date_range("2023-01-02 02:00", periods=60, freq="1s", tz="UTC")
+    eng.write_df("d", "r2", pd.DataFrame({"v": np.zeros(60)}, index=idx2))
+    assert (
+        eng._pick_rollup_for("d", "r2", start, float(t0 + 7259), 120, None) is None
+    )
+    # refresh -> served again
+    rollup_sensor(eng, "d", "r2", "r2_1m", freq="60s", agg="first",
+                  start_ts=idx2[0].timestamp())
+    assert (
+        eng._pick_rollup_for("d", "r2", start, float(t0 + 7259), 120, None) == "r2_1m"
+    )
 
 
 def test_scrub_pii_and_repetition(spark):
