@@ -188,3 +188,34 @@ class Catalog:
         if not self.exist_sensor(db, sensor):
             raise ElementNotFoundError(f"sensor {db}.{sensor} not found")
         self._write_config(db, sensor, config)
+
+    # -- data-dir + lock/version hooks (engine-facing) ----------------
+    # The engine talks to storage ONLY through these, so the
+    # object-store catalog (object_store.HadoopCatalog) can swap in
+    # Hadoop FS calls without any engine change.
+    def data_exists(self, db: str, sensor: str) -> bool:
+        return os.path.isdir(self.data_path(db, sensor))
+
+    def list_data_partitions(self, db: str, sensor: str) -> list[str]:
+        p = self.data_path(db, sensor)
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def delete_data_partition(self, db: str, sensor: str, entry: str) -> None:
+        shutil.rmtree(os.path.join(self.data_path(db, sensor), entry))
+
+    def write_lock(self, db: str, sensor: str, timeout: float, stale_after: float):
+        from .locks import SensorFileLock
+
+        return SensorFileLock(
+            self.sensor_path(db, sensor), timeout=timeout, stale_after=stale_after
+        )
+
+    def get_version(self, db: str, sensor: str) -> int:
+        from .locks import read_version
+
+        return read_version(self.sensor_path(db, sensor))
+
+    def bump_version(self, db: str, sensor: str) -> int:
+        from .locks import bump_version
+
+        return bump_version(self.sensor_path(db, sensor))

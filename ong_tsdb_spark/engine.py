@@ -74,7 +74,13 @@ class OngTsdbSpark:
         lock_stale_after: float = 300.0,
     ):
         self.spark = spark
-        self.catalog = Catalog(base_dir)
+        # scheme-qualified base dirs (hdfs://, s3a://, file:/ ...) go
+        # through the Hadoop FS catalog; plain paths stay pure-Python
+        from .object_store import HadoopCatalog, is_remote_uri
+
+        self.catalog = (
+            HadoopCatalog(spark, base_dir) if is_remote_uri(base_dir) else Catalog(base_dir)
+        )
         self.admin_key = admin_key
         self.lock_timeout = lock_timeout
         self.lock_stale_after = lock_stale_after
@@ -189,24 +195,19 @@ class OngTsdbSpark:
 
     def _file_lock(self, db: str, sensor: str):
         """Cross-process writer lock + version protocol (ROADMAP #2):
-        O_EXCL lockfile in the sensor dir, stale-broken after
+        exclusive-create lockfile in the sensor dir (O_EXCL locally,
+        createNewFile on Hadoop FS), stale-broken after
         ``lock_stale_after`` — serializes the read-merge-overwrite
         cycle between separate driver processes, which the in-process
         lock above cannot see."""
-        from .locks import SensorFileLock
-
-        return SensorFileLock(
-            self.catalog.sensor_path(db, sensor),
-            timeout=self.lock_timeout,
-            stale_after=self.lock_stale_after,
+        return self.catalog.write_lock(
+            db, sensor, timeout=self.lock_timeout, stale_after=self.lock_stale_after
         )
 
     def get_write_version(self, db: str, sensor: str) -> int:
         """Monotonic per-sensor write version (bumped on every commit)
         — a cheap change cursor for cross-process cache invalidation."""
-        from .locks import read_version
-
-        return read_version(self.catalog.sensor_path(db, sensor))
+        return self.catalog.get_version(db, sensor)
 
     def write_df(
         self,
@@ -394,9 +395,7 @@ class OngTsdbSpark:
                 .parquet(self.catalog.data_path(db, sensor))
             )
 
-            from .locks import bump_version
-
-            bump_version(self.catalog.sensor_path(db, sensor))
+            self.catalog.bump_version(db, sensor)
 
     def _merge(
         self, old: DataFrame, new: DataFrame, known: list[str], cfg: SensorConfig
@@ -434,13 +433,12 @@ class OngTsdbSpark:
     # ------------------------------------------------------------------
     def _read_raw(self, db: str, sensor: str, cfg: SensorConfig) -> DataFrame | None:
         """Scan the sensor dataset with schema merge; None if empty."""
-        import os
-
-        path = self.catalog.data_path(db, sensor)
-        if not os.path.isdir(path):
+        if not self.catalog.data_exists(db, sensor):
             return None
         try:
-            return self.spark.read.option("mergeSchema", "true").parquet(path)
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                self.catalog.data_path(db, sensor)
+            )
         except Exception:
             return None
 

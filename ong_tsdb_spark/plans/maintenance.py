@@ -80,17 +80,14 @@ def apply_retention(
     compression tiering).  Partitions *containing* the cutoff are
     kept (rows are only removed at chunk granularity, like deleting
     the reference's chunk files).  Returns partitions dropped."""
-    import shutil
-
     cfg = engine.catalog.get_config(db, sensor)
     grid = cfg.grid
     cutoff_chunk = grid.chunk_start(float(older_than_ts))
-    path = engine.catalog.data_path(db, sensor)
-    if not os.path.isdir(path):
+    if not engine.catalog.data_exists(db, sensor):
         return 0
     dropped = 0
     with engine._sensor_lock(db, sensor), engine._file_lock(db, sensor):
-        for entry in os.listdir(path):
+        for entry in engine.catalog.list_data_partitions(db, sensor):
             if not entry.startswith(f"{PART_COL}="):
                 continue
             try:
@@ -98,12 +95,10 @@ def apply_retention(
             except ValueError:
                 continue
             if part < cutoff_chunk:
-                shutil.rmtree(os.path.join(path, entry))
+                engine.catalog.delete_data_partition(db, sensor, entry)
                 dropped += 1
         if dropped:
-            from ..locks import bump_version
-
-            bump_version(engine.catalog.sensor_path(db, sensor))
+            engine.catalog.bump_version(db, sensor)
     return dropped
 
 
@@ -141,7 +136,5 @@ def compact_sensor(
             .option("compression", codec)
             .parquet(engine.catalog.data_path(db, sensor))
         )
-        from ..locks import bump_version
-
-        bump_version(engine.catalog.sensor_path(db, sensor))
+        engine.catalog.bump_version(db, sensor)
         return len(cold)
