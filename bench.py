@@ -46,6 +46,9 @@ HEADLINE = [
     "emb_neardup_blocked",
     "emb_neardup_lsh",
     "emb_neardup_numpy",
+    "corpus_clean_pipeline",
+    "ts_cumulative_sum_chunked",
+    "ts_moving_range_avg",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -1785,6 +1785,102 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("item_id", "media_type", "n_bytes", "sha256")
 
 
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, text, n_chars FROM (
+        SELECT doc_id, text, n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ({EN_LIST_SQL})))
+                     > len(list_filter(string_split(text, ' '), x -> x IN ({ES_LIST_SQL}))) THEN 'en'
+                  WHEN len(list_filter(string_split(text, ' '), x -> x IN ({ES_LIST_SQL})))
+                     > len(list_filter(string_split(text, ' '), x -> x IN ({EN_LIST_SQL}))) THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM kept
+    )
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+    FROM scored WHERE n_tokens >= 5
+    GROUP BY lang_pred
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pass as ONE composed
+    pipeline: exact dedup (keep min doc_id per content digest, one
+    shuffle via a fingerprint-partitioned row_number), quality gate
+    (min token count), language ID, then the post-clean corpus
+    composition report.  Every stage is the same operator the
+    standalone queries use — this pins that they compose."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.col("doc_id"))
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    lang = text.language_id(kept).select("doc_id", "lang_pred")
+    scored = (
+        kept.select("doc_id", "n_chars", text.token_count(F.col("text")).alias("n_tokens"))
+        .join(lang, "doc_id")
+        .filter(F.col("n_tokens") >= 5)
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "ts_moving_range_avg",
+    """
+    SELECT event_type, event_id, us AS ts_us,
+           n_in_window,
+           CAST(win_sum AS DOUBLE) / n_in_window AS moving_avg
+    FROM (
+      SELECT event_type, event_id, us,
+             COUNT(*) OVER w AS n_in_window,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER w AS win_sum
+      FROM (SELECT event_type, event_id, epoch_us(ts) AS us, value FROM events)
+      WINDOW w AS (PARTITION BY event_type ORDER BY us
+                   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window (RANGE frame): 5-minute trailing
+    average per event type.  The frame is defined by the timestamp
+    VALUE, not row counts — ties share one frame in both engines.
+    Decimal window sums keep the frame total exact, so the final
+    double division rounds once, identically to the oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", _us("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("us"))
+        .rangeBetween(-300_000_000, 0)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.col("us").alias("ts_us"),
+        F.count("*").over(w).alias("n_in_window"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg"),
+    )
+
+
 # ======================================================================
 # public surface used by __spark_entry__
 # ======================================================================

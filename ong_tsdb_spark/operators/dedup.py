@@ -150,21 +150,24 @@ AUTO_CAP_FLOOR = 64
 AUTO_CAP_MULT = 32
 
 
-def auto_shingle_cap(sh: DataFrame) -> int:
-    """Choose the hot-shingle cap from the corpus frequency histogram:
-    one tiny aggregate (two bigints to the driver).  A uniform corpus
-    sits far below the cap (results identical to uncapped); a skewed
-    corpus has its stopword-like mega-shingles dropped, bounding the
-    inverted-index join blowup by construction."""
-    row = sh.agg(
-        F.count("*").alias("total"),
-        F.countDistinct("shingle").alias("distinct"),
-    ).first()
+#: driver-side hot-set ceiling: past this many hot shingles the
+#: isin-filter plan falls back to a distributed anti-join
+MAX_DRIVER_HOT_SET = 100_000
+
+
+def auto_shingle_cap(freq: DataFrame) -> int:
+    """Choose the hot-shingle cap from the shingle frequency table
+    ((shingle, __f) rows): one tiny aggregate (two bigints to the
+    driver).  A uniform corpus sits far below the cap (results
+    identical to uncapped); a skewed corpus has its stopword-like
+    mega-shingles dropped, bounding the inverted-index join blowup by
+    construction."""
+    row = freq.agg(F.sum("__f").alias("total"), F.count("*").alias("distinct")).first()
     total, distinct = row["total"], row["distinct"]
     if not distinct:
         return AUTO_CAP_FLOOR
     # exact ceil(AUTO_CAP_MULT * total / distinct) in integers
-    return max(AUTO_CAP_FLOOR, -(-AUTO_CAP_MULT * total // distinct))
+    return max(AUTO_CAP_FLOOR, -(-AUTO_CAP_MULT * int(total) // int(distinct)))
 
 
 def ngram_jaccard_pairs(
@@ -181,22 +184,36 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq="auto"`` (the default) derives the hot-shingle
     cap from the corpus itself via :func:`auto_shingle_cap`; pass an
-    int for a fixed cap or ``None`` to disable capping entirely."""
+    int for a fixed cap or ``None`` to disable capping entirely.
+
+    Cap plan: ONE extra aggregate computes the frequency table; the
+    hot set (freq > cap) is pulled to the driver when small (by
+    construction it usually is — these are the stopword-like
+    mega-shingles) and applied as a pure ``isin`` filter with NO extra
+    join; an empty hot set short-circuits to the exact uncapped plan.
+    A pathological corpus with >100k hot shingles falls back to a
+    distributed anti-join."""
     sh = shingle_table_with_size(df, text_col, id_col, n)
-    if max_shingle_freq == "auto":
-        max_shingle_freq = auto_shingle_cap(sh)
     if max_shingle_freq is not None:
         # NOTE: capping drops hot (stopword-like) shingles from both
         # the intersection AND the sizes, so Jaccard stays consistent;
         # it bounds the join blowup like salting would.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("__f") > max_shingle_freq)),
-            "shingle",
-            "left_anti",
-        )
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh2"))
-        sh = sh.drop("n_sh").join(sizes, id_col).withColumnRenamed("n_sh2", "n_sh")
+        if max_shingle_freq == "auto":
+            freq = freq.persist()
+            max_shingle_freq = auto_shingle_cap(freq)
+        hot = freq.filter(F.col("__f") > max_shingle_freq).select("shingle")
+        hot_head = [r[0] for r in hot.take(MAX_DRIVER_HOT_SET + 1)]
+        freq.unpersist()
+        if not hot_head:
+            pass  # nothing hot: keep the exact uncapped plan
+        else:
+            if len(hot_head) <= MAX_DRIVER_HOT_SET:
+                sh = sh.filter(~F.col("shingle").isin(hot_head))
+            else:  # pathological: distributed anti-join instead
+                sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh2"))
+            sh = sh.drop("n_sh").join(sizes, id_col).withColumnRenamed("n_sh2", "n_sh")
     a = sh.alias("a")
     b = sh.alias("b")
     # n_sh rides along into the pair groupBy keys — no sizes join needed
