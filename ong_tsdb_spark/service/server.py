@@ -86,6 +86,15 @@ def create_app(engine: OngTsdbSpark) -> Flask:
     def _exists(e):  # noqa: ANN001
         return jsonify(error=str(e)), 409
 
+    @app.get("/")
+    def hello():
+        """Liveness check (reference server.py:118-122)."""
+        return jsonify(
+            msg=f"Hello from Ong_Tsdb server\nVersion {__version__}",
+            ok=True,
+            version=__version__,
+        )
+
     # -- DDL ----------------------------------------------------------
     @app.post("/db/<db>")
     def create_db(db: str):
@@ -116,6 +125,20 @@ def create_app(engine: OngTsdbSpark) -> Flask:
     def delete_sensor(db: str, sensor: str):
         engine.delete_sensor(db, sensor, key=_token())
         return jsonify(ok=True)
+
+    # reference path shape: GET on the resource, 200/404 by existence
+    # (server.py:148-156,186-196); the /exist aliases return the bool
+    @app.get("/db/<db>")
+    def exist_db_ref(db: str):
+        if engine.exist_db(db):
+            return jsonify(ok=True, msg=f"Database {db} exists", version=__version__)
+        return jsonify(ok=False, msg=f"Database {db} does not exist"), 404
+
+    @app.get("/db/<db>/sensor/<sensor>")
+    def exist_sensor_ref(db: str, sensor: str):
+        if engine.exist_sensor(db, sensor):
+            return jsonify(ok=True, msg=f"Sensor {sensor} and database {db} exist")
+        return jsonify(ok=False, msg=f"Sensor {sensor} or database {db} do not exists"), 404
 
     @app.get("/db/<db>/exist")
     def exist_db(db: str):
@@ -280,6 +303,12 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         return jsonify(ok=True)
 
     # -- grafana /query (W1) ------------------------------------------
+    @app.get("/<db>/<sensor>")
+    def grafana_index(db: str, sensor: str):
+        """Grafana datasource test endpoint (reference server.py:399-410);
+        the auth token is intentionally not echoed back."""
+        return jsonify(db=db, sensor=sensor)
+
     @app.post("/<db>/<sensor>/query")
     def query(db: str, sensor: str):
         body = request.get_json(force=True)

@@ -192,6 +192,25 @@ def test_search_and_get_md5_routes(client, tmp_path):
     assert client.get("/get_md5/..%2f..%2fetc%2fpasswd", headers=hdr).status_code in (400, 404)
 
 
+def test_reference_path_aliases(client):
+    """Route-table parity extras: GET / hello, GET-on-resource
+    existence (200/404), grafana datasource index."""
+    r = client.get("/")
+    assert r.status_code == 200 and "Version" in r.get_json()["msg"]
+    hdr = _auth("admintoken")
+    assert client.get("/db/iot").status_code == 404
+    client.post("/db/iot", headers=hdr)
+    assert client.get("/db/iot").status_code == 200
+    assert client.get("/db/iot/sensor/power").status_code == 404
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active"]},
+        headers=hdr,
+    )
+    assert client.get("/db/iot/sensor/power").status_code == 200
+    assert client.get("/iot/power").get_json() == {"db": "iot", "sensor": "power"}
+
+
 def test_grafana_query_route(client):
     client.post("/db/iot", headers=_auth("admintoken"))
     client.post(
