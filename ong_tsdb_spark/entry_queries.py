@@ -1881,6 +1881,109 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_re_sql() -> str:
+    return text.BPE_TOKEN_RE.replace("'", "''")
+
+
+@register(
+    "text_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_bpe_re_sql()}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: whitespace tokens vs the GPT-2-style
+    pretokenizer count (the regex lives in the Java/RE2 common subset,
+    so Catalyst and the oracle count identical matches)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "dedup_winnow",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t)-1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS sh
+      FROM toks
+    ),
+    hashed AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS h FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(
+        CASE WHEN len(h) >= 4
+             THEN list_transform(range(1, len(h)-2), i -> list_aggregate(h[i:i+3], 'min'))
+             WHEN len(h) >= 1 THEN [list_aggregate(h[1:4], 'min')]
+             ELSE [] END)) AS fingerprint
+      FROM hashed
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidates: window-min selection over
+    n-gram hashes keeps ~2/(w+1) of the hashes while guaranteeing any
+    shared run of w+n-1 tokens still collides — a cheaper inverted
+    index than full shingles at the same detection guarantee."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.winnow_candidate_pairs(docs, n=3, window=4, min_shared=2)
+
+
+@register(
+    "ts_zscore_anomaly",
+    """
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us, e.value,
+           (e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3.0
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch z-score anomaly flags per event type (the batch analog of
+    the streaming EWMA operator).  The group moments are EXACT decimal
+    sums cast to double once, so both engines evaluate the identical
+    IEEE expression tree — bit-equal z-scores with no tolerance."""
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_id",
+            "event_type",
+            _us("ts").alias("ts_us"),
+            "value",
+            z.alias("zscore"),
+        )
+        .filter(F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False)))
+    )
+
+
 # ======================================================================
 # public surface used by __spark_entry__
 # ======================================================================
