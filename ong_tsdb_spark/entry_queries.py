@@ -1881,6 +1881,32 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS item_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f * 2.0 AS FLOAT) AS ts_s
+    FROM documents,
+         unnest(range(0, 1 + octet_length(encode(text)) % 5)) AS t(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (1 row -> N frame rows through
+    Arrow mapInPandas).  The stub fan-out rule (1 + n_bytes mod 5
+    frames per item) is deterministic, so the row explosion itself is
+    oracle-checked; the opaque frame bytes are excluded from the
+    compared columns (same convention as multimodal_features)."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.fake_media_table(docs, media_type="video")
+    frames = multimodal.sample_frames(
+        media, every_s=2.0, max_frames=5, decoders="stub"
+    )
+    return frames.select("item_id", "frame_idx", "ts_s")
+
+
 def _bpe_re_sql() -> str:
     return text.BPE_TOKEN_RE.replace("'", "''")
 

@@ -156,3 +156,139 @@ def fake_media_table(docs: DataFrame, media_type: str = "image") -> DataFrame:
         F.lit(media_type).alias("media_type"),
         F.col("source").alias("origin"),
     )
+
+
+#: schema of resized-image rows (payload stays binary, opaque)
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+#: schema of sampled-frame rows (1 input row -> N frame rows)
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_s", T.FloatType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    decoders: str = "auto",
+) -> DataFrame:
+    """1->1 binary transform over Arrow batches: re-encode every image
+    at (width, height).  With PIL importable on the executors the
+    resize is real (LANCZOS + PNG re-encode); otherwise the payload is
+    passed through with a deterministic stub header so the plumbing
+    (binary in -> binary out, schema, batching) still runs end-to-end.
+    The payload never shuffles — this runs next to the scan."""
+    if decoders not in ("auto", "stub", "real"):
+        raise ValueError(f"decoders must be auto|stub|real, got {decoders!r}")
+    mode, w_t, h_t = decoders, int(width), int(height)
+    col_names = [f.name for f in RESIZE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pandas as _pd
+
+        pil = None
+        if mode != "stub":
+            try:
+                pil = __import__("PIL.Image", fromlist=["_"])
+            except ImportError:
+                if mode == "real":
+                    raise NotImplementedError(
+                        "decoders='real' but PIL is not installed"
+                    ) from None
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                raw = bytes(pdf[payload_col].iloc[i] or b"")
+                if pil is not None:
+                    with pil.open(_io.BytesIO(raw)) as im:
+                        out = _io.BytesIO()
+                        im.resize((w_t, h_t)).save(out, format="PNG")
+                        payload = out.getvalue()
+                else:
+                    # stub: tagged pass-through, deterministic
+                    payload = b"RSZ\x00" + raw
+                rows.append((int(pdf[id_col].iloc[i]), payload, w_t, h_t))
+            yield _pd.DataFrame(rows, columns=col_names)
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_s: float = 1.0,
+    max_frames: int = 5,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    decoders: str = "auto",
+) -> DataFrame:
+    """1->N frame sampling over Arrow batches: each video row yields
+    one row per sampled frame (the generator shape makes the fan-out
+    streaming — no giant in-memory frame list).  With av importable
+    the frames are real decoded images; the stub derives a
+    DETERMINISTIC frame count from the payload size
+    (1 + n_bytes mod max_frames) so the fan-out is oracle-checkable."""
+    if decoders not in ("auto", "stub", "real"):
+        raise ValueError(f"decoders must be auto|stub|real, got {decoders!r}")
+    mode, step, cap = decoders, float(every_s), int(max_frames)
+    col_names = [f.name for f in FRAME_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as _pd
+
+        av = None
+        if mode != "stub":
+            try:
+                av = __import__("av")
+            except ImportError:
+                if mode == "real":
+                    raise NotImplementedError(
+                        "decoders='real' but av is not installed"
+                    ) from None
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                item = int(pdf[id_col].iloc[i])
+                raw = bytes(pdf[payload_col].iloc[i] or b"")
+                if av is not None:
+                    with av.open(_io.BytesIO(raw)) as container:
+                        next_t, idx = 0.0, 0
+                        for frame in container.decode(video=0):
+                            if frame.time is None or frame.time + 1e-9 < next_t:
+                                continue
+                            buf = _io.BytesIO()
+                            frame.to_image().save(buf, format="PNG")
+                            rows.append((item, idx, float(frame.time), buf.getvalue()))
+                            idx += 1
+                            next_t += step
+                            if idx >= cap:
+                                break
+                else:
+                    n = 1 + len(raw) % cap  # deterministic stub fan-out
+                    for k in range(n):
+                        fp = _hashlib.sha256(raw + k.to_bytes(4, "big")).digest()
+                        rows.append((item, k, float(k) * step, fp))
+            yield _pd.DataFrame(rows, columns=col_names)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -172,6 +172,29 @@ def test_multimodal_features(spark):
     assert 64 <= out["width"] <= 255 and out["duration_s"] == 0.0
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize is a 1->1 binary transform; frame sampling fans 1 row
+    out to N (stub: 1 + n_bytes mod max_frames) — both through Arrow
+    mapInPandas with the payload never leaving the executor."""
+    docs = spark.createDataFrame(
+        [(1, "abcde", "s"), (2, "xy", "s")], "doc_id long, text string, source string"
+    )
+    media = multimodal.fake_media_table(docs, media_type="video")
+    rs = {r["item_id"]: r for r in multimodal.resize_images(
+        media, 32, 24, decoders="stub").collect()}
+    assert bytes(rs[1]["payload"]) == b"RSZ\x00abcde"
+    assert rs[1]["width"] == 32 and rs[1]["height"] == 24
+    fr = multimodal.sample_frames(media, every_s=2.0, max_frames=5, decoders="stub").collect()
+    by_item = {}
+    for r in fr:
+        by_item.setdefault(r["item_id"], []).append(r)
+    # 5 bytes -> 1 + 5 % 5 = 1 frame; 2 bytes -> 1 + 2 % 5 = 3 frames
+    assert len(by_item[1]) == 1 and len(by_item[2]) == 3
+    assert [r["frame_idx"] for r in sorted(by_item[2], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert sorted(r["ts_s"] for r in by_item[2]) == [0.0, 2.0, 4.0]
+    assert all(len(bytes(r["frame_payload"])) == 32 for r in fr)  # sha256 stub
+
+
 def test_multimodal_decoder_modes(spark):
     """decoders='real' refuses to fake when the media libs are absent
     (this container has none); 'auto' and 'stub' agree here because
