@@ -1826,12 +1826,20 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    lang = text.language_id(kept).select("doc_id", "lang_pred")
-    scored = (
-        kept.select("doc_id", "n_chars", text.token_count(F.col("text")).alias("n_tokens"))
-        .join(lang, "doc_id")
-        .filter(F.col("n_tokens") >= 5)
+    # lang + token exprs ride ONE projection over kept — no self-join;
+    # the whole pipeline is a single shuffle (dedup window) + the agg
+    t = F.col("text")
+    en = text.stopword_hits(t, text.EN_STOPWORDS)
+    es = text.stopword_hits(t, text.ES_STOPWORDS)
+    lang = (
+        F.when(en > es, F.lit("en")).when(es > en, F.lit("es")).otherwise(F.lit("und"))
     )
+    scored = kept.select(
+        "doc_id",
+        "n_chars",
+        text.token_count(t).alias("n_tokens"),
+        lang.alias("lang_pred"),
+    ).filter(F.col("n_tokens") >= 5)
     return scored.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
