@@ -62,6 +62,14 @@ def rollup_sensor(
             metadata={**cfg.metadata, "rollup_of": src_sensor, "rollup_agg": agg},
         )
     grid = Grid.from_freq(freq)
+    # bucket-align the refresh window: a span starting/ending
+    # mid-bucket would recompute those buckets from PARTIAL source
+    # data and overwrite the correct values — snap start down to its
+    # bucket and extend end to the last instant of its bucket
+    if start_ts is not None:
+        start_ts = grid.snap(float(start_ts))
+    if end_ts is not None:
+        end_ts = grid.snap(float(end_ts)) + grid.tick_seconds - 1e-9
     src = engine.read(db, src_sensor, start_ts=start_ts, end_ts=end_ts)
     if src is None:
         return

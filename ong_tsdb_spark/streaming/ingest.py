@@ -33,16 +33,23 @@ def start_influx_file_stream(
     fill_value: float = 0.0,
     trigger_once: bool = False,
     key: str | None = None,
+    refresh_rollups: bool = False,
 ) -> StreamingQuery:
     """Stream line-protocol text files from ``input_dir`` into the
     engine.  One upsert per (db, sensor) group per micro-batch —
     mirroring the reference's write_point_list grouping
-    (server.py:214-293)."""
+    (server.py:214-293).  With ``refresh_rollups`` the stream also
+    maintains any materialized rollups registered on the written
+    sensors (continuous aggregates): each micro-batch triggers an
+    INCREMENTAL refresh over just the batch's time span, so
+    ``read_downsampled`` keeps serving from the rollup with zero
+    manual refresh jobs."""
     lines = engine.spark.readStream.format("text").load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_parsed_batch(engine, parse_lines(batch_df.withColumnRenamed("value", "line")),
-                            default_db, default_sensor, fill_value, key=key)
+                            default_db, default_sensor, fill_value, key=key,
+                            refresh_rollups=refresh_rollups)
 
     writer = (
         lines.writeStream.foreachBatch(process_batch)
@@ -60,11 +67,14 @@ def upsert_parsed_batch(
     default_sensor: str | None = None,
     fill_value: float = 0.0,
     key: str | None = None,
+    refresh_rollups: bool = False,
 ) -> None:
     """Upsert a parsed long-form batch (db, sensor, metric, value,
     ts_ns).  Missing ts -> current time (server default,
     server_utils.py:16).  ``key`` is checked per sensor by the upsert
-    (reference: per-sensor write keys, database.py:170-187)."""
+    (reference: per-sensor write keys, database.py:170-187).
+    ``refresh_rollups`` incrementally refreshes registered rollups of
+    each written sensor over the batch's [min_ts, max_ts] span."""
     parsed = parsed.withColumn(
         TS_COL,
         F.when(
@@ -83,11 +93,12 @@ def upsert_parsed_batch(
     # Spark end-to-end (write_long_df pivots distributedly)
     parsed = parsed.persist()
     try:
-        targets = [
-            (r["db"], r["sensor"])
-            for r in parsed.select("db", "sensor").distinct().collect()
-        ]
-        for db, sensor in targets:
+        # one tiny aggregate gives targets AND their batch time spans
+        targets = parsed.groupBy("db", "sensor").agg(
+            F.min(TS_COL).alias("__lo"), F.max(TS_COL).alias("__hi")
+        ).collect()
+        for row in targets:
+            db, sensor = row["db"], row["sensor"]
             sub = parsed.filter((F.col("db") == db) & (F.col("sensor") == sensor))
             engine.write_long_df(
                 db,
@@ -96,5 +107,32 @@ def upsert_parsed_batch(
                 fill_value=fill_value,
                 key=key,
             )
+            if refresh_rollups:
+                _refresh_rollups_of(engine, db, sensor, row["__lo"], row["__hi"])
     finally:
         parsed.unpersist()
+
+
+def _refresh_rollups_of(
+    engine: OngTsdbSpark, db: str, sensor: str, lo_ts: float, hi_ts: float
+) -> None:
+    """Incrementally refresh every rollup registered on ``sensor``
+    (metadata rollup_of/rollup_agg, plans/rollup.py) over one batch's
+    time span — cost O(batch span / rollup tick), not O(history)."""
+    from ..plans.rollup import rollup_sensor
+
+    if lo_ts is None or hi_ts is None:
+        return
+    for cand in engine.catalog.get_sensors(db):
+        try:
+            md = engine.catalog.get_config(db, cand).metadata
+        except Exception:
+            continue
+        if md.get("rollup_of") != sensor:
+            continue
+        freq = engine.catalog.get_config(db, cand).freq
+        rollup_sensor(
+            engine, db, sensor, cand,
+            freq=freq, agg=md.get("rollup_agg", "avg"),
+            start_ts=float(lo_ts), end_ts=float(hi_ts),
+        )

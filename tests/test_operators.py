@@ -275,6 +275,49 @@ def test_streaming_ingest(eng, tmp_path):
     assert out["reactive"].iloc[0] == 2.0 and math.isnan(out["reactive"].iloc[1])
 
 
+def test_streaming_rollup_refresh(eng, tmp_path):
+    """Continuous aggregates: the ingest stream incrementally
+    refreshes registered rollups per micro-batch, so downsampled
+    reads keep serving from the rollup — including when a later batch
+    lands mid-bucket (the refresh is bucket-aligned)."""
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+    from ong_tsdb_spark.streaming import ingest
+
+    eng.create_sensor("d", "sr", "1s", ["v"])
+    t0 = 1672617600  # minute-aligned
+    # register the rollup (empty source -> empty rollup)
+    rollup_sensor(eng, "d", "sr", "sr_1m", freq="60s", agg="first")
+
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    lines = [f"d,key=sr v={i} {(t0 + i) * 10**9}" for i in range(0, 90)]
+    (in_dir / "b1.txt").write_text("\n".join(lines))
+    q = ingest.start_influx_file_stream(
+        eng, str(in_dir), str(tmp_path / "ckpt2"), trigger_once=True,
+        refresh_rollups=True,
+    )
+    q.awaitTermination(120)
+    roll = eng.read_pandas("d", "sr_1m")
+    assert len(roll) == 2  # two 60s buckets
+    assert roll["v"].tolist() == [0.0, 60.0]  # first of each bucket
+
+    # a second batch lands MID-bucket (t0+95): its refresh span must
+    # re-aggregate the whole [t0+60, t0+120) bucket, keeping first=60
+    (in_dir / "b2.txt").write_text(f"d,key=sr v=95 {(t0 + 95) * 10**9}")
+    q = ingest.start_influx_file_stream(
+        eng, str(in_dir), str(tmp_path / "ckpt2"), trigger_once=True,
+        refresh_rollups=True,
+    )
+    q.awaitTermination(120)
+    roll2 = eng.read_pandas("d", "sr_1m")
+    assert roll2["v"].tolist() == [0.0, 60.0]  # NOT 95 — bucket-aligned refresh
+    # and the rollup now serves downsampled reads (fresh through range)
+    assert (
+        eng._pick_rollup_for("d", "sr", float(t0), float(t0 + 119), 60, None)
+        == "sr_1m"
+    )
+
+
 # ----------------------------------------------------------------------
 # as-of join
 # ----------------------------------------------------------------------
