@@ -1623,7 +1623,10 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per series — decimal-exact prefix sums (each
-    prefix < 2^53, so the double cast is single-rounded identically)."""
+    prefix < 2^53, so the double cast is single-rounded identically).
+    Semantics demo: the per-type window funnels each type's history
+    through one task; ``ts_cumulative_sum_chunked`` is the scale path
+    (operators/prefix.py, identical values)."""
     ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
     w = (
         Window.partitionBy("event_type")

@@ -117,6 +117,16 @@ def test_topk_is_take_ordered(spark, sf_dir, qname):
     assert "TakeOrderedAndProject" in plan, f"{qname}: no TakeOrderedAndProject:\n{plan}"
 
 
+def test_corpus_pipeline_no_join(spark, sf_dir):
+    """corpus_clean_pipeline computes dedup + quality + langid in one
+    projection chain: exactly one data shuffle (the dedup window) plus
+    the final aggregate exchange — no self-join anywhere."""
+    df = entry_queries.queries()["corpus_clean_pipeline"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Join" not in plan, f"unexpected join:\n{plan}"
+    assert plan.count("Exchange") <= 3  # repartition-up + window + agg
+
+
 def test_fresh_ingest_single_shuffle(spark, tmp_path):
     """The write path's one-shuffle contract: a fresh write's plan has
     exactly one Exchange (the chunk repartition) — the last-wins agg
