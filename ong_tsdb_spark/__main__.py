@@ -8,6 +8,10 @@ re-expressed for the Spark engine:
     python -m ong_tsdb_spark rollup  --base DIR --db DB --sensor S
                                      --dst S_1h --freq 1h [--agg avg]
     python -m ong_tsdb_spark stats   --base DIR
+    python -m ong_tsdb_spark retention --base DIR --db DB --sensor S
+                                       --older-than-ts EPOCH_S
+    python -m ong_tsdb_spark serve   --base DIR [--host H] [--port P]
+                                     [--admin-key K]
 
 (repair has no Spark analog — Parquet footers make truncation
 detection native; compact rewrites salvage what a rewrite can.)
@@ -59,7 +63,35 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("stats", help="catalog overview")
     ps.add_argument("--base", required=True)
 
+    pt = sub.add_parser("retention", help="X4: drop chunk partitions older than a cutoff")
+    pt.add_argument("--base", required=True)
+    pt.add_argument("--db", required=True)
+    pt.add_argument("--sensor", required=True)
+    pt.add_argument("--older-than-ts", type=float, required=True,
+                    help="epoch seconds; partitions strictly older are dropped")
+
+    pw = sub.add_parser("serve", help="run the HTTP façade (reference server surface)")
+    pw.add_argument("--base", required=True)
+    pw.add_argument("--host", default="127.0.0.1")
+    pw.add_argument("--port", type=int, default=5000)
+    pw.add_argument("--admin-key", default=None)
+
     args = p.parse_args(argv)
+    if args.cmd == "serve":
+        from pyspark.sql import SparkSession
+
+        from .engine import OngTsdbSpark
+        from .service.server import create_app
+
+        spark = (
+            SparkSession.builder.appName("ong_tsdb_spark-serve")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        eng = OngTsdbSpark(spark, args.base, admin_key=args.admin_key)
+        create_app(eng).run(host=args.host, port=args.port)
+        return 0
+
     eng = _engine(args.base)
 
     if args.cmd == "verify":
@@ -103,6 +135,13 @@ def main(argv: list[str] | None = None) -> int:
             for sensor in eng.catalog.get_sensors(db):
                 cfg = eng.catalog.get_config(db, sensor)
                 print(f"{db}.{sensor}: freq={cfg.freq} metrics={cfg.metrics}")
+        return 0
+
+    if args.cmd == "retention":
+        from .plans.maintenance import apply_retention
+
+        n = apply_retention(eng, args.db, args.sensor, older_than_ts=args.older_than_ts)
+        print(f"dropped {n} partitions of {args.db}.{args.sensor}")
         return 0
 
     return 2

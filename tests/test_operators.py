@@ -792,3 +792,37 @@ def test_gap_fill_linear(spark):
     }
     assert out[0] == 10.0 and out[40] == 50.0 and out[50] == 0.0
     assert out[10] == 20.0 and out[20] == 30.0 and out[30] == 40.0  # interpolated
+
+
+# ----------------------------------------------------------------------
+# CLI (python -m ong_tsdb_spark)
+# ----------------------------------------------------------------------
+def test_cli_maintenance_surface(spark, tmp_path, capsys):
+    """verify / rollup / retention / stats through main(argv) — the
+    reference's __main__ maintenance surface."""
+    from ong_tsdb_spark.__main__ import main
+
+    base = str(tmp_path / "clidb")
+    e = OngTsdbSpark(spark, base)
+    e.create_db("d")
+    e.create_sensor("d", "s", "1s", ["v"])
+    idx = pd.date_range("2023-01-02", periods=3600, freq="1s", tz="UTC")
+    e.write_df("d", "s", pd.DataFrame({"v": np.arange(3600.0)}, index=idx))
+
+    assert main(["verify", "--base", base]) == 0
+    out = capsys.readouterr().out
+    assert "d.s: 3600 rows" in out
+
+    assert main(["rollup", "--base", base, "--db", "d", "--sensor", "s",
+                 "--dst", "s_1h", "--freq", "1h", "--agg", "first"]) == 0
+    assert e.read_pandas("d", "s_1h")["v"].tolist() == [0.0]
+
+    assert main(["stats", "--base", base]) == 0
+    assert "d.s: freq=1s" in capsys.readouterr().out
+
+    # retention: cutoff after everything -> all chunk partitions drop
+    cutoff = idx[-1].timestamp() + 20000
+    assert main(["retention", "--base", base, "--db", "d", "--sensor", "s",
+                 "--older-than-ts", str(cutoff)]) == 0
+    assert "dropped" in capsys.readouterr().out
+    assert len(e.read_pandas("d", "s")) == 0
