@@ -219,6 +219,29 @@ class OngTsdbClient:
     # (client.py:468-491); here both are the engine path
     local_read = read
 
+    def read_iter(
+        self,
+        db: str,
+        sensor: str,
+        date_from: pd.Timestamp | None = None,
+        date_to: pd.Timestamp | None = None,
+        metrics: list | None = None,
+    ):
+        """Chunk-by-chunk pandas frames — the reference's memory-
+        bounded read path (database.py:579-666).  Yields frames in
+        time order; concatenating them equals ``read``."""
+        start = end = None
+        if date_from is not None:
+            d = pd.Timestamp(date_from)
+            start = (d.tz_localize("UTC") if d.tzinfo is None else d).timestamp()
+        if date_to is not None:
+            d = pd.Timestamp(date_to)
+            end = (d.tz_localize("UTC") if d.tzinfo is None else d).timestamp()
+        for _, pdf in self._engine.read_iter(
+            db, sensor, start_ts=start, end_ts=end, metrics=metrics, key=self.token
+        ):
+            yield pdf
+
     def read_grafana(
         self,
         db: str,

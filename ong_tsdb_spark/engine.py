@@ -579,6 +579,67 @@ class OngTsdbSpark:
                 best = (tick, cand)
         return best[1] if best else None
 
+    def read_iter(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float | None = None,
+        end_ts: float | None = None,
+        metrics: list | None = None,
+        key: str | None = None,
+        tz: str = "UTC",
+    ):
+        """S3 — chunk-by-chunk iterator of pandas frames, the memory-
+        bounded export path (reference ``read_iter``, database.py:
+        579-666: "All data is loaded in memory [in read] ... in such
+        cases, use read_iter").  Each yielded frame is ONE chunk
+        partition's rows (a pruned single-partition scan — the Spark
+        analog of reading one chunk file), so driver memory is bounded
+        by chunk size regardless of the range length.  Yields
+        ``(chunk_start_sec, pandas_frame)`` in time order."""
+        import time as _time
+
+        from .auth import Action
+
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
+        cfg = self.catalog.get_config(db, sensor)
+        grid = cfg.grid
+        if start_ts is None:
+            start_ts = grid.chunk_start(_time.time())
+        if end_ts is None:
+            end_ts = _time.time()
+        first = grid.chunk_start(float(start_ts))
+        last = grid.chunk_start(float(end_ts))
+        chunks = sorted(
+            c
+            for c in self._existing_chunks(db, sensor)
+            if first <= c <= last
+        )
+        for c in chunks:
+            pdf = self.read_pandas(
+                db,
+                sensor,
+                start_ts=max(float(start_ts), c),
+                end_ts=min(float(end_ts), c + grid.chunk_duration - 1e-9),
+                metrics=metrics,
+                tz=tz,
+                key=key,
+            )
+            if len(pdf):
+                yield c, pdf
+
+    def _existing_chunks(self, db: str, sensor: str) -> list[float]:
+        """Chunk-start values present on disk — a partition-directory
+        listing (metadata-only, no data scan)."""
+        out = []
+        for entry in self.catalog.list_data_partitions(db, sensor):
+            if entry.startswith(f"{PART_COL}="):
+                try:
+                    out.append(float(entry.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
     def read_downsampled(
         self,
         db: str,

@@ -47,6 +47,29 @@ def test_roundtrip_multichunk(eng):
     assert out.equals(pdf.astype("float32"))
 
 
+def test_read_iter_chunked(eng):
+    """S3: chunk-by-chunk iteration — each yielded frame is one chunk
+    partition, concatenation equals the one-shot read, driver memory
+    bounded by chunk size (reference read_iter, database.py:579-666)."""
+    eng.create_sensor("test", "sit", "1s", ["a"])
+    # 10-min spacing over 600 points -> ~22 chunks of 16384 s
+    pdf = _mk_pdf(600, "10min", metrics=("a",))
+    eng.write_df("test", "sit", pdf)
+    chunks = list(eng.read_iter("test", "sit",
+                                start_ts=pdf.index[0].timestamp(),
+                                end_ts=pdf.index[-1].timestamp()))
+    assert len(chunks) > 1  # genuinely chunked
+    starts = [c for c, _ in chunks]
+    assert starts == sorted(starts)
+    joined = pd.concat([f for _, f in chunks])
+    assert joined.equals(eng.read_pandas("test", "sit"))
+    # range restriction inside one chunk
+    some = list(eng.read_iter("test", "sit",
+                              start_ts=pdf.index[5].timestamp(),
+                              end_ts=pdf.index[10].timestamp()))
+    assert sum(len(f) for _, f in some) == 6
+
+
 def test_object_store_catalog_roundtrip(spark, tmp_path):
     """ROADMAP #5: a scheme-qualified base dir routes the catalog
     through the Hadoop FileSystem API (here file:/, the same code path
