@@ -1918,6 +1918,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("item_id", "frame_idx", "ts_s")
 
 
+@register(
+    "text_rolling_fingerprint",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wv AS (SELECT doc_id,
+                  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647) AS w
+           FROM toks),
+    h AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 4
+                      THEN list_transform(range(1, len(w)-2),
+                             i -> list_reduce(list_prepend(0::BIGINT, w[i:i+3]),
+                                              (acc, x) -> (acc * 1000003 + x) % 2147483647))
+                      ELSE [] END AS hashes
+          FROM wv)
+    SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_windows,
+           array_to_string(list_sort(hashes)[1:5], ',') AS sig
+    FROM h
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via ROLLING (Rabin-Karp window) hashes:
+    the doc signature is the bottom-5 window hashes (a min-k sketch —
+    shared windows between near-dup docs surface as shared minima).
+    Exact mod-2^31-1 integer arithmetic keeps both engines
+    bit-identical; identical docs get identical sigs by construction."""
+    docs = load(spark, sf_dir, "documents")
+    ht = text.rolling_hash_table(docs, k=4)
+    bottom5 = F.slice(F.array_sort(F.col("hashes")), 1, 5)
+    return ht.select(
+        "doc_id",
+        F.size("hashes").cast("bigint").alias("n_windows"),
+        F.array_join(
+            F.transform(bottom5, lambda x: x.cast("string")), ","
+        ).alias("sig"),
+    )
+
+
 def _bpe_re_sql() -> str:
     return text.BPE_TOKEN_RE.replace("'", "''")
 

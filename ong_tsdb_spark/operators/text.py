@@ -41,6 +41,56 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+#: Rabin-Karp window-hash parameters.  M = 2^31 - 1 keeps every
+#: intermediate (acc*B + w, acc < M, B ~ 1e6, w < M) under 2^52 —
+#: exact in BIGINT arithmetic in any engine.
+ROLL_BASE = 1_000_003
+ROLL_MOD = 2_147_483_647
+
+
+def rolling_hash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """(id, hashes array<long>) — Rabin-Karp polynomial hash of every
+    k-token window: h_i = fold(acc*B + w_j mod M) over window i, where
+    w_j is the token's md5-derived 32-bit value reduced mod M.
+
+    Tokens and word-values are materialized in SEPARATE projections
+    before the window transform (the dedup._shingles_of rule: an
+    expression captured in a lambda re-evaluates per element — with
+    the fold inside, that would be O(n^2 * k) per doc).  Pure per-row
+    lambda work, exact integer math — any engine reproduces the
+    hashes bit-for-bit."""
+    from .dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    wv = toks.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % F.lit(ROLL_MOD),
+        ).alias("__wv"),
+    )
+    cnt = F.size(F.col("__wv"))
+    idx = F.when(cnt >= k, F.sequence(F.lit(1), cnt - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return wv.select(
+        F.col(id_col),
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(F.col("__wv"), i, k),
+                F.lit(0).cast("long"),
+                lambda acc, w: (acc * F.lit(ROLL_BASE) + w) % F.lit(ROLL_MOD),
+            ),
+        ).alias("hashes"),
+    )
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -85,6 +85,35 @@ def test_text_features(spark):
     assert text.language_id(es).first()["lang_pred"] == "es"
 
 
+def test_rolling_hash_table(spark):
+    """Rabin-Karp window hashes: hand-computed oracle for one window,
+    shared windows between docs produce shared hashes, short docs
+    produce none."""
+    import hashlib as hl
+
+    from ong_tsdb_spark.operators.text import ROLL_BASE, ROLL_MOD, rolling_hash_table
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y a b c d"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["hashes"]) for r in rolling_hash_table(df, k=4).collect()}
+
+    def w(tok):
+        return int(hl.md5(tok.encode()).hexdigest()[:8], 16) % ROLL_MOD
+
+    def h(win):
+        acc = 0
+        for t in win:
+            acc = (acc * ROLL_BASE + w(t)) % ROLL_MOD
+        return acc
+
+    assert out[1] == [h(["a", "b", "c", "d"]), h(["b", "c", "d", "e"])]
+    assert out[3] == []  # shorter than the window
+    # doc 2 contains the window "a b c d" too -> shared hash
+    assert h(["a", "b", "c", "d"]) in out[2]
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, " hello   WORLD ")],
