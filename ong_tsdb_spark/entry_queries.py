@@ -859,6 +859,49 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantized_topk_sql() -> str:
+    cos = (
+        _DOT_SQL.format(a="d", b="qe")
+        + f" / ({_norm_sql('d')} * {_norm_sql('qe')})"
+    )
+    return f"""
+    WITH deq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> floor(x::DOUBLE * (127.0 / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))))
+                    / (127.0 / list_max(list_transform(embedding, y -> abs(y::DOUBLE))))) AS d
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+    ),
+    q AS (SELECT d AS qe FROM deq WHERE vec_id = 0)
+    SELECT vec_id, cosine, rank FROM (
+      SELECT vec_id, cosine,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM (SELECT deq.vec_id, {cos} AS cosine FROM deq, q WHERE vec_id <> 0)
+    ) WHERE rank <= 10
+    """
+
+
+@register("emb_quantized_topk", _quantized_topk_sql())
+def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over int8-QUANTIZED embeddings: symmetric
+    per-vector scalar quantization (4x storage reduction — the
+    standard first step for 100 TB embedding corpora), exact top-k
+    re-rank on the dequantized values.  floor-based quantization keeps
+    the arithmetic a single IEEE chain, so both engines produce
+    bit-identical dequantized cosines."""
+    emb = load(spark, sf_dir, "embeddings")
+    qt = similarity.quantize_embeddings(emb)
+    deq = qt.select(
+        "vec_id",
+        similarity.dequantize_expr(F.col("qvec"), F.col("scale")).alias("deq"),
+    )
+    q0 = [float(x) for x in deq.filter(F.col("vec_id") == 0).first()["deq"]]
+    return similarity.cosine_topk(
+        deq, q0, k=10, vec_col="deq", exclude_ids=[0]
+    ).select("vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+
 @register(
     "ts_asof_join",
     """

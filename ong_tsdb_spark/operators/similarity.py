@@ -276,6 +276,47 @@ def ivf_topk(
 
 
 # ----------------------------------------------------------------------
+# int8 scalar quantization (storage-reduction path for embeddings)
+# ----------------------------------------------------------------------
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    127 / max|x|, q_i = floor(x_i * scale).  A float32 corpus shrinks
+    4x (the standard first step before IVF/PQ at 100 TB scale);
+    dequantization is q_i / scale.  ``floor`` (not round) so the
+    arithmetic is a single unambiguous IEEE op chain any engine
+    reproduces bit-for-bit.  Zero vectors are dropped (no scale).
+
+    Returns (id, qvec array<int>, scale double)."""
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / absmax
+    return (
+        df.select(F.col(id_col), F.col(vec_col), absmax.alias("__am"))
+        .filter(F.col("__am") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * (F.lit(127.0) / F.col("__am"))).cast(
+                    "int"
+                ),
+            ).alias("qvec"),
+            (F.lit(127.0) / F.col("__am")).alias("scale"),
+        )
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """array<double> of q_i / scale — the lossy reconstruction."""
+    return F.transform(qvec, lambda q: q.cast("double") / scale)
+
+
+# ----------------------------------------------------------------------
 # IVF index persistence: centroids sidecar + ivf_cluster partitioning
 # ----------------------------------------------------------------------
 def write_ivf_index(

@@ -29,9 +29,15 @@ def token_count(text: Column) -> Column:
 
 #: GPT-2-style pretokenizer pattern, restricted to the Java-regex /
 #: RE2 COMMON SUBSET (ordered alternation, \p{L}/\p{N} classes, no
-#: lookarounds — the original's `\s+(?!\S)` branch is dropped).  Both
-#: engines match leftmost-first, so counts agree exactly.
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+#: lookarounds — the original's `\s+(?!\S)` branch is dropped).  The
+#: whitespace class is spelled out because Java's \s includes \x0B
+#: while RE2's does not; an explicit class makes both engines match
+#: identical strings.  Both match leftmost-first, so counts agree.
+_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(text: Column) -> Column:

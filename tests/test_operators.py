@@ -597,6 +597,34 @@ def test_adaptive_shingle_cap_skewed_corpus(spark):
     assert sorted(map(key, adaptive)) == sorted(map(key, plain))
 
 
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: values land in [-128, 127], dequantization
+    error is bounded by one quantization step (1/scale), zero vectors
+    are dropped."""
+    from ong_tsdb_spark.operators.similarity import dequantize_expr, quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 1.0]),
+        (2, [100.0, -50.0, 0.0, 25.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qt = quantize_embeddings(df)
+    out = {r["vec_id"]: r for r in qt.collect()}
+    assert 3 not in out and len(out) == 2
+    for vid, orig in [(1, rows[0][1]), (2, rows[1][1])]:
+        r = out[vid]
+        assert all(-128 <= q <= 127 for q in r["qvec"])
+        step = 1.0 / r["scale"]
+        deq = [q / r["scale"] for q in r["qvec"]]
+        assert all(abs(d - o) <= step + 1e-12 for d, o in zip(deq, orig))
+    # dequantize_expr matches the python reconstruction
+    d = qt.select("vec_id", dequantize_expr(F.col("qvec"), F.col("scale")).alias("d")).collect()
+    for r in d:
+        q = out[r["vec_id"]]
+        assert list(r["d"]) == [x / q["scale"] for x in q["qvec"]]
+
+
 def test_ivf_index_persistence(spark, tmp_path):
     """ROADMAP #3: persisted index (centroids sidecar + ivf_cluster
     partitioning) returns the same results as in-memory ivf_topk, and
