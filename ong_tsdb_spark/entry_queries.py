@@ -610,8 +610,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(docs, n=3, num_hashes=16, band_size=2)
 
 
-@register("dedup_simhash", None)  # xxhash64 has no oracle twin -> rows-only
+@register("dedup_simhash", dedup.simhash64_pairs_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit xxhash64 SimHash banded candidates — now FULLY
+    value-checked: the oracle computes the identical XXH64 (seed 42)
+    in exact HUGEINT arithmetic (operators/xxh64_sql.py), so the
+    'JVM-only hash' caveat from round 1 no longer applies."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_candidate_pairs(docs)
 

@@ -425,6 +425,39 @@ def simhash_portable_oracle_sql(bits: int = 32) -> str:
     """
 
 
+def simhash64_pairs_oracle_sql() -> str:
+    """DuckDB twin of ``simhash_candidate_pairs``: per-token XXH64
+    (seed 42, identical to Spark's xxhash64 — emitted by
+    operators/xxh64_sql.py), signed-bit aggregate per doc, 16-bit
+    band keys, band equi-join.  The vocabulary is hashed DISTINCT
+    then joined back (the hash expression is exact but heavyweight;
+    the corpus vocabulary is far smaller than the token stream)."""
+    from .xxh64_sql import xxh64_sql
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hu // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    vocab AS (SELECT DISTINCT t FROM tok),
+    vh AS (SELECT t, {xxh64_sql('t')} AS hu FROM vocab),
+    th AS (SELECT tok.doc_id, vh.hu FROM tok JOIN vh USING (t)),
+    sigs AS (SELECT doc_id, ({bit_terms}) AS sig_u FROM th GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, band,
+             CAST((sig_u // (CASE band WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536
+                             WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
+                  AS BIGINT) AS key
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
 def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup candidates: equal 16-bit SimHash sub-bands (docs within
     hamming distance 3 of each other share at least one of 4 bands)."""

@@ -63,6 +63,35 @@ def test_minhash_lsh_finds_exact_dups(spark):
     assert (1, 4) not in pairs
 
 
+def test_xxh64_sql_matches_spark(spark):
+    """The generated DuckDB XXH64 expression equals Spark's xxhash64
+    (seed 42) bit-for-bit on randomized unicode strings across every
+    length branch (empty / <8 / <32 / multi-stripe)."""
+    import random
+
+    import duckdb
+
+    from ong_tsdb_spark.operators.xxh64_sql import xxh64_sql
+
+    random.seed(3)
+    pool = "abcXYZ019 àéßñ日本語🎉-_'"
+    samples = ["", "a", "12345678", "x" * 31, "y" * 32, "z" * 100] + [
+        "".join(random.choice(pool) for _ in range(random.randint(0, 80)))
+        for _ in range(60)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in sdf.select("s", F.xxhash64("s").alias("h")).collect()}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT s, " + xxh64_sql("s") + " AS h FROM (SELECT unnest(?) AS s)",
+        [samples],
+    ).fetchall()
+    for s, hu in rows:
+        h = int(hu)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == got[s], f"xxh64 mismatch for {s!r}"
+
+
 def test_simhash_near_for_near_docs(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]
