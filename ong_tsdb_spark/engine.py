@@ -71,7 +71,7 @@ class OngTsdbSpark:
         base_dir: str,
         admin_key: str | None = None,
         lock_timeout: float = 60.0,
-        lock_stale_after: float = 300.0,
+        lock_stale_after: float | None = None,
     ):
         self.spark = spark
         # scheme-qualified base dirs (hdfs://, s3a://, file:/ ...) go
@@ -81,9 +81,13 @@ class OngTsdbSpark:
         self.catalog = (
             HadoopCatalog(spark, base_dir) if is_remote_uri(base_dir) else Catalog(base_dir)
         )
+        from .locks import DEFAULT_STALE_AFTER
+
         self.admin_key = admin_key
         self.lock_timeout = lock_timeout
-        self.lock_stale_after = lock_stale_after
+        self.lock_stale_after = (
+            DEFAULT_STALE_AFTER if lock_stale_after is None else lock_stale_after
+        )
         self._locks: dict[tuple[str, str], threading.Lock] = {}
         self._locks_guard = threading.Lock()
 
@@ -616,11 +620,19 @@ class OngTsdbSpark:
             if first <= c <= last
         )
         for c in chunks:
+            # Upper bound must be EXCLUSIVE of the next chunk's start:
+            # read() is end-inclusive, and at epoch magnitudes a float
+            # epsilon like 1e-9 is below one ULP (~2.4e-7), so it would
+            # round back to exactly c + duration and double-yield every
+            # boundary-aligned sample.  math.nextafter gives the largest
+            # float strictly below the boundary — ts <= bound is then
+            # exactly ts < c + duration, ULP-exact at any magnitude.
+            bound = math.nextafter(c + grid.chunk_duration, -math.inf)
             pdf = self.read_pandas(
                 db,
                 sensor,
                 start_ts=max(float(start_ts), c),
-                end_ts=min(float(end_ts), c + grid.chunk_duration - 1e-9),
+                end_ts=min(float(end_ts), bound),
                 metrics=metrics,
                 tz=tz,
                 key=key,

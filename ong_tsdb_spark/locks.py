@@ -9,13 +9,27 @@ merge/overwrite cycles could interleave and lose updates.
 This module adds the filesystem protocol:
 
 * ``SensorFileLock`` — an exclusive lockfile (``O_CREAT|O_EXCL`` is
-  atomic on POSIX) in the sensor directory.  Stale locks (crashed
-  writer) are broken after ``stale_after`` seconds; acquisition spins
-  with a backoff up to ``timeout``.
+  atomic on POSIX) in the sensor directory.  The HOLDER heartbeats the
+  lockfile (touches it every ``stale_after/4`` seconds) so a live lock
+  never looks stale no matter how long the Spark write takes; waiters
+  break a lock only after observing the *identical* payload+mtime
+  stale on two consecutive polls, so a heartbeating holder (mtime
+  advances) or a freshly re-created lock (new payload) is never
+  unlinked.  Acquisition spins with a backoff up to ``timeout``.
 * a ``_version`` file bumped atomically (temp + ``os.replace``) after
   every committed write while the lock is held — a monotonic change
   cursor so other processes/readers can cheaply detect that their
   cached view is stale.
+
+Caveat (documented, inherent to unlink-based breaking): plain POSIX has
+no compare-and-delete, so between a waiter's final payload check and
+its ``unlink`` the holder could release and a third process acquire —
+the waiter would then unlink the third process's fresh lock.  The
+two-observation protocol shrinks that window to microseconds and the
+heartbeat means it only opens at all after a writer has been silent for
+``stale_after`` (default 30 min, far beyond any sane Spark write);
+stale-breaking therefore implies a *potential* dual-writer window and
+``stale_after`` should stay well above worst-case write time.
 
 On an object store the same protocol maps to conditional PUT
 (if-none-match) for the lock and the version object; the local-FS
@@ -26,6 +40,7 @@ implementation mirrors the reference's safe_createfile discipline
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 
@@ -35,6 +50,11 @@ class SensorLockTimeout(TimeoutError):
 
 LOCK_NAME = "_writer.lock"
 VERSION_NAME = "_version"
+
+#: default stale horizon — 30 min.  Deliberately much longer than any
+#: plausible single Spark write; with the holder heartbeat the horizon
+#: only matters for genuinely crashed writers.
+DEFAULT_STALE_AFTER = 1800.0
 
 
 class SensorFileLock:
@@ -48,13 +68,19 @@ class SensorFileLock:
         self,
         sensor_dir: str,
         timeout: float = 60.0,
-        stale_after: float = 300.0,
+        stale_after: float = DEFAULT_STALE_AFTER,
         poll: float = 0.02,
     ):
         self.path = os.path.join(sensor_dir, LOCK_NAME)
         self.timeout = timeout
         self.stale_after = stale_after
         self.poll = poll
+        self.heartbeat_every = max(stale_after / 4.0, 0.05)
+        self._hb_stop: threading.Event | None = None
+        self._hb_thread: threading.Thread | None = None
+        # last (payload, mtime) a waiter saw stale; break only on a
+        # second sighting of the exact same state
+        self._observed: tuple[bytes, float] | None = None
 
     def acquire(self) -> None:
         deadline = time.monotonic() + self.timeout
@@ -65,6 +91,7 @@ class SensorFileLock:
                     os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
                 finally:
                     os.close(fd)
+                self._start_heartbeat()
                 return
             except FileExistsError:
                 self._maybe_break_stale()
@@ -75,18 +102,52 @@ class SensorFileLock:
                     ) from None
                 time.sleep(self.poll)
 
-    def _maybe_break_stale(self) -> None:
+    # -- holder heartbeat --------------------------------------------
+    def _start_heartbeat(self) -> None:
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(self.heartbeat_every):
+                try:
+                    os.utime(self.path, None)  # live: keep mtime fresh
+                except OSError:
+                    return  # released (or broken) — nothing to keep alive
+
+        t = threading.Thread(target=beat, name="sensor-lock-heartbeat", daemon=True)
+        t.start()
+        self._hb_stop, self._hb_thread = stop, t
+
+    # -- waiter-side stale breaking ----------------------------------
+    def _lock_state(self) -> tuple[bytes, float] | None:
         try:
-            age = time.time() - os.stat(self.path).st_mtime
-        except FileNotFoundError:
-            return  # released between our O_EXCL failure and the stat
-        if age > self.stale_after:
+            st = os.stat(self.path)
+            with open(self.path, "rb") as f:
+                return f.read(), st.st_mtime
+        except OSError:
+            return None  # released between our O_EXCL failure and here
+
+    def _maybe_break_stale(self) -> None:
+        state = self._lock_state()
+        if state is None or time.time() - state[1] <= self.stale_after:
+            self._observed = None  # live (or gone): forget any sighting
+            return
+        if self._observed == state:
+            # Same payload AND same mtime as our previous poll, still
+            # past the stale horizon: the holder is not heartbeating
+            # and nobody re-created the file — treat as crashed.
             try:
-                os.unlink(self.path)  # crashed writer; next acquire wins
+                os.unlink(self.path)
             except FileNotFoundError:
                 pass
+            self._observed = None
+        else:
+            self._observed = state  # first sighting: remember, re-check
 
     def release(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=2.0)
+            self._hb_stop = self._hb_thread = None
         try:
             os.unlink(self.path)
         except FileNotFoundError:

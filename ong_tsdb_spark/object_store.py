@@ -118,21 +118,33 @@ class HadoopFs:
 
 
 class HadoopSensorLock:
-    """The locks.SensorFileLock protocol over HadoopFs."""
+    """The locks.SensorFileLock protocol over HadoopFs: holder
+    heartbeats the lock object (rewrite refreshes mtime) and waiters
+    only break a lock after seeing the identical payload+mtime stale on
+    two consecutive polls — see locks.py for the protocol rationale and
+    the documented stale-break caveat (no compare-and-delete on these
+    filesystems either)."""
 
     def __init__(
         self,
         fs: HadoopFs,
         sensor_dir: str,
         timeout: float = 60.0,
-        stale_after: float = 300.0,
+        stale_after: float | None = None,
         poll: float = 0.05,
     ):
+        from .locks import DEFAULT_STALE_AFTER
+
         self.fs = fs
         self.path = posixpath.join(sensor_dir, "_writer.lock")
         self.timeout = timeout
-        self.stale_after = stale_after
+        self.stale_after = DEFAULT_STALE_AFTER if stale_after is None else stale_after
         self.poll = poll
+        self.heartbeat_every = max(self.stale_after / 4.0, 0.05)
+        self._payload: bytes | None = None
+        self._hb_stop = None
+        self._hb_thread = None
+        self._observed: tuple[bytes, float] | None = None
 
     def acquire(self) -> None:
         import os
@@ -141,13 +153,10 @@ class HadoopSensorLock:
         payload = f"{os.getpid()} {time.time()}\n".encode()
         while True:
             if self.fs.create_exclusive(self.path, payload):
+                self._payload = payload
+                self._start_heartbeat()
                 return
-            try:
-                if time.time() - self.fs.mtime(self.path) > self.stale_after:
-                    self.fs.delete(self.path, False)
-                    continue
-            except Exception:
-                continue  # lock vanished between create and stat
+            self._maybe_break_stale()
             if time.monotonic() >= deadline:
                 raise SensorLockTimeout(
                     f"could not acquire sensor write lock {self.path} "
@@ -155,7 +164,48 @@ class HadoopSensorLock:
                 )
             time.sleep(self.poll)
 
+    def _start_heartbeat(self) -> None:
+        import threading
+
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(self.heartbeat_every):
+                try:
+                    # rewrite with our own payload: refreshes mtime on
+                    # every Hadoop FS (no portable utime equivalent)
+                    self.fs.write_bytes(self.path, self._payload, overwrite=True)
+                except Exception:
+                    return
+        t = threading.Thread(target=beat, name="hadoop-lock-heartbeat", daemon=True)
+        t.start()
+        self._hb_stop, self._hb_thread = stop, t
+
+    def _lock_state(self) -> tuple[bytes, float] | None:
+        try:
+            return self.fs.read_bytes(self.path), self.fs.mtime(self.path)
+        except Exception:
+            return None  # vanished between create-exclusive and here
+
+    def _maybe_break_stale(self) -> None:
+        state = self._lock_state()
+        if state is None or time.time() - state[1] <= self.stale_after:
+            self._observed = None
+            return
+        if self._observed == state:
+            try:
+                self.fs.delete(self.path, False)
+            except Exception:
+                pass
+            self._observed = None
+        else:
+            self._observed = state
+
     def release(self) -> None:
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+            self._hb_thread.join(timeout=2.0)
+            self._hb_stop = self._hb_thread = None
         self.fs.delete(self.path, False)
 
     def __enter__(self) -> "HadoopSensorLock":

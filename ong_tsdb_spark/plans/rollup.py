@@ -68,11 +68,22 @@ def rollup_sensor(
     # bucket and extend end to the last instant of its bucket
     if start_ts is not None:
         start_ts = grid.snap(float(start_ts))
+    end_excl = None
     if end_ts is not None:
-        end_ts = grid.snap(float(end_ts)) + grid.tick_seconds - 1e-9
+        # The refresh window must stop strictly BEFORE the next bucket:
+        # engine.read is end-inclusive and a float epsilon (1e-9) is
+        # below one ULP at epoch magnitudes, so subtracting it would
+        # still read the next bucket's first sample and recompute that
+        # bucket from partial data (overwriting a correct value via
+        # last-wins).  Read through the boundary, then drop rows at or
+        # past it with an exact row filter — no float tricks.
+        end_excl = grid.snap(float(end_ts)) + grid.tick_seconds
+        end_ts = end_excl
     src = engine.read(db, src_sensor, start_ts=start_ts, end_ts=end_ts)
     if src is None:
         return
+    if end_excl is not None:
+        src = src.filter(F.col(TS_COL) < F.lit(float(end_excl)))
     bucket = grid.snap_expr(F.col(TS_COL)).cast("double").alias(TS_COL)
     fn = _AGGS[agg]
     aggs = []

@@ -140,6 +140,15 @@ def unpackb(data: bytes) -> Any:
     return obj
 
 
+def _scalar(fmt: str, size: int, mv: memoryview, pos: int):
+    """unpack_from with an explicit bounds check: truncated untrusted
+    input raises MsgpackError (never a bare struct.error / short slice),
+    so the /influx_binary route reports a consistent 400."""
+    if pos + size > len(mv):
+        raise MsgpackError("truncated msgpack data")
+    return struct.unpack_from(fmt, mv, pos)[0]
+
+
 def _unpack(mv: memoryview, pos: int) -> tuple[Any, int]:
     if pos >= len(mv):
         raise MsgpackError("truncated msgpack data")
@@ -162,63 +171,54 @@ def _unpack(mv: memoryview, pos: int) -> tuple[Any, int]:
     if b == 0xC3:
         return True, pos
     if b == 0xC4:
-        (n,) = struct.unpack_from(">B", mv, pos)
-        return bytes(mv[pos + 1 : pos + 1 + n]), pos + 1 + n
+        n = _scalar(">B", 1, mv, pos)
+        return _unpack_bin(mv, pos + 1, n)
     if b == 0xC5:
-        (n,) = struct.unpack_from(">H", mv, pos)
-        return bytes(mv[pos + 2 : pos + 2 + n]), pos + 2 + n
+        n = _scalar(">H", 2, mv, pos)
+        return _unpack_bin(mv, pos + 2, n)
     if b == 0xC6:
-        (n,) = struct.unpack_from(">I", mv, pos)
-        return bytes(mv[pos + 4 : pos + 4 + n]), pos + 4 + n
+        n = _scalar(">I", 4, mv, pos)
+        return _unpack_bin(mv, pos + 4, n)
     if b == 0xCA:
-        (v,) = struct.unpack_from(">f", mv, pos)
-        return v, pos + 4
+        return _scalar(">f", 4, mv, pos), pos + 4
     if b == 0xCB:
-        (v,) = struct.unpack_from(">d", mv, pos)
-        return v, pos + 8
+        return _scalar(">d", 8, mv, pos), pos + 8
     if b == 0xCC:
-        return mv[pos], pos + 1
+        return _scalar(">B", 1, mv, pos), pos + 1
     if b == 0xCD:
-        (v,) = struct.unpack_from(">H", mv, pos)
-        return v, pos + 2
+        return _scalar(">H", 2, mv, pos), pos + 2
     if b == 0xCE:
-        (v,) = struct.unpack_from(">I", mv, pos)
-        return v, pos + 4
+        return _scalar(">I", 4, mv, pos), pos + 4
     if b == 0xCF:
-        (v,) = struct.unpack_from(">Q", mv, pos)
-        return v, pos + 8
+        return _scalar(">Q", 8, mv, pos), pos + 8
     if b == 0xD0:
-        (v,) = struct.unpack_from(">b", mv, pos)
-        return v, pos + 1
+        return _scalar(">b", 1, mv, pos), pos + 1
     if b == 0xD1:
-        (v,) = struct.unpack_from(">h", mv, pos)
-        return v, pos + 2
+        return _scalar(">h", 2, mv, pos), pos + 2
     if b == 0xD2:
-        (v,) = struct.unpack_from(">i", mv, pos)
-        return v, pos + 4
+        return _scalar(">i", 4, mv, pos), pos + 4
     if b == 0xD3:
-        (v,) = struct.unpack_from(">q", mv, pos)
-        return v, pos + 8
+        return _scalar(">q", 8, mv, pos), pos + 8
     if b == 0xD9:
-        (n,) = struct.unpack_from(">B", mv, pos)
+        n = _scalar(">B", 1, mv, pos)
         return _unpack_str(mv, pos + 1, n)
     if b == 0xDA:
-        (n,) = struct.unpack_from(">H", mv, pos)
+        n = _scalar(">H", 2, mv, pos)
         return _unpack_str(mv, pos + 2, n)
     if b == 0xDB:
-        (n,) = struct.unpack_from(">I", mv, pos)
+        n = _scalar(">I", 4, mv, pos)
         return _unpack_str(mv, pos + 4, n)
     if b == 0xDC:
-        (n,) = struct.unpack_from(">H", mv, pos)
+        n = _scalar(">H", 2, mv, pos)
         return _unpack_array(mv, pos + 2, n)
     if b == 0xDD:
-        (n,) = struct.unpack_from(">I", mv, pos)
+        n = _scalar(">I", 4, mv, pos)
         return _unpack_array(mv, pos + 4, n)
     if b == 0xDE:
-        (n,) = struct.unpack_from(">H", mv, pos)
+        n = _scalar(">H", 2, mv, pos)
         return _unpack_map(mv, pos + 2, n)
     if b == 0xDF:
-        (n,) = struct.unpack_from(">I", mv, pos)
+        n = _scalar(">I", 4, mv, pos)
         return _unpack_map(mv, pos + 4, n)
     raise MsgpackError(f"unsupported msgpack type byte 0x{b:02x}")
 
@@ -227,6 +227,12 @@ def _unpack_str(mv: memoryview, pos: int, n: int) -> tuple[str, int]:
     if pos + n > len(mv):
         raise MsgpackError("truncated string")
     return bytes(mv[pos : pos + n]).decode("utf-8"), pos + n
+
+
+def _unpack_bin(mv: memoryview, pos: int, n: int) -> tuple[bytes, int]:
+    if pos + n > len(mv):
+        raise MsgpackError("truncated binary")
+    return bytes(mv[pos : pos + n]), pos + n
 
 
 def _unpack_array(mv: memoryview, pos: int, n: int) -> tuple[list, int]:

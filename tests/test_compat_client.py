@@ -138,3 +138,27 @@ def test_read_default_end_hides_future(client):
         pd.Timestamp(future + 60, unit="s", tz="UTC"),
     )
     assert out2["v"].tolist() == [1.0, 2.0]
+
+
+def test_version_handshake_key_semantics():
+    """F11: zero-padded release keys — '0.2' == '0.2.0'; pre-release
+    components keep their leading digits ('0.3.0rc1' release = 0.3.0);
+    older server raises, newer passes (round-2 ADVICE low fix)."""
+    from ong_tsdb_spark.check_versions import (
+        WrongServerVersion,
+        check_version,
+        check_version_and_raise,
+        _release_key,
+    )
+
+    assert _release_key("0.2") == _release_key("0.2.0")
+    assert _release_key("0.3.0rc1")[:3] == (0, 3, 0)
+    assert _release_key("1.2.3+cpu") == _release_key("1.2.3")
+    assert check_version("0.2.0", client_version="0.2")
+    assert check_version("0.2", client_version="0.2.0")
+    assert check_version("0.3.0rc1", client_version="0.3.0")
+    assert check_version("9.9.9", client_version="0.1.0")
+    assert not check_version("0.0.1", client_version="0.1.0")
+    with pytest.raises(WrongServerVersion):
+        check_version_and_raise("0.0.0")
+    check_version_and_raise("999.0")  # newer server: fine

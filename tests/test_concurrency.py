@@ -126,6 +126,56 @@ def test_stale_lock_is_broken(tmp_path):
     fresh.release()
 
 
+def test_heartbeat_keeps_long_write_alive(tmp_path):
+    """Round-2 ADVICE: a LIVE holder whose write outlasts stale_after
+    must not have its lock broken — the holder heartbeats (touches the
+    lockfile), so waiters always see a fresh mtime."""
+    import os
+    import time
+
+    from ong_tsdb_spark.locks import SensorFileLock, SensorLockTimeout
+
+    sensor_dir = str(tmp_path / "s")
+    os.makedirs(sensor_dir)
+    holder = SensorFileLock(sensor_dir, stale_after=1.0)  # heartbeat ~0.25s
+    holder.acquire()
+    time.sleep(2.5)  # well past stale_after in wall-clock age
+    # the lock was ACQUIRED > stale_after ago, but heartbeats keep the
+    # mtime fresh: the waiter must time out, not break it
+    with pytest.raises(SensorLockTimeout):
+        SensorFileLock(sensor_dir, timeout=1.5, stale_after=1.0).acquire()
+    holder.release()
+
+
+def test_stale_break_spares_recreated_lock(tmp_path):
+    """The waiter remembers the (payload, mtime) it saw stale and only
+    unlinks on a second identical sighting — a lock re-created by a
+    different process between polls (new payload) survives."""
+    import os
+
+    from ong_tsdb_spark.locks import SensorFileLock
+
+    sensor_dir = str(tmp_path / "s")
+    os.makedirs(sensor_dir)
+    lockfile = os.path.join(sensor_dir, "_writer.lock")
+    with open(lockfile, "wb") as f:
+        f.write(b"999 1.0\n")
+    old = 1.0
+    os.utime(lockfile, (old, old))
+    waiter = SensorFileLock(sensor_dir, timeout=5.0, stale_after=300.0)
+    waiter._maybe_break_stale()  # first sighting: records, must NOT unlink
+    assert os.path.exists(lockfile)
+    # another process breaks + re-creates the lock between our polls
+    os.unlink(lockfile)
+    with open(lockfile, "wb") as f:
+        f.write(b"1000 2.0\n")
+    os.utime(lockfile, (old, old))  # even if its mtime looks stale too
+    waiter._maybe_break_stale()  # different payload -> new first sighting
+    assert os.path.exists(lockfile)
+    waiter._maybe_break_stale()  # second identical sighting -> break
+    assert not os.path.exists(lockfile)
+
+
 def test_two_engine_instances_serialize_writes(spark, tmp_path):
     """Two engine INSTANCES (separate thread-lock registries — the
     in-process lock cannot serialize them, exactly like two driver

@@ -70,6 +70,29 @@ def test_read_iter_chunked(eng):
     assert sum(len(f) for _, f in some) == 6
 
 
+def test_read_iter_boundary_aligned_no_duplicates(eng):
+    """Regression (round-2 ADVICE): dense 1 s data whose samples land
+    EXACTLY on the 16384 s chunk boundary.  The old per-chunk clamp
+    (c + duration - 1e-9) rounded back to the next chunk's start at
+    epoch magnitudes (1e-9 < one float64 ULP), so every boundary sample
+    was yielded twice.  Concatenation must equal the one-shot read."""
+    eng.create_sensor("test", "sbd", "1s", ["a"])
+    grid = eng.catalog.get_config("test", "sbd").grid
+    boundary = grid.chunk_start(pd.Timestamp("2023-06-01", tz="UTC").timestamp())
+    start = pd.to_datetime(boundary - 50, unit="s", utc=True)
+    idx = pd.date_range(start, periods=120, freq="1s", tz="UTC")  # crosses boundary
+    pdf = pd.DataFrame({"a": np.arange(120.0)}, index=idx)
+    eng.write_df("test", "sbd", pdf)
+    chunks = list(eng.read_iter("test", "sbd",
+                                start_ts=idx[0].timestamp(),
+                                end_ts=idx[-1].timestamp()))
+    assert len(chunks) == 2  # genuinely crosses one boundary
+    joined = pd.concat([f for _, f in chunks])
+    assert not joined.index.duplicated().any()
+    assert len(joined) == 120
+    assert joined.equals(eng.read_pandas("test", "sbd"))
+
+
 def test_object_store_catalog_roundtrip(spark, tmp_path):
     """ROADMAP #5: a scheme-qualified base dir routes the catalog
     through the Hadoop FileSystem API (here file:/, the same code path

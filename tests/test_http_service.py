@@ -106,6 +106,18 @@ def test_msgpack_lite_roundtrip():
     assert unpackb(packb(vals)) == vals
 
 
+def test_msgpack_lite_truncation_raises():
+    """Round-2 ADVICE low: every truncation of an untrusted body must
+    raise MsgpackError — never a silent short bytes value or a bare
+    struct.error leaking through the /influx_binary 400 handler."""
+    from ong_tsdb_spark.sources.msgpack_lite import MsgpackError, packb, unpackb
+
+    payload = packb([b"\x01" * 300, "s" * 300, 2**40, 1.25, [1, 2, 3]])
+    for cut in range(len(payload)):
+        with pytest.raises(MsgpackError):
+            unpackb(payload[:cut])
+
+
 def test_influx_binary_route(client):
     """S6: the reference client's msgpack tuple write
     (reference server.py:317-327, tests/test_write_point_list.py)."""

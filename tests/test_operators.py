@@ -729,6 +729,33 @@ def test_rollup_sensor(eng):
     assert out2["v"].iloc[1] == 7.0
 
 
+def test_rollup_refresh_mid_bucket_keeps_full_bucket(eng):
+    """Regression (round-2 ADVICE): an incremental refresh whose span
+    ENDS mid-bucket, while later source data exists, must not recompute
+    the following bucket from partial data.  The old end clamp
+    (snap(end) + tick - 1e-9) rounded to exactly the next bucket start
+    at epoch magnitudes, pulling that bucket's first source sample into
+    the refresh and overwriting its correct average via last-wins."""
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+
+    eng.create_sensor("d", "rawmb", "1s", ["v"])
+    # two full minutes; minute 1's FIRST sample (100) differs from its
+    # average (129.5) so partial recomputation is detectable
+    idx = pd.date_range("2023-01-02", periods=120, freq="1s", tz="UTC")
+    vals = np.concatenate([np.full(60, 1.0), np.arange(60.0) + 100.0])
+    eng.write_df("d", "rawmb", pd.DataFrame({"v": vals}, index=idx))
+    rollup_sensor(eng, "d", "rawmb", "rawmb_1m", freq="60s", agg="avg")
+    out = eng.read_pandas("d", "rawmb_1m")
+    assert list(out["v"]) == [1.0, 129.5]
+    # refresh a span ending mid-bucket-0 (t0+30 s); bucket 1 has data
+    t0 = idx[0].timestamp()
+    rollup_sensor(eng, "d", "rawmb", "rawmb_1m", freq="60s", agg="avg",
+                  start_ts=t0, end_ts=t0 + 30)
+    out2 = eng.read_pandas("d", "rawmb_1m")
+    # bucket 0 recomputed from its FULL source minute, bucket 1 untouched
+    assert list(out2["v"]) == [1.0, 129.5]
+
+
 def test_chunked_running_sum_matches_single_window(spark):
     """The two-pass chunked prefix sum equals the single-window plan
     value-for-value (decimal exactness), including chunk-boundary rows
