@@ -40,6 +40,8 @@ T_1998_09_02 = 904_694_400 * US
 T_1995_03_15 = 795_225_600 * US
 T_1996_01_01 = 820_454_400 * US
 T_1997_01_01 = 852_076_800 * US
+# chunk length for chunk-parallel per-series windows (operators/chunkwin.py)
+WEEK_US = 7 * 86400 * US
 
 EN_LIST_SQL = "'" + "','".join(text.EN_STOPWORDS) + "'"
 ES_LIST_SQL = "'" + "','".join(text.ES_STOPWORDS) + "'"
@@ -940,16 +942,23 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series delta (discrete derivative) — lag window; the
-    partition key is the series so the sort never crosses series."""
+    """Per-series delta (discrete derivative) — lag(1), chunk-parallel:
+    event_type has ~5 distinct values, so a plain per-series window is
+    one task per series at any scale.  chunked_window ships each weekly
+    chunk its single carry row and evaluates the identical lag within
+    (series, week) — bit-equal, keys x weeks tasks."""
+    from .operators.chunkwin import chunked_window
+
     ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
-    w = Window.partitionBy("event_type").orderBy(F.col("ts_us"), F.col("event_id"))
-    return ev.select(
-        "event_type",
-        "ts_us",
-        "value",
-        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    out = chunked_window(
+        ev.select("event_type", "ts_us", "event_id", "value"),
+        key_cols=["event_type"],
+        order_cols=["ts_us", "event_id"],
+        chunk_len=WEEK_US,
+        build=lambda w: {"delta": F.col("value") - F.lag("value").over(w)},
+        rows_before=1,
     )
+    return out.select("event_type", "ts_us", "value", "delta")
 
 
 @register(
@@ -1066,21 +1075,28 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling mean over a 4-row frame per series — decimal-exact
     frame sum divided by the frame count (cross-engine stable)."""
+    from .operators.chunkwin import chunked_window
+
     ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("ts_us"), F.col("event_id"))
-        .rowsBetween(-3, 0)
+
+    def _build(w):
+        wf = w.rowsBetween(-3, 0)
+        return {
+            "rolling_mean": (
+                F.sum(F.col("value").cast("decimal(18,2)")).over(wf).cast("double")
+                / F.count("value").over(wf)
+            )
+        }
+
+    out = chunked_window(
+        ev.select("event_type", "ts_us", "event_id", "value"),
+        key_cols=["event_type"],
+        order_cols=["ts_us", "event_id"],
+        chunk_len=WEEK_US,
+        build=_build,
+        rows_before=3,
     )
-    return ev.select(
-        "event_type",
-        "ts_us",
-        "value",
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("value").over(w)
-        ).alias("rolling_mean"),
-    )
+    return out.select("event_type", "ts_us", "value", "rolling_mean")
 
 
 @register(
@@ -1418,15 +1434,20 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure-bigint numerator (value as exact cents x interval-µs —
     order-free sums) with one double division at the edge; DECIMAL->
     DOUBLE was avoided because DuckDB double-rounds that conversion
-    (observed 1-ulp drift)."""
+    (observed 1-ulp drift).  lead(1) is evaluated chunk-parallel
+    (operators/chunkwin.py forward carries) before the group-by."""
+    from .operators.chunkwin import chunked_window
+
     ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
     cents = F.round(F.col("value") * 100).cast("bigint")
-    w = Window.partitionBy("event_type").orderBy(F.col("us"), F.col("event_id"))
-    seq = (
-        ev.withColumn("cents", cents)
-        .withColumn("next_us", F.lead("us").over(w))
-        .filter(F.col("next_us").isNotNull())
-    )
+    seq = chunked_window(
+        ev.withColumn("cents", cents).select("event_type", "us", "event_id", "cents"),
+        key_cols=["event_type"],
+        order_cols=["us", "event_id"],
+        chunk_len=WEEK_US,
+        build=lambda w: {"next_us": F.lead("us").over(w)},
+        rows_after=1,
+    ).filter(F.col("next_us").isNotNull())
     dt = F.col("next_us") - F.col("us")
     return seq.groupBy("event_type").agg(
         (
@@ -1574,12 +1595,27 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series rate of change (delta value / delta seconds) — the
-    counter-rate operator; identical expression order both engines."""
+    counter-rate operator; identical expression order both engines.
+    lag(1) evaluated chunk-parallel (operators/chunkwin.py): one carry
+    row per weekly chunk instead of one task per series."""
+    from .operators.chunkwin import chunked_window
+
     ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
-    w = Window.partitionBy("event_type").orderBy(F.col("us"), F.col("event_id"))
-    dv = F.col("value") - F.lag("value").over(w)
-    dt_s = (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1000000.0)
-    return ev.select("event_type", F.col("us").alias("ts_us"), (dv / dt_s).alias("rate_per_s"))
+
+    def _build(w):
+        dv = F.col("value") - F.lag("value").over(w)
+        dt_s = (F.col("us") - F.lag("us").over(w)).cast("double") / F.lit(1000000.0)
+        return {"rate_per_s": dv / dt_s}
+
+    out = chunked_window(
+        ev.select("event_type", "us", "event_id", "value"),
+        key_cols=["event_type"],
+        order_cols=["us", "event_id"],
+        chunk_len=WEEK_US,
+        build=_build,
+        rows_before=1,
+    )
+    return out.select("event_type", F.col("us").alias("ts_us"), "rate_per_s")
 
 
 @register(
@@ -1918,24 +1954,36 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     average per event type.  The frame is defined by the timestamp
     VALUE, not row counts — ties share one frame in both engines.
     Decimal window sums keep the frame total exact, so the final
-    double division rounds once, identically to the oracle."""
+    double division rounds once, identically to the oracle.  The RANGE
+    frame looks back 5 min <= one weekly chunk, so chunked_window ships
+    each chunk only the prior rows within 5 min of its edge — keys x
+    weeks tasks instead of one task per series."""
+    from .operators.chunkwin import chunked_window
+
     ev = load(spark, sf_dir, "events").select(
         "event_type", "event_id", _us("ts").alias("us"), "value"
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("us"))
-        .rangeBetween(-300_000_000, 0)
+
+    def _build(w):
+        wf = w.rangeBetween(-300_000_000, 0)
+        return {
+            "n_in_window": F.count("*").over(wf),
+            "moving_avg": (
+                F.sum(F.col("value").cast("decimal(18,2)")).over(wf).cast("double")
+                / F.count("*").over(wf)
+            ),
+        }
+
+    out = chunked_window(
+        ev,
+        key_cols=["event_type"],
+        order_cols=["us"],
+        chunk_len=WEEK_US,
+        build=_build,
+        range_before=300_000_000,
     )
-    return ev.select(
-        "event_type",
-        "event_id",
-        F.col("us").alias("ts_us"),
-        F.count("*").over(w).alias("n_in_window"),
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
-            / F.count("*").over(w)
-        ).alias("moving_avg"),
+    return out.select(
+        "event_type", "event_id", F.col("us").alias("ts_us"), "n_in_window", "moving_avg"
     )
 
 

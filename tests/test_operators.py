@@ -939,3 +939,145 @@ def test_cli_maintenance_surface(spark, tmp_path, capsys):
                  "--older-than-ts", str(cutoff)]) == 0
     assert "dropped" in capsys.readouterr().out
     assert len(e.read_pandas("d", "s")) == 0
+
+
+# ---------------------------------------------------------------------------
+# chunked per-series windows (operators/chunkwin.py)
+# ---------------------------------------------------------------------------
+
+def _chunkwin_data(spark):
+    """Two keys: 'a' dense (boundary-straddling), 'b' sparse — exactly
+    one row per chunk, so lag(3) must cascade across three chunks."""
+    rows = [("a", t, t % 5, float(t % 11) - 2.0) for t in range(0, 180)] + [
+        ("b", t, 0, float(t)) for t in range(0, 500, 50)
+    ]
+    return spark.createDataFrame(rows, "k string, ts long, id long, value double")
+
+
+def test_chunked_window_lag_matches_plain(spark):
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    df = _chunkwin_data(spark)
+    w = Window.partitionBy("k").orderBy("ts", "id")
+    plain = df.select(
+        "k", "ts", "id", F.lag("value", 1).over(w).alias("l1")
+    ).collect()
+    out = chunked_window(
+        df,
+        key_cols=["k"],
+        order_cols=["ts", "id"],
+        chunk_len=50,
+        build=lambda w: {"l1": F.lag("value", 1).over(w)},
+        rows_before=1,
+    ).select("k", "ts", "id", "l1").collect()
+    key = lambda r: (r["k"], r["ts"], r["id"])
+    assert sorted(out, key=key) == sorted(plain, key=key)
+
+
+def test_chunked_window_rolling_rows_sparse_cascade(spark):
+    """ROWS 3 PRECEDING with one-row chunks: carries must come from the
+    three nearest non-empty chunks, not just the adjacent one."""
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    df = _chunkwin_data(spark)
+    w = Window.partitionBy("k").orderBy("ts", "id").rowsBetween(-3, 0)
+    plain = df.select(
+        "k", "ts", "id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("s"),
+        F.count("value").over(w).alias("n"),
+    ).collect()
+    out = chunked_window(
+        df,
+        key_cols=["k"],
+        order_cols=["ts", "id"],
+        chunk_len=50,
+        build=lambda wb: {
+            "s": F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(wb.rowsBetween(-3, 0))
+            .cast("double"),
+            "n": F.count("value").over(wb.rowsBetween(-3, 0)),
+        },
+        rows_before=3,
+    ).select("k", "ts", "id", "s", "n").collect()
+    key = lambda r: (r["k"], r["ts"], r["id"])
+    assert sorted(out, key=key) == sorted(plain, key=key)
+
+
+def test_chunked_window_lead_matches_plain(spark):
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    df = _chunkwin_data(spark)
+    w = Window.partitionBy("k").orderBy("ts", "id")
+    plain = df.select("k", "ts", "id", F.lead("ts").over(w).alias("nxt")).collect()
+    out = chunked_window(
+        df,
+        key_cols=["k"],
+        order_cols=["ts", "id"],
+        chunk_len=50,
+        build=lambda w: {"nxt": F.lead("ts").over(w)},
+        rows_after=1,
+    ).select("k", "ts", "id", "nxt").collect()
+    key = lambda r: (r["k"], r["ts"], r["id"])
+    assert sorted(out, key=key) == sorted(plain, key=key)
+
+
+def test_chunked_window_range_frame_matches_plain(spark):
+    """RANGE r PRECEDING with boundary-exact carries: rows landing
+    exactly r before a next-chunk row must be inside its frame."""
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    df = _chunkwin_data(spark)
+    w = Window.partitionBy("k").orderBy("ts").rangeBetween(-20, 0)
+    plain = df.select(
+        "k", "ts", "id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("s"),
+        F.count("*").over(w).alias("n"),
+    ).collect()
+    out = chunked_window(
+        df,
+        key_cols=["k"],
+        order_cols=["ts"],
+        chunk_len=50,
+        build=lambda wb: {
+            "s": F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(wb.rangeBetween(-20, 0))
+            .cast("double"),
+            "n": F.count("*").over(wb.rangeBetween(-20, 0)),
+        },
+        range_before=20,
+    ).select("k", "ts", "id", "s", "n").collect()
+    key = lambda r: (r["k"], r["ts"], r["id"])
+    assert sorted(out, key=key) == sorted(plain, key=key)
+
+
+def test_chunked_window_rejects_mixed_backward_modes(spark):
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    df = _chunkwin_data(spark)
+    with pytest.raises(ValueError):
+        chunked_window(
+            df, ["k"], ["ts"], 50, lambda w: {}, rows_before=1, range_before=10
+        )
+    with pytest.raises(ValueError):
+        chunked_window(df, ["k"], ["ts"], 50, lambda w: {}, range_before=51)
+
+
+def test_gap_fill_chunked_matches_unchunked(spark):
+    """Tiny chunks (4 ticks) vs one giant chunk: identical output for
+    both fill modes, including gaps that span whole empty chunks and
+    carry-in/carry-out across many chunk edges."""
+    from ong_tsdb_spark.operators.gapfill import gap_fill_ffill, gap_fill_linear
+
+    # sparse series: observations at ticks 0, 30, 200, 210 (tick=10)
+    # -> the 30..200 gap spans 4 entirely-empty 4-tick chunks
+    rows = [("k1", 0, 1.0), ("k1", 30, 4.0), ("k1", 200, 21.0), ("k1", 210, 0.5),
+            ("k2", 55, 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    for fn, kw in [
+        (gap_fill_ffill, {"value_cols": ["v"]}),
+        (gap_fill_linear, {"value_col": "v"}),
+    ]:
+        small = fn(df, "ts", ["k"], tick_seconds=10, chunk_ticks=4, **kw)
+        big = fn(df, "ts", ["k"], tick_seconds=10, chunk_ticks=10_000, **kw)
+        key = lambda r: (r["k"], r["tick_s"])
+        assert sorted(small.collect(), key=key) == sorted(big.collect(), key=key)

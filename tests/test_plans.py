@@ -157,3 +157,51 @@ def test_fresh_ingest_single_shuffle(spark, tmp_path):
     )
     plan = _executed_plan(batch)
     assert plan.count("Exchange") == 1, f"expected 1 exchange, plan:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "qname,fn_marker",
+    [
+        ("ts_delta", "lag("),
+        ("ts_rate", "lag("),
+        ("ts_rolling_mean", "sum("),
+        ("ts_moving_range_avg", "sum("),
+        ("ts_time_weighted_avg", "lead("),
+    ],
+)
+def test_series_windows_are_chunk_partitioned(spark, sf_dir, qname, fn_marker):
+    """The per-series analytic family must evaluate its window
+    partitioned by (series, __chunk) — keys x chunks tasks — never by
+    the low-cardinality series key alone over the full data."""
+    df = entry_queries.queries()[qname](spark, sf_dir)
+    plan = _executed_plan(df)
+    hits = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln and fn_marker in ln
+    ]
+    assert hits, f"{qname}: no window line with `{fn_marker}`:\n{plan}"
+    for ln in hits:
+        assert "__chunk" in ln, f"{qname}: data window not chunk-partitioned:\n{ln}"
+
+
+@pytest.mark.parametrize("qname", ["ts_gap_fill", "ts_gap_fill_linear"])
+def test_gapfill_windows_are_chunk_partitioned(spark, sf_dir, qname):
+    """Gap-fill's data-bearing fill windows (over `value`) partition by
+    (series, __ck); only the tiny keys x chunks carry frame may window
+    by the series alone."""
+    df = entry_queries.queries()[qname](spark, sf_dir)
+    plan = _executed_plan(df)
+    hits = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+        and ("last(" in ln or "first(" in ln)
+        # the keys x chunks carry frame (last(__last)/first(__first)) may
+        # window by the series alone — it is chunk-summary sized
+        and "__last" not in ln
+        and "__first" not in ln
+    ]
+    assert hits, f"{qname}: no fill window over `value` found:\n{plan}"
+    for ln in hits:
+        assert "__ck" in ln, f"{qname}: fill window not chunk-partitioned:\n{ln}"
