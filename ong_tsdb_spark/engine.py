@@ -255,6 +255,61 @@ class OngTsdbSpark:
         sdf = self.spark.createDataFrame(long_rows, schema)
         self.write_long_df(db, sensor, sdf, fill_value=fill_value, key=key)
 
+    def write_points_multi(
+        self,
+        db: str,
+        per_sensor: dict[str, list[tuple[str, float, float]]],
+        fill_value: float = 0.0,
+        key: str | None = None,
+        max_parallel: int = 8,
+    ) -> None:
+        """Upsert several sensors of one db from a single batch payload
+        (the `/influx_binary` shape, reference server.py:317-327).
+
+        Why concurrent jobs, not one job: every sensor is an
+        independent dataset (own grid, schema, write lock, version)
+        rooted at ``base/db/sensor`` — a Spark write targets one
+        dataset root, so an N-sensor payload is N dataset writes no
+        matter how the input frame is shaped.  What CAN be batched is
+        wall-clock: the writes are independent (per-sensor locks), so
+        they are submitted as concurrent jobs on the shared Spark
+        scheduler and the payload costs ~ the slowest sensor instead of
+        the serial sum (the reference loops sensors serially,
+        server.py:214-293).
+
+        All sensors are attempted; the first failure is re-raised after
+        the batch drains (same partial-write semantics as the serial
+        loop, minus its order dependence)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not per_sensor:
+            return
+        if len(per_sensor) == 1:
+            ((sensor, pts),) = per_sensor.items()
+            self.write_points(db, sensor, pts, fill_value=fill_value, key=key)
+            return
+        with ThreadPoolExecutor(
+            max_workers=min(max_parallel, len(per_sensor))
+        ) as pool:
+            futures = [
+                (
+                    sensor,
+                    pool.submit(
+                        self.write_points, db, sensor, pts, fill_value=fill_value, key=key
+                    ),
+                )
+                for sensor, pts in per_sensor.items()
+            ]
+            first_err: Exception | None = None
+            for sensor, fut in futures:
+                try:
+                    fut.result()
+                except Exception as e:  # drain everything, then re-raise
+                    if first_err is None:
+                        first_err = e
+        if first_err is not None:
+            raise first_err
+
     def write_long_df(
         self,
         db: str,

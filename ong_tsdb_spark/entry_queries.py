@@ -806,22 +806,30 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_neardup_blocked",
     f"""
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-             / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-            / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) >= 0.4
+    WITH sizes AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    kept AS (SELECT e.* FROM embeddings e JOIN sizes USING (label)
+             WHERE n <= {similarity.DEFAULT_BLOCK_CAP})
+    SELECT d1, d2, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
+               / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
+      FROM kept a JOIN kept b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.4
     """,
 )
 def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, blocked by label (IVF-style: the
-    block key bounds the quadratic comparison).  Demo of the generic
-    operator; ``emb_neardup_lsh`` is the scale path (quantizer-derived
+    block key bounds the quadratic comparison) — pinned in its DEFAULT
+    configuration: block cap ON (oversized blocks excluded by
+    construction, mirrored in the oracle's sizes CTE) and the BLAS
+    executor (numpy matmul per block, cosines rounded to 6 digits —
+    same answers as the Catalyst fold, ~5x faster).
+    ``emb_neardup_lsh`` is the label-free scale path (quantizer-derived
     blocks, parallelism = bucket count)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blocked(emb, block_col="label", threshold=0.4)
+    return similarity.cosine_pairs_blocked_numpy(
+        emb, block_col="label", threshold=0.4, round_digits=6
+    )
 
 
 _NEARDUP_LSH_PLANES = 8
@@ -1176,13 +1184,14 @@ def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BLAS scale path for blocked near-dup pairs (applyInPandas +
-    numpy matmul per block, ~4x the Catalyst fold).  Cosines rounded
-    to 6 digits on both sides: BLAS vs sequential summation differ by
-    ~1e-15, far under the rounding grain."""
+    """The raw BLAS operator, uncapped (``max_block_size=None`` —
+    caller takes the block-fits-executor contract on themselves; the
+    capped default is pinned by ``emb_neardup_blocked``).  Cosines
+    rounded to 6 digits on both sides: BLAS vs sequential summation
+    differ by ~1e-15, far under the rounding grain."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_blocked_numpy(
-        emb, block_col="label", threshold=0.4, round_digits=6
+        emb, block_col="label", threshold=0.4, round_digits=6, max_block_size=None
     )
 
 

@@ -5,16 +5,22 @@ Design for 100 TB: the binary column never leaves the executor —
 decode/feature-extract runs per Arrow batch next to the Parquet scan;
 only small typed features shuffle.
 
-Decoders: REAL decoders (PIL for images, soundfile for audio, av for
-video) are used when the libraries are importable on the executors
-(``decoders="auto"``, the default tries them per media type); in
-environments without them — this container ships none — the decode
-step falls back to a clearly-deterministic STUB that derives fake
-(width, height, duration) from the payload digest, so the Spark-side
-plumbing — schema, batch shape, partitioning — stays real and tested
-end-to-end.  ``decoders="stub"`` forces determinism (the
-oracle-checked registry query uses it); ``decoders="real"`` raises if
-a library is missing instead of faking.
+Decoders, three tiers per media type:
+
+1. library decoders (PIL for images, soundfile for audio, av for
+   video) when importable on the executors;
+2. stdlib REAL decoders that need no third-party install: PNG
+   width/height parsed from the IHDR chunk, WAV duration via the
+   ``wave`` module — true values from the actual container format;
+3. a clearly-deterministic STUB that derives fake (width, height,
+   duration) from the payload digest, so the Spark-side plumbing —
+   schema, batch shape, partitioning — stays testable with arbitrary
+   payloads.
+
+``decoders="auto"`` (default) tries 1 -> 2 -> 3; ``decoders="real"``
+tries 1 -> 2 and raises NotImplementedError when neither can truly
+decode the payload; ``decoders="stub"`` forces 3 (the oracle-checked
+registry query uses it for digest-determinism).
 """
 
 from __future__ import annotations
@@ -65,9 +71,10 @@ def extract_features(
     generator-of-DataFrames shape keeps peak memory to one Arrow batch
     regardless of partition size.
 
-    ``decoders``: "auto" (real library per media type when importable
-    on the executor, stub otherwise), "stub" (always deterministic),
-    or "real" (raise NotImplementedError when a library is missing)."""
+    ``decoders``: "auto" (library, else stdlib PNG/WAV parse, else
+    stub), "stub" (always deterministic), or "real" (library or
+    stdlib parse; raise NotImplementedError when the payload cannot be
+    truly decoded)."""
     if decoders not in ("auto", "stub", "real"):
         raise ValueError(f"decoders must be auto|stub|real, got {decoders!r}")
 
@@ -83,6 +90,7 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
+        import wave as _wave
 
         import pandas as _pd
 
@@ -92,10 +100,6 @@ def extract_features(
             try:
                 return __import__(name, fromlist=["_"])
             except ImportError:
-                if mode == "real":
-                    raise NotImplementedError(
-                        f"decoders='real' but {name!r} is not installed"
-                    ) from None
                 return None
 
         pil_image = _try_import("PIL.Image")
@@ -105,17 +109,38 @@ def extract_features(
         def decode(payload: bytes, media_type: str) -> tuple[int, int, float]:
             if media_type not in ("image", "audio", "video"):
                 raise NotImplementedError(f"unknown media_type {media_type!r}")
-            if media_type == "image" and pil_image is not None:
-                with pil_image.open(_io.BytesIO(payload)) as im:
-                    return im.width, im.height, 0.0
-            if media_type == "audio" and soundfile is not None:
-                info = soundfile.info(_io.BytesIO(payload))
-                return 0, 0, float(info.frames) / float(info.samplerate or 1)
-            if media_type == "video" and av is not None:
-                with av.open(_io.BytesIO(payload)) as container:
-                    stream = container.streams.video[0]
-                    dur = float(container.duration or 0) / 1_000_000.0
-                    return int(stream.width), int(stream.height), dur
+            if mode != "stub":
+                if media_type == "image":
+                    if pil_image is not None:
+                        with pil_image.open(_io.BytesIO(payload)) as im:
+                            return im.width, im.height, 0.0
+                    # stdlib real decode: PNG IHDR (first chunk by spec)
+                    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+                        return (
+                            int.from_bytes(payload[16:20], "big"),
+                            int.from_bytes(payload[20:24], "big"),
+                            0.0,
+                        )
+                if media_type == "audio":
+                    if soundfile is not None:
+                        info = soundfile.info(_io.BytesIO(payload))
+                        return 0, 0, float(info.frames) / float(info.samplerate or 1)
+                    # stdlib real decode: WAV via the wave module
+                    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        with _wave.open(_io.BytesIO(payload)) as wf:
+                            return 0, 0, float(wf.getnframes()) / float(
+                                wf.getframerate() or 1
+                            )
+                if media_type == "video" and av is not None:
+                    with av.open(_io.BytesIO(payload)) as container:
+                        stream = container.streams.video[0]
+                        dur = float(container.duration or 0) / 1_000_000.0
+                        return int(stream.width), int(stream.height), dur
+            if mode == "real":
+                raise NotImplementedError(
+                    f"decoders='real': no decoder can truly decode this "
+                    f"{media_type} payload (library missing / unknown format)"
+                )
             # stub fallback: deterministic fake features from the digest
             d = _hashlib.sha256(payload).digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, (

@@ -82,21 +82,28 @@ def cosine_topk(
     )
 
 
+#: default block-size cap for the pair joins — ON by default so an
+#: unexamined call can never produce an unbounded quadratic straggler;
+#: pass ``max_block_size=None`` to explicitly opt out.
+DEFAULT_BLOCK_CAP = 1024
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     block_col: str,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_block_size: int | None = None,
+    max_block_size: int | None = DEFAULT_BLOCK_CAP,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within blocks: (d1 < d2,
     cosine >= threshold).  The block key bounds the quadratic term.
 
-    ``max_block_size`` enforces the bound *by construction*: blocks
-    larger than the cap are excluded from the pair join entirely (a
-    hot block at 100x data would otherwise become one quadratic
-    straggler task — route such blocks through a finer quantizer or
+    ``max_block_size`` (default :data:`DEFAULT_BLOCK_CAP`) enforces the
+    bound *by construction*: blocks larger than the cap are excluded
+    from the pair join entirely (a hot block at 100x data would
+    otherwise become one quadratic straggler task — route such blocks
+    through a finer quantizer or a smaller cap with
     ``cosine_pairs_blocked_numpy``).  The size census reuses the same
     shuffle key as the join, so the cap costs one small aggregate.
 
@@ -140,6 +147,7 @@ def cosine_pairs_blocked_numpy(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    max_block_size: int | None = DEFAULT_BLOCK_CAP,
 ) -> DataFrame:
     """The BLAS scale path for blocked near-dup pairs: one
     ``applyInPandas`` per block computes the whole similarity matrix
@@ -147,10 +155,17 @@ def cosine_pairs_blocked_numpy(
     fold at sf0.1 and widening with block size).  Output cosines are
     rounded so they agree with sequential-fold oracles despite BLAS
     summation order (differences are ~1e-15, far below the rounding
-    grain).  Requires each block to fit one executor's memory — that
-    is the IVF contract (block = coarse cluster)."""
+    grain).  Requires each block to fit one executor's memory — the
+    IVF contract (block = coarse cluster); ``max_block_size`` (default
+    :data:`DEFAULT_BLOCK_CAP`) enforces it by dropping oversized
+    blocks, like :func:`cosine_pairs_blocked`."""
     import numpy as np
     import pandas as pd
+
+    if max_block_size is not None:
+        sizes = df.groupBy(block_col).agg(F.count("*").alias("__bn"))
+        keep = sizes.filter(F.col("__bn") <= max_block_size).select(block_col)
+        df = df.join(F.broadcast(keep), on=block_col)
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -174,9 +174,11 @@ def create_app(engine: OngTsdbSpark) -> Flask:
     def influx_binary(fill_value):
         """The reference client's msgpack write path (S6 — reference
         server.py:317-327): an array of (db, sensor, metrics, values,
-        ts_ns) tuples.  Grouped per (db, sensor) exactly like
-        write_point_list (server.py:214-293); the engine upsert does
-        the chunking/last-wins work distributedly."""
+        ts_ns) tuples.  Grouped per db and handed to the engine's batch
+        upsert, which runs the per-sensor writes as CONCURRENT Spark
+        jobs — an N-sensor payload costs ~ the slowest sensor, not N
+        serialized jobs (the reference loops serially,
+        server.py:214-293)."""
         fv = float("nan") if str(fill_value).lower() == "nan" else float(fill_value)
         try:
             tuples = _unpack_msgpack(_body_bytes())
@@ -184,16 +186,16 @@ def create_app(engine: OngTsdbSpark) -> Flask:
             return jsonify(ok=False, error=f"bad msgpack body: {e}"), 400
         if not isinstance(tuples, list) or not tuples:
             return jsonify(ok=False, error="empty body"), 400
-        by_target: dict[tuple[str, str], list] = {}
+        by_db: dict[str, dict[str, list]] = {}
         try:
             for db, sensor, columns, values, ts_ns in tuples:
-                pts = by_target.setdefault((db, sensor), [])
+                pts = by_db.setdefault(db, {}).setdefault(sensor, [])
                 for m, v in zip(columns, values):
                     pts.append((m, v, float(ts_ns) / 1e9))
         except (TypeError, ValueError) as e:
             return jsonify(ok=False, error=f"bad tuple shape: {e}"), 400
-        for (db, sensor), pts in by_target.items():
-            engine.write_points(db, sensor, pts, fill_value=fv, key=_token())
+        for db, per_sensor in by_db.items():
+            engine.write_points_multi(db, per_sensor, fill_value=fv, key=_token())
         return jsonify(ok=True, points=len(tuples), version=__version__)
 
     # -- reads --------------------------------------------------------

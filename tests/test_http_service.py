@@ -248,3 +248,58 @@ def test_grafana_query_route(client):
     assert out[0]["target"] == "v"
     assert len(out[0]["datapoints"]) == 10
     assert out[0]["datapoints"][0] == [0.0, t0 * 1000]
+
+
+def test_influx_binary_multi_sensor_batch(client):
+    """A payload naming several sensors lands in all of them through
+    ONE engine batch call per db (engine.write_points_multi)."""
+    from ong_tsdb_spark.sources.msgpack_lite import packb
+
+    hdr = _auth("admintoken")
+    client.post("/db/iot", headers=hdr)
+    for s in ["s1", "s2", "s3"]:
+        client.post(
+            f"/db/iot/sensor/{s}",
+            json={"period": "1s", "metrics": ["v"]},
+            headers=hdr,
+        )
+    t0 = 1672617600
+    body = packb(
+        [["iot", s, ["v"], [float(i + 1)], (t0 + i) * 10**9]
+         for i, s in enumerate(["s1", "s2", "s3"])]
+    )
+    r = client.post("/influx_binary", data=body, headers=hdr)
+    assert r.status_code == 200 and r.get_json()["points"] == 3
+    for i, s in enumerate(["s1", "s2", "s3"]):
+        got = client.post(
+            f"/iot/{s}/read_df", json={"start_ts": t0, "format": "json"}, headers=hdr
+        ).get_json()
+        assert got["values"] == [[float(i + 1)]]
+
+
+def test_write_points_multi_runs_sensors_concurrently(spark, tmp_path, monkeypatch):
+    """The batch upsert must overlap per-sensor writes (concurrent
+    Spark jobs), not serialize them — wall-clock ~ slowest sensor."""
+    import threading
+    import time
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "multi"))
+    state = {"active": 0, "peak": 0}
+    gate = threading.Lock()
+
+    def slow_write(db, sensor, pts, fill_value=0.0, key=None):
+        with gate:
+            state["active"] += 1
+            state["peak"] = max(state["peak"], state["active"])
+        time.sleep(0.25)
+        with gate:
+            state["active"] -= 1
+
+    monkeypatch.setattr(eng, "write_points", slow_write)
+    t0 = time.perf_counter()
+    eng.write_points_multi(
+        "d", {f"s{i}": [("v", 1.0, 1672617600.0)] for i in range(4)}
+    )
+    elapsed = time.perf_counter() - t0
+    assert state["peak"] >= 2, "writes never overlapped"
+    assert elapsed < 4 * 0.25, f"batch serialized: {elapsed:.2f}s"

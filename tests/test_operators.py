@@ -704,6 +704,32 @@ def test_blocked_pairs_max_block_size(spark):
     assert all(r["d1"] >= 50 for r in out)
 
 
+def test_blocked_pairs_cap_defaults_on(spark):
+    """Both pair executors ship with the block cap ON: a block above
+    DEFAULT_BLOCK_CAP is silently excluded unless the caller passes
+    max_block_size=None explicitly."""
+    from ong_tsdb_spark.operators.similarity import (
+        DEFAULT_BLOCK_CAP,
+        cosine_pairs_blocked,
+        cosine_pairs_blocked_numpy,
+    )
+
+    n_hot = DEFAULT_BLOCK_CAP + 1
+    rows = [(i, "hot", [1.0, 0.0]) for i in range(n_hot)] + [
+        (n_hot, "cold", [1.0, 0.0]),
+        (n_hot + 1, "cold", [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, blk string, embedding array<float>")
+    for fn in (cosine_pairs_blocked, cosine_pairs_blocked_numpy):
+        out = fn(df, block_col="blk", threshold=0.5).collect()
+        assert len(out) == 1 and out[0]["d1"] == n_hot, fn.__name__
+    # explicit opt-out restores the full quadratic set
+    uncapped = cosine_pairs_blocked_numpy(
+        df, block_col="blk", threshold=0.5, max_block_size=None
+    )
+    assert uncapped.count() == n_hot * (n_hot - 1) // 2 + 1
+
+
 # ----------------------------------------------------------------------
 # rollup (continuous aggregates)
 # ----------------------------------------------------------------------
@@ -1081,3 +1107,92 @@ def test_gap_fill_chunked_matches_unchunked(spark):
         big = fn(df, "ts", ["k"], tick_seconds=10, chunk_ticks=10_000, **kw)
         key = lambda r: (r["k"], r["tick_s"])
         assert sorted(small.collect(), key=key) == sorted(big.collect(), key=key)
+
+
+def _tiny_png(w: int, h: int) -> bytes:
+    """Author a real, spec-valid PNG with stdlib only."""
+    import struct
+    import zlib as _zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    scanlines = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _tiny_wav(duration_s: float, rate: int = 8000) -> bytes:
+    """Author a real WAV with stdlib only."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * int(rate * duration_s))
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode_png_wav(spark):
+    """decoders='real' extracts TRUE width/height/duration from
+    real in-test payloads (stdlib PNG IHDR / wave decoders — no
+    third-party libs needed), and refuses to fake what it can't
+    decode."""
+    rows = [
+        (1, _tiny_png(37, 21), "image"),
+        (2, _tiny_wav(2.5), "audio"),
+    ]
+    df = spark.createDataFrame(
+        rows, "item_id long, payload binary, media_type string"
+    )
+    out = {
+        r["item_id"]: r
+        for r in multimodal.extract_features(df, decoders="real").collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (37, 21)
+    assert out[1]["duration_s"] == 0.0
+    assert abs(out[2]["duration_s"] - 2.5) < 1e-6
+    # an undecodable payload must raise in real mode, not fabricate
+    junk = spark.createDataFrame(
+        [(3, b"not-an-image", "image")],
+        "item_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|truly decode"):
+        multimodal.extract_features(junk, decoders="real").collect()
+    # auto mode on the same payloads: real values, stub for the junk
+    all_rows = df.union(junk)
+    auto = {
+        r["item_id"]: r
+        for r in multimodal.extract_features(all_rows, decoders="auto").collect()
+    }
+    assert (auto[1]["width"], auto[1]["height"]) == (37, 21)
+    assert abs(auto[2]["duration_s"] - 2.5) < 1e-6
+    assert auto[3]["width"] >= 64  # digest stub range
+
+
+@pytest.mark.skipif(
+    not all(
+        __import__("importlib").util.find_spec(m) for m in ["PIL"]
+    ),
+    reason="PIL not installed",
+)
+def test_multimodal_real_decode_via_pil(spark):
+    """When PIL is importable the library tier decodes (takes priority
+    over the stdlib PNG parse) — same true dimensions."""
+    df = spark.createDataFrame(
+        [(1, _tiny_png(5, 9), "image")],
+        "item_id long, payload binary, media_type string",
+    )
+    r = multimodal.extract_features(df, decoders="real").first()
+    assert (r["width"], r["height"]) == (5, 9)
