@@ -491,11 +491,29 @@ class OngTsdbSpark:
     # read path (S3/S4, P1-P5)
     # ------------------------------------------------------------------
     def _read_raw(self, db: str, sensor: str, cfg: SensorConfig) -> DataFrame | None:
-        """Scan the sensor dataset with schema merge; None if empty."""
+        """Scan the sensor dataset; None if empty.
+
+        The schema comes from the CATALOG, not from file footers: with
+        ``mergeSchema`` Spark opens EVERY part file's footer at plan
+        time — 1-2 s on a few hundred chunks locally, unbounded growth
+        with chunk count at scale, and paid again on every read.  The
+        catalog already knows the exact storage shape: ts double, every
+        known metric float — a metric absent from pre-schema-growth
+        files reads as NULL under an explicit schema, exactly what
+        footer merging produced — and chunk_start long (double only for
+        fractional sub-second grids).  Stale columns from deleted
+        metrics are simply not requested."""
         if not self.catalog.data_exists(db, sensor):
             return None
+        d = cfg.grid.chunk_duration
+        part_t = T.LongType() if d == int(d) else T.DoubleType()
+        schema = T.StructType(
+            [T.StructField(TS_COL, T.DoubleType())]
+            + [T.StructField(m, T.FloatType()) for m in flatten_metrics(cfg.metrics)]
+            + [T.StructField(PART_COL, part_t)]
+        )
         try:
-            return self.spark.read.option("mergeSchema", "true").parquet(
+            return self.spark.read.schema(schema).parquet(
                 self.catalog.data_path(db, sensor)
             )
         except Exception:
@@ -763,9 +781,10 @@ class OngTsdbSpark:
         self, db: str, sensor: str, key: str | None = None
     ) -> float | None:
         """Max timestamp. The reference reads only the last chunk and
-        requires READ auth (database.py:522-546); here partition
-        pruning + Parquet column stats make the max cheap: scan only
-        the max chunk_start partition."""
+        requires READ auth (database.py:522-546); here the max chunk
+        comes from the partition-directory listing (driver metadata,
+        no job) and ONE pruned job scans just that partition — Parquet
+        column stats make the max within it cheap."""
         from .auth import Action
 
         self._auth(Action.READ, db=db, sensor=sensor, key=key)
@@ -773,7 +792,7 @@ class OngTsdbSpark:
         df = self._read_raw(db, sensor, cfg)
         if df is None:
             return None
-        last_part = df.select(F.max(PART_COL)).first()[0]
+        last_part = max(self._existing_chunks(db, sensor), default=None)
         if last_part is None:
             return None
         row = df.filter(F.col(PART_COL) == last_part).select(F.max(TS_COL)).first()
