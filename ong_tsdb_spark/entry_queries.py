@@ -1686,19 +1686,25 @@ def part_type_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-aggregate pattern (customers above their nation's
-    average balance) as a decimal-exact window — one shuffle by the
-    correlation key instead of a correlated subquery per row."""
+    average balance).  NOT a window: PARTITION BY c_nationkey has 25
+    distinct values, so an unordered window still shuffles the whole
+    table into 25 tasks.  Instead: partial-aggregated groupBy (map-side
+    combine, 25-row result) broadcast-joined back — zero full-table
+    shuffles, and the decimal sum is order-free so the per-nation
+    average is bit-identical to the window's."""
     cu = load(spark, sf_dir, "customer")
     na = load(spark, sf_dir, "nation")
-    j = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-    w = Window.partitionBy("c_nationkey")
-    nation_avg = (
-        F.sum(F.col("c_acctbal").cast("decimal(15,2)")).over(w).cast("double")
-        / F.count("*").over(w)
+    avgs = cu.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(15,2)")).cast("double")
+            / F.count("*")
+        ).alias("nation_avg")
+    )
+    j = cu.join(F.broadcast(avgs), on="c_nationkey").join(
+        F.broadcast(na), F.col("c_nationkey") == na.n_nationkey
     )
     return (
-        j.withColumn("nation_avg", nation_avg)
-        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        j.filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_acctbal", "n_name")
     )
 
