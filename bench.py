@@ -49,6 +49,10 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "ts_cumulative_sum_chunked",
     "ts_moving_range_avg",
+    # chunk-parallel window family (operators/chunkwin.py)
+    "ts_delta",
+    "ts_rolling_mean",
+    "ts_gap_fill_linear",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -321,3 +321,25 @@ def test_lifecycle(eng):
     assert not eng.exist_sensor("test", "s")
     with pytest.raises(ElementNotFoundError):
         eng.delete_sensor("test", "s")
+
+
+def test_roundtrip_subsecond_grid(eng):
+    """Fractional tick (0.5 s): chunk_start partition values are
+    doubles — the catalog-derived read schema must type the partition
+    column accordingly and round-trip exactly (the DoubleType branch
+    of _read_raw)."""
+    eng.create_sensor("test", "fast", "0.5s", ["v"])
+    t0 = 1672617600.0
+    ts = [t0 + 0.5 * i for i in range(10000)]  # spans >1 chunk (8192 ticks)
+    import pandas as pd
+
+    idx = pd.to_datetime([t * 1e9 for t in ts], utc=True)
+    eng.write_df("test", "fast", pd.DataFrame({"v": np.arange(10000.0)}, index=idx))
+    out = eng.read_pandas("test", "fast")
+    assert len(out) == 10000
+    assert out["v"].iloc[0] == 0.0 and out["v"].iloc[-1] == 9999.0
+    assert out.index[1].timestamp() - out.index[0].timestamp() == 0.5
+    # pruned range read across the sub-second chunk boundary
+    mid = eng.read_pandas("test", "fast", start_ts=t0 + 4095.5, end_ts=t0 + 4096.5)
+    assert len(mid) == 3
+    assert eng.get_last_timestamp("test", "fast") == ts[-1]
