@@ -46,7 +46,24 @@ CHUNK_COL = "__chunk"
 def _edge_rows(
     work: DataFrame, key_cols: list[str], order_cols: list[str], k: int, last: bool
 ) -> DataFrame:
-    """The k last (or first) rows of every (key, chunk) partition."""
+    """The k last (or first) rows of every (key, chunk) partition.
+
+    k == 1 (the lag/lead-by-one majority) uses a max/min-of-struct
+    aggregate: unlike a row_number window (full-sort shuffle of every
+    row), the agg partially combines map-side, so the shuffle carries
+    ~one row per (key, chunk) per mapper.  The struct leads with the
+    order columns, so the comparison IS the caller's total order; the
+    payload columns ride along untouched."""
+    data_cols = [c for c in work.columns if c not in (*key_cols, CHUNK_COL)]
+    if k == 1:
+        rest = [c for c in data_cols if c not in order_cols]
+        s = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in rest])
+        g = work.groupBy(*key_cols, CHUNK_COL).agg(
+            (F.max(s) if last else F.min(s)).alias("__edge")
+        )
+        return g.select(
+            *key_cols, CHUNK_COL, *[F.col(f"__edge.{c}").alias(c) for c in data_cols]
+        )
     order = (
         [F.col(c).desc() for c in order_cols] if last else [F.col(c) for c in order_cols]
     )
@@ -68,14 +85,16 @@ def _cascade(
 ) -> DataFrame:
     """Deliver edge rows to the chunks whose frames can see them.
 
-    Chunks are ranked per key by a window over the DISTINCT chunk list
+    Chunks are ranked per key by a window over the distinct chunk list
     (keys x chunks rows — tiny), so a target chunk's carries come from
     its k nearest non-empty neighbours even when chunks hold fewer than
     k rows each; a final per-target rank trims the k*k candidates back
-    to the k rows the global frame actually reaches.
+    to the k rows the global frame actually reaches.  The chunk list
+    comes from the EDGES frame (>= 1 edge row per non-empty chunk, so
+    the same chunk set as the full data) — no full-data distinct.
     """
     idx = (
-        work.select(*key_cols, CHUNK_COL)
+        edges.select(*key_cols, CHUNK_COL)
         .distinct()
         .withColumn(
             "__ci",
