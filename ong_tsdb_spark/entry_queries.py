@@ -587,10 +587,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq="auto")
 
 
-@register(
-    "dedup_minhash_lsh",
-    _SHINGLE_CTE
-    + """
+_LSH_BANDS_CTE = """
     , mh AS (
       SELECT doc_id, seed, min(h) AS h FROM (
         SELECT doc_id, s.seed * 4 + j.j AS seed,
@@ -602,6 +599,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, seed // 2 AS band, string_agg(h, '' ORDER BY seed) AS sig
       FROM mh GROUP BY doc_id, seed // 2
     )
+"""
+
+@register(
+    "dedup_minhash_lsh",
+    _SHINGLE_CTE
+    + _LSH_BANDS_CTE
+    + """
     SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -560,3 +560,67 @@ def winnow_candidate_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.coalesce(F.col("n_shared") >= min_shared, F.lit(False)))
     )
+
+
+# ----------------------------------------------------------------------
+# passage-level exact dedup (C4-style repeated-span removal)
+# ----------------------------------------------------------------------
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passage_words: int = 8,
+) -> DataFrame:
+    """Per-document repeated-passage statistics: split each document
+    into non-overlapping ``passage_words``-token passages, hash each,
+    and count how many passages already occurred earlier in the corpus
+    (first occurrence = smallest ``(doc_id, position)``, the C4 rule of
+    keeping the first copy of a repeated span).
+
+    Returns (doc_id, n_passages, n_dup_passages, dup_frac) for every
+    document with at least one full passage.
+
+    Scale shape: passages are hashed map-side, so the only shuffle is
+    the groupBy on the 16-byte digest carrying one bigint occurrence
+    key — document text never moves.  The occurrence key packs
+    (doc_id, position) into one bigint (positions < 1e6 per doc), so
+    "earliest occurrence" is a plain MIN aggregate with map-side
+    partial combine, and the per-doc rollup is a second digest-free
+    groupBy on doc_id.  No windows, no skew beyond true duplicate mass.
+    """
+    toks = F.split(F.col(text_col), " ")
+    m = F.floor(F.size(toks) / F.lit(passage_words)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(toks, (i - F.lit(1)) * passage_words + F.lit(1), passage_words),
+                " ",
+            ).alias("p"),
+        ),
+    )
+    occ = (
+        df.filter(m >= 1)
+        .select(F.col(id_col), F.explode(passages).alias("e"))
+        .select(
+            F.col(id_col),
+            F.md5(F.col("e.p")).alias("h"),
+            (F.col(id_col) * F.lit(1_000_000) + F.col("e.pos")).alias("k"),
+        )
+    )
+    firsts = occ.groupBy("h").agg(F.min("k").alias("first_k"))
+    return (
+        occ.join(firsts, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_passages"),
+            F.sum((F.col("k") > F.col("first_k")).cast("long"))
+            .cast("bigint")
+            .alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_passages").cast("double") / F.col("n_passages").cast("double"),
+        )
+    )

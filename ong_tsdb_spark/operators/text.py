@@ -188,3 +188,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fp")
     )
+
+
+# Gopher-rule marker stopwords (Rae et al. 2021, MassiveWeb filter):
+# a document must contain >= 2 of these to pass.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, and required-stopword hits, plus the
+    combined pass/fail verdict.
+
+    Everything is integer counting + single double divisions (the
+    cross-engine determinism rules of the registry); the '...' count
+    uses length-difference-of-replace, identical left-to-right
+    non-overlapping semantics in both engines.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_char = F.length(t)
+    mean_len = (n_char - n_tok + F.lit(1)).cast("double") / n_tok.cast("double")
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = alpha.cast("double") / n_tok.cast("double")
+    n_hash = n_char - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (n_char - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_tok.cast("double")
+    stop_hits = stopword_hits(t, GOPHER_STOPWORDS).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        (
+            n_tok.between(50, 100_000)
+            & mean_len.between(3.0, 10.0)
+            & (symbol_ratio < 0.1)
+            & (alpha_frac > 0.8)
+            & (stop_hits >= 2)
+        ).alias("gopher_pass"),
+    )
+
+
+def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: (token, tf, df_docs) — term frequency and
+    document frequency per distinct token.
+
+    Scale shape: explode happens map-side and the groupBy on the token
+    partially aggregates before the shuffle (tf is a plain count;
+    df_docs counts tokens' *per-doc distinct* occurrences, which is a
+    map-side array_distinct per document rather than a corpus-wide
+    count-distinct expansion), so the shuffle carries one row per
+    distinct (mapper, token)."""
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count("*").alias("df_docs"))
+    return tf.join(dfreq, on="token")
