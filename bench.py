@@ -76,8 +76,10 @@ def bench_engine(spark, sf_dir: str) -> dict[str, float]:
         eng.create_db("bench")
         eng.create_sensor("bench", "events_1s", "1s", ["value"])
         ev = entry_queries.load(spark, sf_dir, "events")
+        # dtype-adaptive: events.ts has shipped as both long-ns and
+        # timestamp[us] — go through epoch-µs and divide down to seconds
         ticks = ev.select(
-            (F.col("ts") / F.lit(1e9)).alias("ts_sec"),
+            (entry_queries._us(ev, "ts") / F.lit(1e6)).alias("ts_sec"),
             F.col("value").cast("double").alias("value"),
         )
         n = ticks.count()

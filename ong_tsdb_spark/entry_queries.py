@@ -5,10 +5,13 @@ SURVEY.md §2 (plus the training-data-pipeline operators) as a
 Cross-engine determinism rules used throughout (verified empirically,
 see tests/test_entry.py which runs the same comparison as the driver):
 
-* **time**: testdata timestamps are TIMESTAMP(NANOS); Spark reads them
-  as long ns (``nanosAsLong``), DuckDB floors to µs.  All outputs use
-  epoch *microseconds* as bigint: Spark ``ts div 1000`` == DuckDB
-  ``epoch_us(ts)``.
+* **time**: testdata timestamps may arrive as long-ns (TIMESTAMP(NANOS)
+  under ``nanosAsLong``) or as TIMESTAMP/TIMESTAMP_NTZ (µs precision) —
+  the driver has shipped both.  Every query goes through the
+  dtype-adaptive helpers ``_us``/``_sec``/``_ns``/``_ts_pred_*`` which
+  branch on the actual column dtype, so output is bit-identical for
+  either encoding (pinned by tests/test_ts_dtypes.py).  All outputs use
+  epoch *microseconds* as bigint == DuckDB ``epoch_us(ts)``.
 * **money/aggregates**: cast to DECIMAL before SUM (exact, order-
   independent), cast the final result to DOUBLE — bit-identical.
 * **array math**: dot products / norms are sequential left-to-right
@@ -48,31 +51,43 @@ ES_LIST_SQL = "'" + "','".join(text.ES_STOPWORDS) + "'"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read a testdata table.  TIMESTAMP(NANOS) columns (events.ts)
-    arrive as long ns under ``nanosAsLong``; µs-precision columns
-    (o_orderdate, l_shipdate) stay TIMESTAMP_NTZ.  Session tz pinned
-    to UTC so NTZ->epoch conversion matches DuckDB's naive epoch_us."""
+    """Read a testdata table.  Timestamp columns may be either
+    TIMESTAMP(NANOS) (read as long ns under ``nanosAsLong``) or plain
+    µs-precision TIMESTAMP/TIMESTAMP_NTZ — both encodings have shipped
+    in the driver's testdata, so nothing downstream may assume one.
+    The raw column is kept as-is (normalizing here would break Parquet
+    predicate pushdown); use ``_us``/``_sec``/``_ns``/``_ts_pred_*``.
+    Session tz pinned to UTC so NTZ->epoch matches DuckDB epoch_us."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _us_of(df: DataFrame, col: str) -> F.Column:
+def _us(df: DataFrame, col: str) -> F.Column:
     """epoch µs (bigint) from either a long-ns or a timestamp column —
-    always equals DuckDB's ``epoch_us(col)``."""
+    always equals DuckDB's ``epoch_us(col)`` (floor; positive domain)."""
     dt = df.schema[col].dataType.simpleString()
     if dt == "bigint":
         return F.expr(f"{col} div 1000")
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def _us(col: str) -> F.Column:
-    """long-ns column -> epoch µs (bigint), floor — matches epoch_us."""
-    return F.expr(f"{col} div 1000")
+def _sec(df: DataFrame, col: str) -> F.Column:
+    """epoch seconds (bigint), dtype-adaptive — DuckDB
+    ``epoch_us(col)//1000000`` (floor; positive domain)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000000")
 
 
-def _sec(col: str) -> F.Column:
-    return F.expr(f"{col} div 1000000000")
+def _ns(df: DataFrame, col: str) -> F.Column:
+    """epoch ns (bigint), dtype-adaptive — for edges that speak raw ns
+    (influx line protocol).  µs-precision sources get trailing zeros."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return F.col(col)
+    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
 
 
 def _ts_pred_ge(df: DataFrame, col: str, us: int) -> F.Column:
@@ -149,7 +164,7 @@ def ts_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.filter(
         _ts_pred_ge(ev, "ts", T_2024_01_05) & _ts_pred_le(ev, "ts", T_2024_01_10)
-    ).select("event_id", _us("ts").alias("ts_us"), "user_id", "event_type", "value")
+    ).select("event_id", _us(ev, "ts").alias("ts_us"), "user_id", "event_type", "value")
 
 
 @register(
@@ -167,7 +182,7 @@ def ts_snap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid math is the reference's getpos truncation (chunker.py:88-95)
     as pure bigint exprs."""
     ev = load(spark, sf_dir, "events")
-    s = _sec("ts")
+    s = _sec(ev, "ts")
     return (
         ev.select((s - (s % F.lit(900))).alias("bucket_s"), "value")
         .groupBy("bucket_s")
@@ -186,7 +201,7 @@ def ts_last_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: last-timestamp per series (database.py:522-546); Parquet
     footer stats + partition pruning make this metadata-cheap."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.max(_us("ts")).alias("last_ts_us"))
+    return ev.groupBy("event_type").agg(F.max(_us(ev, "ts")).alias("last_ts_us"))
 
 
 @register(
@@ -206,9 +221,8 @@ def ts_last_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_downsample_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: grafana maxDataPoints thinning — first point per tumbling
     bucket per series (server.py:430-459) as window row_number."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
-        "s", _sec("ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     bucket = (F.col("s") - (F.col("s") % F.lit(3600))).alias("bucket_s")
     out = downsample.thin_first_per_bucket(
         ev,
@@ -243,9 +257,8 @@ def ts_downsample_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 semantics as a query: last-write-wins per (series, grid
     cell) — the reference's cell overwrite (database.py:479-486)."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
-        "s", _sec("ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     ev = ev.withColumn("bucket_s", F.col("s") - (F.col("s") % F.lit(86400)))
     w = Window.partitionBy("user_id", "bucket_s").orderBy(
         F.col("us").desc(), F.col("event_id").desc()
@@ -270,8 +283,8 @@ def ts_usage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_rows"),
-        F.min(_us("ts")).alias("min_ts_us"),
-        F.max(_us("ts")).alias("max_ts_us"),
+        F.min(_us(ev, "ts")).alias("min_ts_us"),
+        F.max(_us(ev, "ts")).alias("max_ts_us"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -309,7 +322,7 @@ def ts_ingest_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-chunk write (server.py:214-293); 16384 s = the 1 s-tick chunk
     span (2^14 rows, __init__.py:29)."""
     ev = load(spark, sf_dir, "events")
-    s = _sec("ts")
+    s = _sec(ev, "ts")
     return (
         ev.select(F.col("event_type").alias("sensor"), (s - (s % F.lit(16384))).alias("chunk_start"))
         .groupBy("sensor", "chunk_start")
@@ -336,7 +349,7 @@ def influx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         db=F.lit("metrics"),
         sensor=F.col("event_type"),
         metric_value_pairs=[("value", F.col("value"))],
-        ts_ns=F.col("ts"),
+        ts_ns=_ns(ev, "ts"),
     )
     parsed = influx_src.parse_lines(lines)
     return parsed.select(
@@ -938,7 +951,7 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.asof import asof_join
 
     ev = load(spark, sf_dir, "events")
-    ev = ev.select("event_id", "user_id", "event_type", "value", _us("ts").alias("ts_us"))
+    ev = ev.select("event_id", "user_id", "event_type", "value", _us(ev, "ts").alias("ts_us"))
     left = ev.filter(F.col("event_type") == "purchase").drop("event_type")
     right = ev.filter(F.col("event_type") == "signup").drop("event_type", "event_id")
     return asof_join(left, right, ts_col="ts_us", by=["user_id"], value_cols=["value"])
@@ -961,7 +974,8 @@ def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (series, week) — bit-equal, keys x weeks tasks."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", _us(ev, "ts"))
     out = chunked_window(
         ev.select("event_type", "ts_us", "event_id", "value"),
         key_cols=["event_type"],
@@ -1059,9 +1073,8 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed last, no driver loops)."""
     from .operators.gapfill import gap_fill_ffill
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
-        "s", _sec("ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     out = gap_fill_ffill(
         ev,
         ts_sec_col="s",
@@ -1089,7 +1102,8 @@ def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame sum divided by the frame count (cross-engine stable)."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events").withColumn("ts_us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", _us(ev, "ts"))
 
     def _build(w):
         wf = w.rowsBetween(-3, 0)
@@ -1165,7 +1179,7 @@ def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot: one column per series per day (the reference's
     wide-metric read shape built from long events)."""
     ev = load(spark, sf_dir, "events")
-    s = _sec("ts")
+    s = _sec(ev, "ts")
     kinds = ["click", "error", "purchase", "signup", "view"]
     return (
         ev.select((s - (s % F.lit(86400))).alias("day_s"), "event_type", "value")
@@ -1239,7 +1253,7 @@ def orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     late = li.join(od, li.l_orderkey == od.o_orderkey).filter(
-        _us_of(li, "l_shipdate") > _us_of(od, "o_orderdate") + 90 * 86400 * US
+        _us(li, "l_shipdate") > _us(od, "o_orderdate") + 90 * 86400 * US
     ).select("l_orderkey")
     semi = od.join(late, od.o_orderkey == late.l_orderkey, "left_semi")
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
@@ -1289,7 +1303,8 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30 min inactivity gap) via lag + running sum —
     the batch analog of a session window, one shuffle per user key."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("us"), F.col("event_id"))
     gap = F.col("us") - F.lag("us").over(w)
     seq = ev.withColumn(
@@ -1451,7 +1466,8 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/chunkwin.py forward carries) before the group-by."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts"))
     cents = F.round(F.col("value") * 100).cast("bigint")
     seq = chunked_window(
         ev.withColumn("cents", cents).select("event_type", "us", "event_id", "cents"),
@@ -1520,9 +1536,8 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlesticks per series per hour — open/close via
     total-ordered row_number (ties by event_id), high/low plain
     min/max; one window pass + one aggregation."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
-        "s", _sec("ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     ev = ev.withColumn("bucket_s", F.col("s") - (F.col("s") % F.lit(3600)))
     asc = Window.partitionBy("event_type", "bucket_s").orderBy(
         F.col("us"), F.col("event_id")
@@ -1582,9 +1597,8 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression shape on both engines, bit-equal doubles."""
     from .operators.gapfill import gap_fill_linear
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts")).withColumn(
-        "s", _sec("ts")
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     out = gap_fill_linear(
         ev,
         ts_sec_col="s",
@@ -1613,7 +1627,8 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per weekly chunk instead of one task per series."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts"))
 
     def _build(w):
         dv = F.col("value") - F.lag("value").over(w)
@@ -1729,7 +1744,8 @@ def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics demo: the per-type window funnels each type's history
     through one task; ``ts_cumulative_sum_chunked`` is the scale path
     (operators/prefix.py, identical values)."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", _us(ev, "ts"))
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.col("us"), F.col("event_id"))
@@ -1761,9 +1777,8 @@ def ts_cumulative_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.prefix import chunked_running_sum
 
     week_us = 7 * 86400 * 1_000_000
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", _us("ts").alias("us"), "event_id", "value"
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_type", _us(ev, "ts").alias("us"), "event_id", "value")
     out = chunked_running_sum(
         ev,
         key_cols=["event_type"],
@@ -1979,9 +1994,8 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks tasks instead of one task per series."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", "event_id", _us("ts").alias("us"), "value"
-    )
+    ev = load(spark, sf_dir, "events")
+    ev = ev.select("event_type", "event_id", _us(ev, "ts").alias("us"), "value")
 
     def _build(w):
         wf = w.rangeBetween(-300_000_000, 0)
@@ -2164,7 +2178,7 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             "event_id",
             "event_type",
-            _us("ts").alias("ts_us"),
+            _us(j, "ts").alias("ts_us"),
             "value",
             z.alias("zscore"),
         )
