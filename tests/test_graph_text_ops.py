@@ -1,0 +1,120 @@
+"""Unit tests for the round-3 tail operators: connected components /
+duplicate clusters (operators/graph.py), passage-level dedup stats
+(operators/dedup.passage_dup_stats), Gopher quality rules and corpus
+vocab (operators/text.py) — known fixtures with hand-computed answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ong_tsdb_spark.operators import dedup, text
+from ong_tsdb_spark.operators.graph import connected_components, duplicate_clusters
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A diameter-7 chain (exercises pointer jumping — plain label
+    propagation would need 7 rounds), a triangle-ish path, and an
+    isolated pair."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+         (10, 11), (11, 12),
+         (20, 21)],
+        ["d1", "d2"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1, 8: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_duplicate_clusters_sizes(spark):
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 7)], ["d1", "d2"]  # unordered src/dst
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(edges).collect()
+    }
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_connected_components_convergence_rail(spark):
+    edges = spark.createDataFrame([(1, 2)], ["d1", "d2"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_rounds=0)
+
+
+W8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+OTHER8 = "india juliet kilo lima mike november oscar papa"
+
+
+def test_passage_dup_stats_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, W8),                  # 1 passage, the global first occurrence
+            (2, W8 + " " + OTHER8),   # 2 passages, first is a dup of doc 1's
+            (3, "too short to have a full passage"),  # 7 tokens -> no row
+            (4, W8 + " " + W8),       # both passages dup doc 1's
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"], r["dup_frac"])
+        for r in dedup.passage_dup_stats(docs, passage_words=8).collect()
+    }
+    assert out == {
+        1: (1, 0, 0.0),
+        2: (2, 1, 0.5),
+        4: (2, 2, 1.0),
+    }
+
+
+def _gopher_rows(spark, items):
+    docs = spark.createDataFrame(items, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict() for r in text.gopher_quality(docs).collect()}
+
+
+def test_gopher_rules_straddle_boundaries(spark):
+    filler = " ".join(["word"] * 56)  # 4-char words: mean_len in band
+    rows = _gopher_rows(
+        spark,
+        [
+            # 58 words incl. 2 marker stopwords -> passes every rule
+            (1, "the " + filler + " and word"),
+            # under the 50-word floor
+            (2, "the and " + " ".join(["word"] * 10)),
+            # symbol-heavy: ### tokens push symbol_ratio over 0.1
+            (3, "the " + " ".join(["###"] * 30) + " " + filler + " and"),
+            # no marker stopwords at all
+            (4, filler + " word word"),
+            # numeric tokens sink alpha_frac below 0.8
+            (5, "the " + " ".join(["1234"] * 50) + " " + " ".join(["word"] * 6) + " and"),
+        ],
+    )
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["stop_hits"] == 2
+    assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["gopher_pass"] is False and rows[3]["symbol_ratio"] >= 0.1
+    assert rows[4]["gopher_pass"] is False and rows[4]["stop_hits"] == 0
+    assert rows[5]["gopher_pass"] is False and rows[5]["alpha_frac"] <= 0.8
+    # the passing doc's features are what a hand computation gives
+    assert rows[1]["n_words"] == 59
+    assert rows[1]["alpha_frac"] == 1.0
+    assert rows[1]["symbol_ratio"] == 0.0
+
+
+def test_vocab_tf_and_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: (r["tf"], r["df_docs"]) for r in text.vocab(docs).collect()
+    }
+    assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
