@@ -75,6 +75,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return _shingles_of(F.split(text, " "), n)
 
 
+def materialize_for_self_join(df: DataFrame) -> DataFrame:
+    """Compute a pair-generator's index table ONCE and let every
+    consumer read the stored partitions.
+
+    All candidate-pair generators self-join their exploded/hashed
+    index table (shingles, band signatures, fingerprints), and
+    Catalyst does NOT produce a ReusedExchange for the two join sides
+    (verified on the executed plans), so without this the whole
+    tokenize/hash/explode pipeline — the dominant CPU cost — runs once
+    per consumer (2x for the join, +1 for any frequency/stats pass).
+    ``localCheckpoint`` stores the computed partitions in the executor
+    block store (memory, spilling to disk) and truncates lineage.
+    Storage is the operator's own corpus-bounded output table; blocks
+    are dropped when the DataFrame is garbage collected."""
+    return df.localCheckpoint(eager=True)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input has fewer partitions (e.g. one small Parquet file -> one
@@ -186,28 +203,36 @@ def ngram_jaccard_pairs(
     cap from the corpus itself via :func:`auto_shingle_cap`; pass an
     int for a fixed cap or ``None`` to disable capping entirely.
 
-    Cap plan: ONE extra aggregate computes the frequency table; the
-    hot set (freq > cap) is pulled to the driver when small (by
-    construction it usually is — these are the stopword-like
-    mega-shingles) and applied as a pure ``isin`` filter with NO extra
-    join; an empty hot set short-circuits to the exact uncapped plan.
-    A pathological corpus with >100k hot shingles falls back to a
+    Cap plan: the materialized inverted index feeds ONE stats
+    aggregate (sum/count/max of shingle frequency — three bigints to
+    the driver).  ``max_f <= cap`` proves the hot set empty with no
+    further jobs — the common, uniform-corpus case keeps the exact
+    uncapped plan.  Only a genuinely skewed corpus pays for pulling
+    the hot set (stopword-like mega-shingles, small by construction)
+    and the isin-filter + re-size; >100k hot shingles falls back to a
     distributed anti-join."""
-    sh = shingle_table_with_size(df, text_col, id_col, n)
+    sh = materialize_for_self_join(shingle_table_with_size(df, text_col, id_col, n))
     if max_shingle_freq is not None:
         # NOTE: capping drops hot (stopword-like) shingles from both
         # the intersection AND the sizes, so Jaccard stays consistent;
         # it bounds the join blowup like salting would.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        stats = freq.agg(
+            F.sum("__f").alias("total"),
+            F.count("*").alias("n_distinct"),
+            F.max("__f").alias("max_f"),
+        ).first()
         if max_shingle_freq == "auto":
-            freq = freq.persist()
-            max_shingle_freq = auto_shingle_cap(freq)
-        hot = freq.filter(F.col("__f") > max_shingle_freq).select("shingle")
-        hot_head = [r[0] for r in hot.take(MAX_DRIVER_HOT_SET + 1)]
-        freq.unpersist()
-        if not hot_head:
-            pass  # nothing hot: keep the exact uncapped plan
-        else:
+            if not stats["n_distinct"]:
+                max_shingle_freq = AUTO_CAP_FLOOR
+            else:  # exact ceil(MULT * total / distinct), same as auto_shingle_cap
+                max_shingle_freq = max(
+                    AUTO_CAP_FLOOR,
+                    -(-AUTO_CAP_MULT * int(stats["total"]) // int(stats["n_distinct"])),
+                )
+        if stats["max_f"] is not None and stats["max_f"] > max_shingle_freq:
+            hot = freq.filter(F.col("__f") > max_shingle_freq).select("shingle")
+            hot_head = [r[0] for r in hot.take(MAX_DRIVER_HOT_SET + 1)]
             if len(hot_head) <= MAX_DRIVER_HOT_SET:
                 sh = sh.filter(~F.col("shingle").isin(hot_head))
             else:  # pathological: distributed anti-join instead
@@ -345,7 +370,9 @@ def lsh_candidate_pairs(
     The band signature join is an equi-join on (band, sig) — at scale
     the shuffle key cardinality is ~n_docs x n_bands and each bucket
     is tiny unless documents truly collide."""
-    sigs = band_signatures(df, text_col, id_col, n, num_hashes, band_size)
+    sigs = materialize_for_self_join(
+        band_signatures(df, text_col, id_col, n, num_hashes, band_size)
+    )
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -474,6 +501,7 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str =
             ])
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = materialize_for_self_join(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band", "key"])
@@ -549,7 +577,7 @@ def winnow_candidate_pairs(
     inverted-index equi-join shape as the shingle join, but over the
     winnowed subset (~2/(window+1) the rows) — cheaper pair generation
     at the same guarantee level for runs >= window+n-1 tokens."""
-    fp = winnow_fingerprints(df, text_col, id_col, n, window)
+    fp = materialize_for_self_join(winnow_fingerprints(df, text_col, id_col, n, window))
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, on="fingerprint")
