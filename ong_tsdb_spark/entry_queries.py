@@ -1872,9 +1872,18 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = with_buckets.filter(
         F.coalesce(F.col("bucket") == qbucket, F.lit(False))
     ).drop("bucket")
-    if candidates.count() < 11:
-        candidates = emb
-    return similarity.cosine_topk(candidates, qvec, k=10, exclude_ids=[0]).select(
+    # single candidate scan: re-rank first, fall back only if the
+    # bucket couldn't fill k (bucket < k+1 members <=> < k result
+    # rows — the same boundary as the oracle's count >= 11 rule).
+    # The old plan ran a separate count() job over the candidates
+    # before the re-rank — two full bucket scans instead of one.
+    bucket_topk = similarity.cosine_topk(candidates, qvec, k=10, exclude_ids=[0]).select(
+        "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+    rows = bucket_topk.collect()
+    if len(rows) >= 10:
+        return spark.createDataFrame(rows, bucket_topk.schema)
+    return similarity.cosine_topk(emb, qvec, k=10, exclude_ids=[0]).select(
         "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
     )
 

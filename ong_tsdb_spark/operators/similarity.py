@@ -111,11 +111,19 @@ def cosine_pairs_blocked(
     each pair evaluates only one unrolled dot product (O(pairs)) —
     cosine = dot/(norm_a*norm_b) is the same expression either way."""
     dim = _infer_dim(df, vec_col)
-    slim = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("__blk"),
-        F.col(vec_col),
-        _norm(F.col(vec_col), dim).alias("__nrm"),
+    # materialized once: the projection carries computed expressions
+    # (quantizer block keys, the norm fold), and the three consumers
+    # (size census, both self-join sides) get no ReusedExchange from
+    # Catalyst — without this the folds run 3x per vector
+    from .dedup import materialize_for_self_join
+
+    slim = materialize_for_self_join(
+        df.select(
+            F.col(id_col),
+            F.col(block_col).alias("__blk"),
+            F.col(vec_col),
+            _norm(F.col(vec_col), dim).alias("__nrm"),
+        )
     )
     if max_block_size is not None:
         sizes = slim.groupBy("__blk").agg(F.count("*").alias("__bn"))

@@ -120,7 +120,10 @@ def compact_sensor(
         df = engine._read_raw(db, sensor, cfg)
         if df is None:
             return 0
-        parts = sorted(r[0] for r in df.select(PART_COL).distinct().collect())
+        # partition-directory listing (driver metadata, no data scan)
+        # instead of a full-scan distinct — at 100 TB chunk cardinality
+        # the listing is object-store metadata, the distinct is a job
+        parts = sorted(engine._existing_chunks(db, sensor))
         cold = parts[: len(parts) - keep_recent_chunks] if keep_recent_chunks else parts
         if not cold:
             return 0
