@@ -864,9 +864,10 @@ def _neardup_lsh_sql() -> str:
     sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
     kept AS (SELECT b.vec_id, b.embedding, b.bucket
              FROM b JOIN sizes USING (bucket) WHERE n <= {_NEARDUP_LSH_CAP})
-    SELECT a.vec_id AS d1, c.vec_id AS d2, {cos} AS cosine
-    FROM kept a JOIN kept c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {cos} >= 0.3
+    SELECT d1, d2, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS d1, c.vec_id AS d2, {cos} AS cosine
+      FROM kept a JOIN kept c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ) WHERE cosine >= 0.3
     """
 
 
@@ -877,15 +878,20 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join to attach it), so parallelism equals bucket count (up to
     2^{planes}) and ``max_block_size`` bounds every task's quadratic
     term by construction — the 100 TB contract the label-blocked demo
-    can't make."""
+    can't make.  Pair scoring runs on the BLAS executor (one matmul
+    per bucket, cosines rounded to 6 digits like emb_neardup_blocked):
+    at 10x sf0.1 the interpreted 64-dim pair fold cost ~15 s where the
+    matmul does the same work in ~1 s, and the gap widens with bucket
+    occupancy."""
     emb = load(spark, sf_dir, "embeddings")
     with_b = emb.withColumn(
         "bucket", similarity.lsh_bucket_expr(F.col("embedding"), 64, _NEARDUP_LSH_PLANES)
     )
-    return similarity.cosine_pairs_blocked(
+    return similarity.cosine_pairs_blocked_numpy(
         with_b,
         block_col="bucket",
         threshold=0.3,
+        round_digits=6,
         max_block_size=_NEARDUP_LSH_CAP,
     )
 
