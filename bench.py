@@ -53,6 +53,9 @@ HEADLINE = [
     "ts_delta",
     "ts_rolling_mean",
     "ts_gap_fill_linear",
+    # round-4 operators
+    "dedup_passage_stats",
+    "text_gopher_quality",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
