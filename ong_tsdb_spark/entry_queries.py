@@ -2341,6 +2341,44 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("df_docs").cast("bigint").alias("df_docs"))
 
 
+def _contamination_sql(n: int = 8) -> str:
+    gram = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t)-{n - 2}, 1)),
+                                          i -> {gram})) AS arr
+      FROM d WHERE len(t) >= {n}
+    ),
+    bench AS (SELECT DISTINCT unnest(arr) AS s FROM g WHERE doc_id % 20 = 0),
+    corp AS (SELECT doc_id, len(arr) AS n_ngrams, unnest(arr) AS s
+             FROM g WHERE doc_id % 20 <> 0)
+    SELECT corp.doc_id,
+           CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(sum(CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(n_ngrams AS DOUBLE) AS contamination_frac
+    FROM corp LEFT JOIN bench USING (s)
+    GROUP BY corp.doc_id, n_ngrams
+    """
+
+
+@register("text_contamination", _contamination_sql(8))
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Llama-style n-gram overlap):
+    documents with doc_id % 20 == 0 stand in for the held-out eval
+    set; every other document reports the fraction of its distinct
+    8-gram shingles that occur anywhere in that set
+    (operators/text.contamination_stats — bench n-grams broadcast,
+    corpus side map-side explode + broadcast join, one shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return text.contamination_stats(corpus, bench, n=8)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Rotate so (a) the round-3-broken ts
@@ -2373,6 +2411,7 @@ _TAIL_ROTATION = [
     "text_repetition",
     "top_orders_per_priority",
     "dedup_simhash32",
+    "users_set_ops",
 ]
 
 

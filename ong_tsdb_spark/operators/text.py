@@ -257,3 +257,54 @@ def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
     dfreq = per_doc.groupBy("token").agg(F.count("*").alias("df_docs"))
     return tf.join(dfreq, on="token")
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document with at
+    least one full ``n``-token shingle, the fraction of its DISTINCT
+    n-gram shingles that occur anywhere in the benchmark (eval) set —
+    the GPT-3/Llama-style n-gram-overlap contamination check.
+
+    Returns (id, n_ngrams, n_contaminated, contamination_frac).
+
+    Scale shape: the benchmark n-gram set (eval suites — small by
+    nature) is distinct-ed and BROADCAST, so the corpus side is one
+    map-side explode + broadcast hash join with map-side partial
+    aggregation on the doc id: the only shuffle carries one row per
+    (mapper, doc).  Corpus text never moves; at 100 TB the cost is
+    the corpus scan."""
+    from .dedup import _shingle_arrays
+
+    c = _shingle_arrays(corpus, text_col, id_col, n).filter(F.size("__arr") >= 1)
+    b = (
+        _shingle_arrays(bench, text_col, id_col, n)
+        .select(F.explode_outer("__arr").alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = c.select(
+        F.col(id_col),
+        F.size("__arr").alias("n_ngrams"),
+        F.explode_outer("__arr").alias("__s"),
+    )
+    j = ex.join(F.broadcast(b), on="__s", how="left")
+    return (
+        j.groupBy(id_col, "n_ngrams")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("contamination_frac"),
+        )
+    )

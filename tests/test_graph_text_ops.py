@@ -118,3 +118,30 @@ def test_vocab_tf_and_df(spark):
         r["token"]: (r["tf"], r["df_docs"]) for r in text.vocab(docs).collect()
     }
     assert got == {"a": (2, 1), "b": (2, 2), "c": (1, 1)}
+
+
+W8B = "quick brown fox jumps over the lazy dog"
+
+
+def test_contamination_known_overlap(spark):
+    from ong_tsdb_spark.operators.text import contamination_stats
+
+    bench = spark.createDataFrame([(100, W8B)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            # 9 tokens: 2 distinct 8-grams, the first one is W8B -> 1/2
+            (1, W8B + " extra"),
+            # disjoint content -> 0.0
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+            # exact copy of the benchmark doc -> 1/1
+            (3, W8B),
+            # too short for any 8-gram -> no row
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination_frac"])
+        for r in contamination_stats(corpus, bench, n=8).collect()
+    }
+    assert got == {1: (2, 1, 0.5), 2: (2, 0, 0.0), 3: (1, 1, 1.0)}
