@@ -68,10 +68,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nb_label"))
         )
+        # the pre-round label rides along as __old so convergence is a
+        # filter+count over the checkpointed result — no extra join
         stepped = (
             labels.join(nb, labels.node == nb.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
                 ).alias("label"),
@@ -87,19 +90,15 @@ def connected_components(
             stepped.join(lut, stepped.label == lut.l_node, "left")
             .select(
                 "node",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)  # cut lineage every round
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("__old")).count()
+        labels = jumped.drop("__old")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
