@@ -56,6 +56,8 @@ HEADLINE = [
     # round-4 operators
     "dedup_passage_stats",
     "text_gopher_quality",
+    "text_contamination",
+    "dedup_clusters",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
