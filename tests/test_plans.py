@@ -205,3 +205,30 @@ def test_gapfill_windows_are_chunk_partitioned(spark, sf_dir, qname):
     assert hits, f"{qname}: no fill window over `value` found:\n{plan}"
     for ln in hits:
         assert "__ck" in ln, f"{qname}: fill window not chunk-partitioned:\n{ln}"
+
+
+def test_contamination_broadcast_and_parallel_scan(spark, sf_dir):
+    """The decontamination join must broadcast the benchmark n-gram
+    set (corpus side never shuffles on the shingle), and the n_ngrams
+    gate must NOT be pushed below the parallelism repartition — a
+    pushed gate substitutes the whole shingle-transform expression
+    into a serial pre-repartition filter (observed 0.6 s -> 7.7 s)."""
+    df = entry_queries.queries()["text_contamination"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the serial-filter regression shows up as a transform(...) inside
+    # a Filter below the Exchange; the healthy plan filters only on
+    # the aggregated n_ngrams output
+    import re
+    for m in re.finditer(r"Filter \[?[^\n]*transform", plan):
+        raise AssertionError(f"shingle transform inside a Filter: {m.group(0)[:120]}")
+
+
+def test_passage_stats_single_digest_shuffle(spark, sf_dir):
+    """Passage dedup shuffles only digests + packed keys — document
+    text must not appear above the first exchange."""
+    df = entry_queries.queries()["dedup_passage_stats"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
