@@ -1,12 +1,16 @@
 """Time-series column functions shared by operators and queries.
 
-Cross-engine determinism convention (Spark vs the DuckDB oracle): the
-driver's testdata stores TIMESTAMP(NANOS), which Spark reads as long
-nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong`` while DuckDB
-floors to microsecond TIMESTAMP.  All query outputs therefore expose
-time as **epoch microseconds (bigint)** — ``ts div 1000`` here equals
-``epoch_us(ts)`` there for positive timestamps.  Exact integer math,
-no doubles (ns since 1970 exceed 2^53).
+Cross-engine determinism convention (Spark vs the DuckDB oracle): all
+query outputs expose time as **epoch microseconds (bigint)**, equal to
+DuckDB's ``epoch_us(ts)`` for positive timestamps.  Exact integer
+math, no doubles (ns since 1970 exceed 2^53).
+
+DTYPE WARNING: the driver's testdata has shipped timestamp columns as
+BOTH long-ns (TIMESTAMP(NANOS) under ``nanosAsLong``) and plain
+timestamp[us].  ``ts_us``/``ts_sec`` below REQUIRE a long-ns column —
+for columns whose dtype isn't known statically, use the
+schema-adaptive ``entry_queries._us/_sec/_ns(df, col)`` instead
+(pinned by tests/test_ts_dtypes.py).
 """
 
 from __future__ import annotations
@@ -18,12 +22,14 @@ US_PER_SEC = 1_000_000
 
 
 def ts_us(ts_ns_col: str) -> Column:
-    """Column expr: long-ns column -> epoch microseconds (bigint)."""
+    """Column expr: long-ns column -> epoch microseconds (bigint).
+    REQUIRES bigint ns input — see the module DTYPE WARNING."""
     return F.expr(f"`{ts_ns_col}` div 1000")
 
 
 def ts_sec(ts_ns_col: str) -> Column:
-    """Column expr: long-ns column -> whole epoch seconds (bigint)."""
+    """Column expr: long-ns column -> whole epoch seconds (bigint).
+    REQUIRES bigint ns input — see the module DTYPE WARNING."""
     return F.expr(f"`{ts_ns_col}` div 1000000000")
 
 
