@@ -421,6 +421,11 @@ class OngTsdbSpark:
 
             existing = self._read_raw(db, sensor, cfg)
             if existing is not None:
+                # materialize the snapped/folded batch ONCE: both the
+                # touched-partition census and the merge read it, and
+                # without this the whole snap+shuffle+last-wins agg
+                # pipeline runs twice
+                batch = batch.localCheckpoint(eager=True)
                 touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
                 old = existing.filter(F.col(PART_COL).isin(touched))
                 merged = self._merge(old, batch, known, cfg)
