@@ -125,7 +125,14 @@ def gap_fill_ffill(
     the last prior non-null observation (computed over the tiny
     keys x chunks frame) — bit-identical to a single per-series window.
     """
-    obs = _dedup_cells(df, ts_sec_col, series_cols, value_cols, tick_seconds, tiebreak_cols)
+    # materialized once: three consumers (bounds aggregate, the grid
+    # left-join, the per-chunk edge summary) would each re-run the
+    # dedup-cell shuffle+window otherwise (no ReusedExchange)
+    from .dedup import materialize_for_self_join
+
+    obs = materialize_for_self_join(
+        _dedup_cells(df, ts_sec_col, series_cols, value_cols, tick_seconds, tiebreak_cols)
+    )
     cb = int(tick_seconds) * int(chunk_ticks)
     grid, axis = _chunked_grid(obs, series_cols, tick_seconds, chunk_ticks)
     cells = grid.join(obs, on=[*series_cols, "__tick"], how="left")
@@ -182,7 +189,11 @@ def gap_fill_linear(
     per chunk so the bracketing observations cross chunk edges; the
     interpolation expression — and hence every double — is identical
     to the single-window plan."""
-    obs = _dedup_cells(df, ts_sec_col, series_cols, [value_col], tick_seconds, tiebreak_cols)
+    from .dedup import materialize_for_self_join
+
+    obs = materialize_for_self_join(
+        _dedup_cells(df, ts_sec_col, series_cols, [value_col], tick_seconds, tiebreak_cols)
+    )
     cb = int(tick_seconds) * int(chunk_ticks)
     grid, axis = _chunked_grid(obs, series_cols, tick_seconds, chunk_ticks)
     cells = grid.join(obs, on=[*series_cols, "__tick"], how="left")
