@@ -21,7 +21,8 @@ import pytest
 from ong_tsdb_spark import entry_queries
 
 # events-only queries spanning every helper: _us, _sec, _ns (influx),
-# _ts_pred_* (range), plus the chunkwin / gapfill / window reroutes
+# _ts_pred_* (range), plus every reroute family — chunkwin (delta/
+# rate/twa), prefix (cumulative), gapfill, downsample, window OHLC
 QUERIES = [
     "ts_range_read",
     "ts_snap_grid",
@@ -33,6 +34,10 @@ QUERIES = [
     "ts_sessionize",
     "ts_rate",
     "ts_gap_fill",
+    "ts_cumulative_sum_chunked",
+    "ts_ohlc",
+    "ts_time_weighted_avg",
+    "ts_downsample_first",
 ]
 
 
