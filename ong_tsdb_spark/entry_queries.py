@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.timeseries import nan_sum
+from .functions.timeseries import epoch_ns, epoch_sec, epoch_us, nan_sum
 from .operators import dedup, downsample, similarity, text
 from .sources import influx as influx_src
 
@@ -63,31 +63,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _us(df: DataFrame, col: str) -> F.Column:
-    """epoch µs (bigint) from either a long-ns or a timestamp column —
-    always equals DuckDB's ``epoch_us(col)`` (floor; positive domain)."""
-    dt = df.schema[col].dataType.simpleString()
-    if dt == "bigint":
-        return F.expr(f"{col} div 1000")
-    return F.unix_micros(F.col(col).cast("timestamp"))
-
-
-def _sec(df: DataFrame, col: str) -> F.Column:
-    """epoch seconds (bigint), dtype-adaptive — DuckDB
-    ``epoch_us(col)//1000000`` (floor; positive domain)."""
-    dt = df.schema[col].dataType.simpleString()
-    if dt == "bigint":
-        return F.expr(f"{col} div 1000000000")
-    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000000")
-
-
-def _ns(df: DataFrame, col: str) -> F.Column:
-    """epoch ns (bigint), dtype-adaptive — for edges that speak raw ns
-    (influx line protocol).  µs-precision sources get trailing zeros."""
-    dt = df.schema[col].dataType.simpleString()
-    if dt == "bigint":
-        return F.col(col)
-    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+# the schema-adaptive epoch converters live in functions/timeseries
+# (the shared layer); short aliases keep the ~40 query bodies terse
+_us = epoch_us
+_sec = epoch_sec
+_ns = epoch_ns
 
 
 def _ts_pred_ge(df: DataFrame, col: str, us: int) -> F.Column:
@@ -831,7 +811,7 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
                / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
       FROM kept a JOIN kept b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.4
+    ) WHERE round(cosine, 6) >= 0.4
     """,
 )
 def emb_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,7 +847,7 @@ def _neardup_lsh_sql() -> str:
     SELECT d1, d2, round(cosine, 6) AS cosine FROM (
       SELECT a.vec_id AS d1, c.vec_id AS d2, {cos} AS cosine
       FROM kept a JOIN kept c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    ) WHERE cosine >= 0.3
+    ) WHERE round(cosine, 6) >= 0.3
     """
 
 
@@ -1204,7 +1184,7 @@ def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.4
+    ) WHERE round(cosine, 6) >= 0.4
     """,
 )
 def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,32 +5,47 @@ query outputs expose time as **epoch microseconds (bigint)**, equal to
 DuckDB's ``epoch_us(ts)`` for positive timestamps.  Exact integer
 math, no doubles (ns since 1970 exceed 2^53).
 
-DTYPE WARNING: the driver's testdata has shipped timestamp columns as
-BOTH long-ns (TIMESTAMP(NANOS) under ``nanosAsLong``) and plain
-timestamp[us].  ``ts_us``/``ts_sec`` below REQUIRE a long-ns column —
-for columns whose dtype isn't known statically, use the
-schema-adaptive ``entry_queries._us/_sec/_ns(df, col)`` instead
-(pinned by tests/test_ts_dtypes.py).
+The driver's testdata has shipped timestamp columns as BOTH long-ns
+(TIMESTAMP(NANOS) under ``nanosAsLong``) and plain timestamp[us], so
+the epoch converters here are SCHEMA-ADAPTIVE — they take the
+DataFrame and branch on the column's actual dtype (pinned against
+both encodings by tests/test_ts_dtypes.py).  Never write a raw
+``ts div 1000`` against a column whose dtype isn't statically known.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 US_PER_SEC = 1_000_000
 
 
-def ts_us(ts_ns_col: str) -> Column:
-    """Column expr: long-ns column -> epoch microseconds (bigint).
-    REQUIRES bigint ns input — see the module DTYPE WARNING."""
-    return F.expr(f"`{ts_ns_col}` div 1000")
+def epoch_us(df: DataFrame, col: str) -> Column:
+    """epoch µs (bigint) from either a long-ns or a timestamp column —
+    always equals DuckDB's ``epoch_us(col)`` (floor; positive domain)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def ts_sec(ts_ns_col: str) -> Column:
-    """Column expr: long-ns column -> whole epoch seconds (bigint).
-    REQUIRES bigint ns input — see the module DTYPE WARNING."""
-    return F.expr(f"`{ts_ns_col}` div 1000000000")
+def epoch_sec(df: DataFrame, col: str) -> Column:
+    """epoch seconds (bigint), dtype-adaptive — DuckDB
+    ``epoch_us(col)//1000000`` (floor; positive domain)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return F.expr(f"{col} div 1000000000")
+    return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000000")
+
+
+def epoch_ns(df: DataFrame, col: str) -> Column:
+    """epoch ns (bigint), dtype-adaptive — for edges that speak raw ns
+    (influx line protocol).  µs-precision sources get trailing zeros."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return F.col(col)
+    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
 
 
 def snap_sec(ts_sec_col: Column, tick_seconds: int) -> Column:

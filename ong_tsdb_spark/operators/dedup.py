@@ -172,6 +172,16 @@ AUTO_CAP_MULT = 32
 MAX_DRIVER_HOT_SET = 100_000
 
 
+def shingle_cap_rule(total: int, n_distinct: int) -> int:
+    """THE cap rule — exact ceil(AUTO_CAP_MULT * total / distinct) in
+    integers, floored at AUTO_CAP_FLOOR.  Single definition shared by
+    the DataFrame paths; the SQL oracle (entry_queries) embeds the
+    identical integer arithmetic."""
+    if not n_distinct:
+        return AUTO_CAP_FLOOR
+    return max(AUTO_CAP_FLOOR, -(-AUTO_CAP_MULT * int(total) // int(n_distinct)))
+
+
 def auto_shingle_cap(freq: DataFrame) -> int:
     """Choose the hot-shingle cap from the shingle frequency table
     ((shingle, __f) rows): one tiny aggregate (two bigints to the
@@ -180,11 +190,7 @@ def auto_shingle_cap(freq: DataFrame) -> int:
     mega-shingles dropped, bounding the inverted-index join blowup by
     construction."""
     row = freq.agg(F.sum("__f").alias("total"), F.count("*").alias("distinct")).first()
-    total, distinct = row["total"], row["distinct"]
-    if not distinct:
-        return AUTO_CAP_FLOOR
-    # exact ceil(AUTO_CAP_MULT * total / distinct) in integers
-    return max(AUTO_CAP_FLOOR, -(-AUTO_CAP_MULT * int(total) // int(distinct)))
+    return shingle_cap_rule(row["total"] or 0, row["distinct"])
 
 
 def ngram_jaccard_pairs(
@@ -223,13 +229,7 @@ def ngram_jaccard_pairs(
             F.max("__f").alias("max_f"),
         ).first()
         if max_shingle_freq == "auto":
-            if not stats["n_distinct"]:
-                max_shingle_freq = AUTO_CAP_FLOOR
-            else:  # exact ceil(MULT * total / distinct), same as auto_shingle_cap
-                max_shingle_freq = max(
-                    AUTO_CAP_FLOOR,
-                    -(-AUTO_CAP_MULT * int(stats["total"]) // int(stats["n_distinct"])),
-                )
+            max_shingle_freq = shingle_cap_rule(stats["total"] or 0, stats["n_distinct"])
         if stats["max_f"] is not None and stats["max_f"] > max_shingle_freq:
             hot = freq.filter(F.col("__f") > max_shingle_freq).select("shingle")
             hot_head = [r[0] for r in hot.take(MAX_DRIVER_HOT_SET + 1)]

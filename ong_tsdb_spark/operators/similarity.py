@@ -185,12 +185,15 @@ def cosine_pairs_blocked_numpy(
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Mn @ Mn.T
         iu = np.triu_indices(len(ids), 1)
-        mask = S[iu] >= threshold
+        # threshold the ROUNDED cosine: BLAS vs sequential-fold sums
+        # differ by ~1e-15, so a raw-value threshold could disagree
+        # with the oracle on MEMBERSHIP for a pair sitting exactly at
+        # the cut; rounding first makes the decision identical
+        rounded = np.round(S[iu], round_digits)
+        mask = rounded >= threshold
         d1 = np.minimum(ids[iu[0][mask]], ids[iu[1][mask]])
         d2 = np.maximum(ids[iu[0][mask]], ids[iu[1][mask]])
-        return pd.DataFrame(
-            {"d1": d1, "d2": d2, "cosine": np.round(S[iu][mask], round_digits)}
-        )
+        return pd.DataFrame({"d1": d1, "d2": d2, "cosine": rounded[mask]})
 
     return df.groupBy(block_col).applyInPandas(block, "d1 long, d2 long, cosine double")
 

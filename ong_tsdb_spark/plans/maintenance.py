@@ -124,7 +124,10 @@ def compact_sensor(
         # instead of a full-scan distinct — at 100 TB chunk cardinality
         # the listing is object-store metadata, the distinct is a job
         parts = sorted(engine._existing_chunks(db, sensor))
-        cold = parts[: len(parts) - keep_recent_chunks] if keep_recent_chunks else parts
+        # max(..., 0): keep_recent_chunks > partition count must keep
+        # EVERYTHING (a negative slice bound would wrap and compact
+        # the oldest chunk the policy says to leave untouched)
+        cold = parts[: max(len(parts) - keep_recent_chunks, 0)] if keep_recent_chunks else parts
         if not cold:
             return 0
         known = flatten_metrics(cfg.metrics)

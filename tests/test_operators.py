@@ -307,6 +307,11 @@ def test_maintenance_verify_and_compact(eng):
     eng.write_df("d", "s", pd.DataFrame({"v": np.ones(50)}, index=idx))
     st = maintenance.verify_sensor(eng, "d", "s")
     assert st.n_rows == 50 and st.duplicate_ts == 0 and st.off_grid == 0
+    # keep_recent_chunks > partition count must compact NOTHING (a
+    # negative slice bound would wrap and rewrite the oldest chunk)
+    assert maintenance.compact_sensor(
+        eng, "d", "s", codec="zstd", keep_recent_chunks=st.n_chunks + 5
+    ) == 0
     n = maintenance.compact_sensor(eng, "d", "s", codec="zstd")
     assert n == st.n_chunks
     # data unchanged after compaction

@@ -38,6 +38,14 @@ QUERIES = [
     "ts_ohlc",
     "ts_time_weighted_avg",
     "ts_downsample_first",
+    "ts_asof_join",
+    "ts_upsert_last_wins",
+    "ts_rolling_mean",
+    "ts_gap_fill_linear",
+    "ts_moving_range_avg",
+    "ts_pivot_daily",
+    "ts_zscore_anomaly",
+    "ts_cumulative_sum",
 ]
 
 
