@@ -2359,6 +2359,39 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination_stats(corpus, bench, n=8)
 
 
+def _sample_rates_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {ppm}" for s, ppm in sorted(text.SAMPLE_RATES_PPM.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@register(
+    "corpus_sample_stats",
+    f"""
+    WITH b AS (
+      SELECT lang AS stratum,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 < {_sample_rates_case_sql()}
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS realized_rate
+    FROM b GROUP BY stratum
+    """,
+)
+def corpus_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data mixing): per-language
+    keep rates applied via a hash-bucket decision
+    (operators/text.stratified_sample_stats) — reproducible across
+    engines/runs/cluster sizes, no RNG.  Map-side decision, one tiny
+    per-stratum aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return text.stratified_sample_stats(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Rotate so (a) the round-3-broken ts

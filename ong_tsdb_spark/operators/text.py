@@ -319,3 +319,59 @@ def contamination_stats(
             ).alias("contamination_frac"),
         )
     )
+
+
+#: per-stratum keep rates for the sampling demo — parts per million so
+#: the keep decision is exact integer arithmetic in any engine.
+#: Covers every language in the testdata corpus; unknown strata keep 0.
+SAMPLE_RATES_PPM = {
+    "en": 800_000,
+    "es": 500_000,
+    "fr": 400_000,
+    "de": 400_000,
+    "zh": 300_000,
+    "und": 100_000,
+}
+
+
+def stratified_sample_stats(
+    df: DataFrame,
+    rates_ppm: dict[str, int] | None = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling (the data-mixing step of a
+    training pipeline): keep a document iff the first 8 hex chars of
+    ``md5(id)``, taken mod 1e6, fall under its stratum's
+    parts-per-million rate.  Hash-based, so the sample is exactly
+    reproducible across engines, runs, and cluster sizes — no RNG, no
+    seed plumbing, and adding documents never flips existing keep
+    decisions.
+
+    Returns (stratum, n_docs, n_kept, realized_rate) per stratum.
+
+    Scale shape: the keep decision is a pure map-side column
+    expression; the only shuffle is the per-stratum count aggregate
+    (map-side partial combine, one row per (mapper, stratum))."""
+    rates = rates_ppm or SAMPLE_RATES_PPM
+    bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(1_000_000)
+    rate = F.lit(None).cast("long")
+    expr = None
+    for stratum, ppm in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, F.lit(int(ppm))) if expr is None else expr.when(cond, F.lit(int(ppm)))
+    rate = expr.otherwise(F.lit(0))
+    kept = (bucket < rate).cast("long")
+    return (
+        df.select(F.col(stratum_col).alias("stratum"), kept.alias("__kept"))
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__kept").cast("bigint").alias("n_kept"),
+            (F.sum("__kept").cast("double") / F.count("*").cast("double")).alias(
+                "realized_rate"
+            ),
+        )
+    )

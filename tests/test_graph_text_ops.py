@@ -145,3 +145,34 @@ def test_contamination_known_overlap(spark):
         for r in contamination_stats(corpus, bench, n=8).collect()
     }
     assert got == {1: (2, 1, 0.5), 2: (2, 0, 0.0), 3: (1, 1, 1.0)}
+
+
+def test_stratified_sample_deterministic(spark):
+    import hashlib
+
+    from ong_tsdb_spark.operators.text import SAMPLE_RATES_PPM, stratified_sample_stats
+
+    rows = [(i, "en" if i % 2 == 0 else "es") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def kept(doc_id, lang):
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+        return bucket < SAMPLE_RATES_PPM[lang]
+
+    expect = {}
+    for i, lang in rows:
+        n, k = expect.get(lang, (0, 0))
+        expect[lang] = (n + 1, k + int(kept(i, lang)))
+
+    got = {
+        r["stratum"]: (r["n_docs"], r["n_kept"], r["realized_rate"])
+        for r in stratified_sample_stats(docs).collect()
+    }
+    assert set(got) == set(expect)
+    for lang, (n, k) in expect.items():
+        assert got[lang] == (n, k, k / n), (lang, got[lang], (n, k))
+    # rerun is bit-identical (no RNG anywhere)
+    assert got == {
+        r["stratum"]: (r["n_docs"], r["n_kept"], r["realized_rate"])
+        for r in stratified_sample_stats(docs).collect()
+    }
