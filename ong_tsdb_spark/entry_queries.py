@@ -2394,37 +2394,57 @@ def corpus_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
-# registry entries (dict order).  Rotate so (a) the round-3-broken ts
-# family re-proves itself with driver rows, (b) the 16 queries that
-# have never had a driver row get one, (c) the new round-4 operators
-# are driver-checked.  Everything pushed to the tail is green in BOTH
-# r2 and r3 driver rows AND pinned locally by tests/test_entry.py,
-# which always runs all entries.
+# registry entries (dict order).  Round-5 rotation policy (VERDICT r4
+# asks #1/#3): rotate a DIFFERENT subset out each round so every entry
+# is driver-re-proven at least every other round, and keep the head
+# <= 50 so no entry silently falls outside the window.
+#
+# r5 tail (below) ∩ r4 tail = ∅.  The r4 tail (tpch_q3_topk, tpch_q5ish,
+# top_orders, part_brand_agg, dedup_simhash, text_tokens,
+# text_fingerprint, emb_label_centroids, emb_quantized_topk,
+# emb_neardup_numpy, tpch_rollup, events_json_extract,
+# ts_checksum_nansum, orders_with_late_lines,
+# customers_without_recent_orders, tpch_cube, text_pii_scrub,
+# text_repetition, top_orders_per_priority, dedup_simhash32,
+# users_set_ops) returns to the head this round, together with
+# corpus_sample_stats (head position 51 in r4 — zero driver evidence
+# until now) and emb_ivf_topk (new value-checked oracle this round).
+# Union of the r4 window (r4 head positions 1-50) and the r5 window
+# (this head) covers every registry entry.
+#
+# Everything pushed to the tail below has a fully green (rows+schema+
+# hash) driver row in CORRECTNESS_r04.json AND is pinned locally by
+# tests/test_entry.py, which always runs all entries.
 # ======================================================================
 
 _TAIL_ROTATION = [
-    # green driver rows in r2+r3; local superset gate still covers them
-    "tpch_q3_topk",
-    "tpch_q5ish",
-    "top_orders",
-    "part_brand_agg",
-    "dedup_simhash",
-    "text_tokens",
-    "text_fingerprint",
-    "emb_label_centroids",
-    "emb_quantized_topk",
-    "emb_neardup_numpy",
-    "tpch_rollup",
-    "events_json_extract",
-    "ts_checksum_nansum",
-    "orders_with_late_lines",
-    "customers_without_recent_orders",
-    "tpch_cube",
-    "text_pii_scrub",
-    "text_repetition",
-    "top_orders_per_priority",
-    "dedup_simhash32",
-    "users_set_ops",
+    # green driver rows in r4; local superset gate still covers them
+    "ts_range_read",
+    "ts_snap_grid",
+    "ts_last_timestamp",
+    "ts_downsample_first",
+    "ts_usage_stats",
+    "ts_ingest_grouping",
+    "tpch_q1",
+    "ts_asof_join",
+    "ts_delta",
+    "ts_gap_fill",
+    "ts_rolling_mean",
+    "tpch_q6",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "ts_sessionize",
+    "ts_time_weighted_avg",
+    "ts_ohlc",
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_value_histogram",
+    "part_type_like",
+    "customers_above_nation_avg",
+    "ts_cumulative_sum",
+    "ts_cumulative_sum_chunked",
+    "ts_moving_range_avg",
+    "ts_zscore_anomaly",
 ]
 
 
