@@ -1801,18 +1801,100 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_ivf_topk", None)  # iterative k-means training -> rows-only
-def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN end-to-end: train a deterministic k-means coarse
-    quantizer (iterative DataFrame Lloyd's — genuinely non-SQL), probe
-    the 2 nearest lists, exact re-rank.  The scale path for
-    similarity search over partitioned corpora."""
-    emb = load(spark, sf_dir, "embeddings")
-    cents = similarity.train_ivf_centroids(emb, k=8, iters=3)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.ivf_topk(emb, cents, qvec, k=10, nprobe=2, exclude_ids=[0]).select(
-        "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, topk: int = 10) -> str:
+    """DuckDB twin of the integer-exact IVF pipeline
+    (similarity.train_ivf_centroids_exact + ivf_topk_exact).  The fixed
+    iteration count unrolls Lloyd's into a chained-CTE pipeline; every
+    training step is bigint arithmetic (quantize by 2^20 is rounding-
+    free for float32, sums are exact in any order, centroid = floored
+    mean via the truncated-mod floor-division identity), so both
+    engines converge to BIT-IDENTICAL centroids, clusters, probes and
+    candidate sets.  The final re-rank reuses the sequential cosine
+    fold already proven by the emb_cosine_topk oracle."""
+    scale = similarity.IVF_QUANT_SCALE
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+        )
+
+    ctes = [
+        f"""q0 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT vec_id, qv FROM q0 ORDER BY vec_id LIMIT {k}))"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""a{it} AS (
+      SELECT vec_id, qv, cid FROM (
+        SELECT q.vec_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2("q.qv", "c.cv")}, c.cid) AS rn
+        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1),
+    s{it} AS (
+      SELECT cid, pos, SUM(qv[pos]) AS s, COUNT(*) AS n
+      FROM a{it}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+      GROUP BY cid, pos),
+    n{it} AS (
+      SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
+      FROM s{it} GROUP BY cid),
+    c{it} AS (
+      SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN n{it} u USING (cid))"""
+        )
+        prev = f"c{it}"
+    cos = (
+        _DOT_SQL.format(a="c.embedding", b="qe")
+        + f" / ({_norm_sql('c.embedding')} * {_norm_sql('qe')})"
     )
+    return f"""
+    WITH {",".join(ctes)},
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2("q.qv", "c.cv")}, c.cid) AS rn
+        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {l2("qq.qv", "c.cv")}, c.cid) AS rn
+        FROM {prev} c CROSS JOIN (SELECT qv FROM q0 WHERE vec_id = 0) qq) WHERE rn <= {nprobe}),
+    qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN af ON e.vec_id = af.vec_id
+      WHERE af.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0)
+    SELECT vec_id, cosine, rank FROM (
+      SELECT vec_id, cosine,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM (SELECT c.vec_id, {cos} AS cosine FROM cand c, qe)
+    ) WHERE rank <= {topk}
+    """
+
+
+@register("emb_ivf_topk", _ivf_topk_sql())
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: train the INTEGER-EXACT k-means coarse
+    quantizer (2^20-quantized bigint arithmetic — order-independent,
+    so centroids are bit-identical across engines/partitionings; see
+    similarity.train_ivf_centroids_exact), probe the 2 nearest lists,
+    exact cosine re-rank.  The scale path for similarity search over
+    partitioned corpora — and, since round 5, fully value-checked
+    against an unrolled DuckDB twin (rows+schema+hash), closing the
+    harness's last no_oracle row."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids_exact(emb, k=8, iters=2)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk_exact(
+        emb, cents, qvec, k=10, nprobe=2, exclude_ids=[0]
+    ).select("vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
 
 
 def _ann_lsh_sql() -> str:

@@ -201,6 +201,150 @@ def cosine_pairs_blocked_numpy(
 # ----------------------------------------------------------------------
 # IVF: deterministic k-means coarse quantizer + nprobe search
 # ----------------------------------------------------------------------
+#: fixed global quantization scale for the integer-exact IVF path.
+#: 2^20 is a power of two, so ``float32 -> double -> * SCALE`` incurs
+#: ZERO rounding (the mantissa just shifts); ``floor`` then lands on an
+#: exact integer.  Every engine that implements IEEE-754 doubles
+#: produces the same bigint — the foundation of the cross-engine
+#: reproducibility of ``train_ivf_centroids_exact``.
+IVF_QUANT_SCALE = 1 << 20
+
+
+def ivf_quantize_expr(vec_col: Column) -> Column:
+    """array<bigint> of floor(x * 2^20) — bit-exact in any engine."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(IVF_QUANT_SCALE))).cast("long"),
+    )
+
+
+def ivf_quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`ivf_quantize_expr` (Python floats are
+    IEEE doubles; * 2^20 is exact, ``math.floor`` matches SQL floor)."""
+    import math
+
+    return [math.floor(float(x) * float(IVF_QUANT_SCALE)) for x in vec]
+
+
+def _centroid_literal_long(vec: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)).cast("long") for x in vec])
+
+
+def _sqdist_long(vec_col: Column, centroid: list[int]) -> Column:
+    """Squared L2 distance between a bigint vector column and a bigint
+    centroid literal — pure integer arithmetic, exact and
+    order-independent (each term is computed per-position; the fold
+    order is fixed left-to-right but integer addition is associative
+    anyway)."""
+    carr = _centroid_literal_long(centroid)
+    diffs = F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def _nearest_centroid_l2(qv_col: Column, centroids: list[list[int]]) -> Column:
+    """argmin over integer centroid literals by squared L2 — an
+    array_min over (dist, idx) structs, fully JVM-side, exact."""
+    entries = [
+        F.struct(_sqdist_long(qv_col, c).alias("dist"), F.lit(i).alias("idx"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*entries))["idx"]
+
+
+def train_ivf_centroids_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Lloyd's k-means over 2^20-quantized integer vectors — every
+    arithmetic step is exact and order-independent, so the trained
+    centroids are BIT-IDENTICAL across engines, partitionings, and
+    cluster sizes (the property the float path cannot give: double
+    ``avg`` depends on partial-sum order).  This is what makes the IVF
+    registry query value-checkable against a DuckDB oracle twin.
+
+    * init: the k lowest-id vectors (no RNG),
+    * assignment: integer squared-L2 argmin, ties to the lowest index,
+    * update: bigint dimension sums (exact, any order) with the
+      centroid as the FLOOR of the mean (``s // n`` on Python ints —
+      the SQL twin uses ``(s - ((s%n)+n)%n) // n``), empty clusters
+      keep their previous centroid.
+
+    Distributed shape: the driver holds k x dim bigints; assignment and
+    the per-(cluster, dim) sums are one shuffle of k x dim cells per
+    iteration, independent of corpus size."""
+    qdf = df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
+    init = qdf.orderBy(F.col(id_col)).limit(k).collect()
+    centroids = [[int(v) for v in r["qv"]] for r in init]
+    dim = len(centroids[0]) if centroids else 0
+    qdf = qdf.persist()
+    try:
+        for _ in range(iters):
+            assigned = qdf.withColumn("__c", _nearest_centroid_l2(F.col("qv"), centroids))
+            sums = (
+                assigned.select("__c", F.posexplode("qv").alias("pos", "val"))
+                .groupBy("__c", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            percluster: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                percluster.setdefault(int(r["__c"]), {})[int(r["pos"])] = (
+                    int(r["s"]),
+                    int(r["n"]),
+                )
+            centroids = [
+                [percluster[j][p][0] // percluster[j][p][1] for p in range(dim)]
+                if j in percluster
+                else centroids[j]
+                for j in range(k)
+            ]
+    finally:
+        qdf.unpersist()
+    return centroids
+
+
+def ivf_assign_exact(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the integer-exact coarse-quantizer cluster id."""
+    return df.withColumn(
+        "ivf_cluster",
+        _nearest_centroid_l2(ivf_quantize_expr(F.col(vec_col)), centroids),
+    )
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    centroids: list[list[int]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ANN search with the integer-exact quantizer: probe the nprobe
+    nearest lists by integer squared-L2 (driver-side on exact Python
+    ints), exact float cosine re-rank inside them (the fold already
+    proven bit-identical by the brute-force oracle)."""
+    qq = ivf_quantize_py(query_vec)
+
+    def sqdist(c: list[int]) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(qq, c))
+
+    probe = sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
+        :nprobe
+    ]
+    assigned = ivf_assign_exact(df, centroids, vec_col)
+    candidates = assigned.filter(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col, exclude_ids)
+
+
 def _centroid_literal(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)).cast("double") for x in vec])
 

@@ -596,6 +596,60 @@ def test_ivf_kmeans_and_search(spark):
     assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
 
 
+def test_ivf_exact_trainer_partition_invariant(spark):
+    """The integer-exact trainer's whole point: centroids are
+    BIT-IDENTICAL regardless of physical partitioning (a double-avg
+    trainer cannot promise this — partial-sum order varies), and they
+    match a pure-Python reference implementation of the same spec."""
+    import math
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 6).astype("float32") * 0.4
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+
+    from ong_tsdb_spark.operators.similarity import (
+        IVF_QUANT_SCALE, cosine_topk, ivf_quantize_py, ivf_topk_exact,
+        train_ivf_centroids_exact,
+    )
+
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df32 = df1.repartition(32)
+    df3 = df1.repartition(3, "vec_id")
+    c1 = train_ivf_centroids_exact(df1, k=4, iters=2)
+    c32 = train_ivf_centroids_exact(df32, k=4, iters=2)
+    c3 = train_ivf_centroids_exact(df3, k=4, iters=2)
+    assert c1 == c32 == c3  # exact integer equality
+
+    # pure-Python reference of the same spec
+    qvs = {i: ivf_quantize_py(list(map(float, vecs[i]))) for i in range(60)}
+    cents = [qvs[i] for i in range(4)]
+    for _ in range(2):
+        buckets: dict[int, list[list[int]]] = {}
+        for i in range(60):
+            d = [
+                (sum((a - b) * (a - b) for a, b in zip(qvs[i], c)), j)
+                for j, c in enumerate(cents)
+            ]
+            buckets.setdefault(min(d)[1], []).append(qvs[i])
+        cents = [
+            [sum(col) // len(col) for col in zip(*buckets[j])]
+            if j in buckets
+            else cents[j]
+            for j in range(4)
+        ]
+    assert c1 == cents
+
+    # quantization really is rounding-free: scale is a power of two
+    assert IVF_QUANT_SCALE & (IVF_QUANT_SCALE - 1) == 0
+    q = [float(x) for x in vecs[0]]
+    got = ivf_topk_exact(df1, c1, q, k=5, nprobe=4, exclude_ids=[0]).collect()
+    brute = cosine_topk(df1, q, k=5, exclude_ids=[0]).collect()
+    # nprobe = k probes everything -> exact equality with brute force
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
 def test_adaptive_shingle_cap_skewed_corpus(spark):
     """ROADMAP #4: on a skewed corpus (one 3-gram shared by every doc)
     the auto cap drops the mega-shingle before the pair join — pair
