@@ -215,9 +215,27 @@ class OngTsdbClient:
             out.index = out.index.tz_convert(date_from.tzinfo)
         return out
 
-    # the reference distinguishes HTTP read vs in-process local_read
-    # (client.py:468-491); here both are the engine path
-    local_read = read
+    def local_read(
+        self,
+        db: str,
+        sensor: str,
+        date_from: pd.Timestamp,
+        date_to: pd.Timestamp | None = None,
+        metrics: list | None = None,
+    ) -> pd.DataFrame:
+        """In-process read that bypasses any server hop (reference
+        client.py:468-491: ``local_read`` opens the local database
+        directly).  The reference's own test asserts
+        ``read == local_read`` on a written fixture
+        (tests/test_client.py:93-112); here both paths are the engine,
+        so the equality holds by construction — this method exists so
+        reference code calling ``local_read`` ports verbatim, including
+        the reference's post-hoc ``df.loc[:, metrics]`` column
+        subsetting semantics."""
+        out = self.read(db, sensor, date_from, date_to=date_to, metrics=None)
+        if metrics:
+            out = out.loc[:, metrics]
+        return out
 
     def read_iter(
         self,

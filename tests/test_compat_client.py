@@ -89,6 +89,33 @@ def test_write_df_roundtrip_and_tz(client):
     assert out2["una"].sum() == 10.0
 
 
+def test_local_read_equals_read(client):
+    """The reference's read == local_read assertion
+    (tests/test_client.py:93-112) on a round-trip fixture, including
+    the reference's metrics-subset semantics (local_read subsets
+    columns post-read, client.py:487-490)."""
+    client.create_db("db")
+    client.create_sensor("db", "s", "1s", ["active", "reactive"])
+    idx = pd.date_range("2023-05-01", periods=50, freq="1s", tz="UTC")
+    pdf = pd.DataFrame(
+        {"active": np.arange(50.0), "reactive": np.arange(50.0) * 2}, index=idx
+    )
+    assert client.write_df("db", "s", pdf) is True
+
+    for date_from in (pd.Timestamp("2023-05-01"), idx[0]):  # naive and aware
+        df = client.read("db", "s", date_from)
+        df_local = client.local_read("db", "s", date_from)
+        assert len(df_local.index) == len(df.index)
+        assert df.equals(df_local)
+    # metrics subset: same rows, only the requested column
+    sub = client.local_read("db", "s", idx[0], metrics=["reactive"])
+    assert list(sub.columns) == ["reactive"]
+    assert sub["reactive"].equals(client.read("db", "s", idx[0])["reactive"])
+    # bounded date_to agrees too
+    half = client.local_read("db", "s", idx[0], date_to=idx[24])
+    assert df.loc[: idx[24]].equals(half) and len(half) == 25
+
+
 def test_multiindex_level_names(client):
     metrics = [["A", "B", "C"], ["D", "E", "F"]]
     client.create_db("db")
