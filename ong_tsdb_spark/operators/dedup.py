@@ -88,7 +88,17 @@ def materialize_for_self_join(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` stores the computed partitions in the executor
     block store (memory, spilling to disk) and truncates lineage.
     Storage is the operator's own corpus-bounded output table; blocks
-    are dropped when the DataFrame is garbage collected."""
+    are dropped when the DataFrame is garbage collected.
+
+    CALLER CONTRACT — this is EAGER by design: merely *constructing* a
+    query through this helper launches the Spark jobs that compute the
+    index table (plan inspection is not free), and the checkpointed
+    blocks live until the returned DataFrame is GC'd, so building many
+    such queries in one session accumulates block-store usage.  Eager
+    is deliberate: a lazy checkpoint lets the two self-join map stages
+    run concurrently and RACE on the not-yet-cached partitions,
+    re-running the expensive tokenize/hash pipeline for whatever
+    overlaps — the exact double-compute this helper exists to prevent."""
     return df.localCheckpoint(eager=True)
 
 
@@ -615,22 +625,42 @@ def passage_dup_stats(
     "earliest occurrence" is a plain MIN aggregate with map-side
     partial combine, and the per-doc rollup is a second digest-free
     groupBy on doc_id.  No windows, no skew beyond true duplicate mass.
+
+    Plan hygiene (mirrors shingle_table): the input goes through
+    ensure_parallelism, and short docs are dropped via explode_outer +
+    isNotNull on the GENERATED column — a pre-explode filter on the
+    computed passage count would be cloned below the repartition by
+    InferFiltersFromGenerate and re-run the whole tokenize expression
+    serially on the unsplit input.  The passage table feeds two
+    consumers (the first-occurrence MIN and the per-doc join), and
+    Catalyst gives self-consumers no ReusedExchange, so it is
+    materialized once.
     """
     toks = F.split(F.col(text_col), " ")
     m = F.floor(F.size(toks) / F.lit(passage_words)).cast("int")
-    passages = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.array_join(
-                F.slice(toks, (i - F.lit(1)) * passage_words + F.lit(1), passage_words),
-                " ",
-            ).alias("p"),
+    # sequence(1, m) flips to a DESCENDING sequence when m < 1, so the
+    # whole array is gated behind the count check; explode_outer turns
+    # the null (short-doc) case into one null row filtered on the
+    # output column, not the generator input
+    passages = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(
+                    F.slice(
+                        toks, (i - F.lit(1)) * passage_words + F.lit(1), passage_words
+                    ),
+                    " ",
+                ).alias("p"),
+            ),
         ),
     )
-    occ = (
-        df.filter(m >= 1)
-        .select(F.col(id_col), F.explode(passages).alias("e"))
+    occ = materialize_for_self_join(
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode_outer(passages).alias("e"))
+        .filter(F.col("e").isNotNull())
         .select(
             F.col(id_col),
             F.md5(F.col("e.p")).alias("h"),

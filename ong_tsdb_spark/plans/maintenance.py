@@ -133,6 +133,16 @@ def compact_sensor(
         known = flatten_metrics(cfg.metrics)
         cols = [TS_COL] + [c for c in known if c in df.columns] + [PART_COL]
         cold_df = df.filter(F.col(PART_COL).isin(cold)).select(*cols)
+        # the RETURN value counts partitions that actually hold rows,
+        # not listed directories: dynamic overwrite only touches
+        # partitions with data, and stale/empty directories (possible
+        # after prior dynamic-overwrite rewrites) or float-unparseable
+        # names must not inflate the count.  One extra column-pruned
+        # pass over the cold slice — negligible next to the rewrite,
+        # which reads every cold row anyway.
+        rewritten = cold_df.select(PART_COL).distinct().count()
+        if rewritten == 0:
+            return 0
         (
             cold_df.repartition(PART_COL)
             .sortWithinPartitions(TS_COL)
@@ -143,4 +153,4 @@ def compact_sensor(
             .parquet(engine.catalog.data_path(db, sensor))
         )
         engine.catalog.bump_version(db, sensor)
-        return len(cold)
+        return rewritten
