@@ -54,10 +54,20 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # init labels at min(node, min_neighbor): the groupBy costs the
+    # same shuffle as the node-list distinct it replaces but performs
+    # round 1's propagation for free — duplicate clusters are
+    # near-cliques, so this converges them a full round (two joins +
+    # one count job) earlier; the first loop round then verifies
+    # stability and pointer jumping starts collapsing 2-hop chains
+    # immediately
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.min("b").alias("__mn"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
 
