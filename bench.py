@@ -58,12 +58,107 @@ HEADLINE = [
     "text_gopher_quality",
     "text_contamination",
     "dedup_clusters",
+    # round-5 operators (+ the now-oracle-checked IVF path)
+    "emb_ivf_topk",
+    "dedup_keep_best",
+    "doc_length_band",
+    "text_rare_tokens",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
 # on identical code) and a single bad run otherwise pollutes the
 # recorded per-query time
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# --scale10 mode: the operator families whose upward-scale behavior the
+# 10x replica corpus is built to probe (dedup/graph/text/emb — the
+# LLM-pipeline surface) plus two ts/tpch anchors for context
+SCALE_FAMILIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_winnow",
+    "dedup_simhash32",
+    "dedup_passage_stats",
+    "dedup_clusters",
+    "text_contamination",
+    "text_vocab",
+    "text_gopher_quality",
+    "corpus_sample_stats",
+    "emb_cosine_topk",
+    "emb_neardup_lsh",
+    "emb_ivf_topk",
+    "corpus_clean_pipeline",
+    "ts_rolling_mean",
+    "tpch_q3_topk",
+]
+
+
+def bench_scale10(spark, sf_dir: str) -> None:
+    """One scripted run behind ``--scale10``: regenerate the 10x
+    replica corpus (tools/gen_scale.py — ids offset, document token
+    spaces disjoint, embedding labels namespaced, so duplicate RATE and
+    block SIZE stay constant while content scales 10x), then run each
+    scale family at 1x and 10x recording COLD (first run — fresh plan,
+    and for the 10x side freshly-written parquet) and WARM (best of
+    RUNS after) times.  Prints the BENCH.md table to stderr and one
+    JSON line to stdout."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf_scale10")
+    t0 = time.perf_counter()
+    subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "gen_scale.py"), sf_dir, dst, "10"],
+        check=True,
+        stdout=sys.stderr,
+    )
+    print(f"[scale10] corpus generated in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    registry = entry_queries.queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in SCALE_FAMILIES:
+        fn = registry[name]
+        rec: dict[str, float] = {}
+        for tag, d in (("x1", sf_dir), ("x10", dst)):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            rec[f"{tag}_cold"] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            rec[f"{tag}_warm"] = round(best, 4)
+        rec["ratio_cold"] = round(rec["x10_cold"] / rec["x1_cold"], 2)
+        rec["ratio_warm"] = round(rec["x10_warm"] / rec["x1_warm"], 2)
+        out[name] = rec
+        print(
+            f"[scale10] {name}: 1x {rec['x1_cold']:.2f}/{rec['x1_warm']:.2f}s "
+            f"10x {rec['x10_cold']:.2f}/{rec['x10_warm']:.2f}s "
+            f"(cold/warm; ratios {rec['ratio_cold']}x/{rec['ratio_warm']}x)",
+            file=sys.stderr,
+        )
+
+    print("\n| query | 1x cold | 1x warm | 10x cold | 10x warm | ratio (cold) | ratio (warm) |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    for name, r in out.items():
+        print(
+            f"| {name} | {r['x1_cold']:.2f} | {r['x1_warm']:.2f} | {r['x10_cold']:.2f} "
+            f"| {r['x10_warm']:.2f} | {r['ratio_cold']}x | {r['ratio_warm']}x |",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_families",
+                "value": round(sum(r["x10_cold"] for r in out.values()), 4),
+                "unit": "sec",
+                "queries": out,
+                "sf": "10x-" + sf_dir.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
 
 
 def bench_engine(spark, sf_dir: str) -> dict[str, float]:
@@ -136,6 +231,11 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--scale10" in sys.argv:
+        bench_scale10(spark, sf_dir)
+        spark.stop()
+        return
 
     registry = entry_queries.queries()
     timings: dict[str, float] = {}

@@ -2474,6 +2474,96 @@ def corpus_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample_stats(docs)
 
 
+@register(
+    "dedup_keep_best",
+    """
+    WITH h AS (SELECT md5(text) AS fingerprint, doc_id, n_chars FROM documents),
+    g AS (
+      SELECT fingerprint, doc_id, n_chars,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM h)
+    SELECT fingerprint, doc_id AS keeper_id,
+           CAST(n_chars AS BIGINT) AS keeper_score,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM g WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the quality-aware keep policy: the
+    representative of each duplicate group is the highest-score copy
+    (longest n_chars, ties to lowest id) rather than "first id wins" —
+    what a pipeline wants when copies differ in extraction quality.
+    MIN-over-struct aggregate, one digest shuffle, no corpus window
+    (operators/dedup.exact_duplicates_keep_best)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates_keep_best(docs)
+
+
+@register(
+    "doc_length_band",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    bands AS (
+      SELECT lang, CAST(min(n_chars) AS BIGINT) AS p_lo,
+             CAST(max(n_chars) AS BIGINT) AS p_hi,
+             CAST(min(n) AS BIGINT) AS n_total
+      FROM ranked
+      WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+         OR rn = CAST(ceil(0.95 * n) AS BIGINT)
+      GROUP BY lang)
+    SELECT d.lang, b.p_lo, b.p_hi, b.n_total,
+           CAST(sum(CASE WHEN d.n_chars BETWEEN b.p_lo AND b.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN bands b USING (lang)
+    GROUP BY d.lang, b.p_lo, b.p_hi, b.n_total
+    """,
+)
+def doc_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-outlier banding: DISCRETE p05/p95 length
+    band (k-th order statistic, k = ceil(p*n) — no float
+    interpolation, so the band values are actual corpus lengths and
+    integer-exact cross-engine) plus how many docs it keeps — the
+    "drop truncated fragments and concatenation blobs" filter
+    (operators/text.length_band_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.length_band_stats(docs)
+
+
+@register(
+    "text_rare_tokens",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    dfreq AS (
+      SELECT token, count(*) AS dfc
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks)
+      GROUP BY token),
+    rare AS (SELECT token FROM dfreq WHERE dfc < 3),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+               FROM occ GROUP BY doc_id),
+    ro AS (SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_rare
+           FROM occ o JOIN rare r USING (token) GROUP BY o.doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(ro.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST(COALESCE(ro.n_rare, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS rare_ratio
+    FROM totals t LEFT JOIN ro USING (doc_id)
+    """,
+)
+def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rare-token occurrence ratio (corpus document frequency
+    < 3) — a CCNet-spirit fluency proxy from integer counts only,
+    bit-identical across engines where log-prob perplexity would hinge
+    on libm rounding (operators/text.rare_token_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.rare_token_stats(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4

@@ -44,6 +44,46 @@ def exact_duplicates(
     )
 
 
+def exact_duplicates_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Exact dedup with a QUALITY-AWARE keep policy: within each
+    content-digest group the representative is the copy with the
+    highest ``score_col`` (ties to the lowest id) — the standard
+    pipeline rule when duplicates differ in metadata completeness or
+    extraction quality and "first id wins" would keep a worse copy.
+
+    Returns (fingerprint, keeper_id, keeper_score, n_copies).
+
+    Scale shape: one shuffle on the 16-byte digest; the keep decision
+    is a MIN aggregate over (-score, id) structs — partial-combine
+    friendly, no window over the corpus, and integer tie-breaking means
+    any engine picks the identical representative."""
+    best = F.min(
+        F.struct(
+            (-F.col(score_col)).alias("neg_score"), F.col(id_col).alias("id")
+        )
+    )
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+            F.col(score_col).cast("long").alias(score_col),
+        )
+        .groupBy("fingerprint")
+        .agg(best.alias("__b"), F.count("*").alias("n_copies"))
+        .select(
+            "fingerprint",
+            F.col("__b.id").alias("keeper_id"),
+            (-F.col("__b.neg_score")).cast("bigint").alias("keeper_score"),
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # shingling
 # ----------------------------------------------------------------------

@@ -273,8 +273,12 @@ def train_ivf_centroids_exact(
       keep their previous centroid.
 
     Distributed shape: the driver holds k x dim bigints; assignment and
-    the per-(cluster, dim) sums are one shuffle of k x dim cells per
-    iteration, independent of corpus size."""
+    the per-(cluster, dim) sums are one shuffle of k x (dim + 1) cells
+    per iteration, independent of corpus size.  The sums are a single
+    WIDE aggregate (dim ``sum(element_at)`` columns) rather than a
+    posexplode — the explode would shuffle dim rows per VECTOR
+    (corpus x dim), the wide agg partially combines map-side and
+    shuffles only k x (dim + 1) cells per mapper."""
     qdf = df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
     init = qdf.orderBy(F.col(id_col)).limit(k).collect()
     centroids = [[int(v) for v in r["qv"]] for r in init]
@@ -283,24 +287,18 @@ def train_ivf_centroids_exact(
     try:
         for _ in range(iters):
             assigned = qdf.withColumn("__c", _nearest_centroid_l2(F.col("qv"), centroids))
-            sums = (
-                assigned.select("__c", F.posexplode("qv").alias("pos", "val"))
-                .groupBy("__c", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
-            percluster: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in sums:
-                percluster.setdefault(int(r["__c"]), {})[int(r["pos"])] = (
-                    int(r["s"]),
-                    int(r["n"]),
-                )
-            centroids = [
-                [percluster[j][p][0] // percluster[j][p][1] for p in range(dim)]
-                if j in percluster
-                else centroids[j]
-                for j in range(k)
-            ]
+            sums = assigned.groupBy("__c").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            ).collect()
+            new = {
+                int(r["__c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
+                for r in sums
+            }
+            centroids = [new.get(j, centroids[j]) for j in range(k)]
     finally:
         qdf.unpersist()
     return centroids

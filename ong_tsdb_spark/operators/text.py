@@ -9,7 +9,7 @@ exact ANSI-SQL twin in the DuckDB oracle (see __spark_entry__).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny language-marker lexicons for the n-gram/stopword heuristic.
@@ -257,6 +257,125 @@ def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
     dfreq = per_doc.groupBy("token").agg(F.count("*").alias("df_docs"))
     return tf.join(dfreq, on="token")
+
+
+def length_band_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    group_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Length-outlier banding per group: the DISCRETE percentile band
+    [p_lo, p_hi] of ``len_col`` within each ``group_col`` and how many
+    documents fall inside it — the standard "drop truncated fragments
+    and concatenation blobs" filter, reported per language so the band
+    adapts to each language's natural document length.
+
+    Discrete percentiles (the k-th order statistic with
+    k = ceil(p * n), no interpolation) keep every value an actual
+    corpus length and the whole computation integer-exact across
+    engines — interpolating percentiles would hinge on engines agreeing
+    about float index arithmetic.
+
+    Scale shape: one shuffle on the group key for the rank window, one
+    broadcast-sized band table (|groups| rows) joined back for the
+    in-band count.  Per-group windows funnel each group through one
+    task: fine for language-sized cardinality (~100s of groups); for
+    higher-cardinality grouping route through the chunked prefix
+    machinery instead (operators/prefix.py)."""
+    w = Window.partitionBy(group_col).orderBy(F.col("__len"), F.col(id_col))
+    ranked = df.select(
+        F.col(group_col), F.col(id_col), F.col(len_col).cast("long").alias("__len")
+    ).withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy(group_col).agg(F.count("*").alias("__n"))
+    bands = (
+        ranked.join(F.broadcast(counts), on=group_col)
+        .filter(
+            (F.col("__rn") == F.greatest(F.lit(1), F.ceil(F.lit(lo) * F.col("__n"))))
+            | (F.col("__rn") == F.ceil(F.lit(hi) * F.col("__n")))
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min("__len").alias("p_lo"),
+            F.max("__len").alias("p_hi"),
+            F.min("__n").alias("n_total"),
+        )
+    )
+    return (
+        df.select(F.col(group_col), F.col(len_col).cast("long").alias("__len"))
+        .join(F.broadcast(bands), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min("p_lo").cast("bigint").alias("p_lo"),
+            F.min("p_hi").cast("bigint").alias("p_hi"),
+            F.min("n_total").cast("bigint").alias("n_total"),
+            F.sum(
+                (
+                    (F.col("__len") >= F.col("p_lo"))
+                    & (F.col("__len") <= F.col("p_hi"))
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumnRenamed(group_col, "lang")
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+) -> DataFrame:
+    """Per-document rare-token occurrence ratio: the fraction of a
+    document's token OCCURRENCES whose corpus document frequency is
+    below ``min_df`` — a fluency/quality proxy in the CCNet spirit
+    (documents dominated by tokens nothing else uses are OCR garbage,
+    codes, or boilerplate IDs) built entirely from integer counts, so
+    it is bit-identical across engines where a log-probability
+    perplexity would hinge on libm rounding.
+
+    Returns (doc_id, n_tokens, n_rare, rare_ratio).
+
+    Scale shape: document frequency comes from per-doc DISTINCT tokens
+    (map-side array_distinct before the explode, like vocab()), so the
+    df shuffle carries one row per distinct (doc, token).  The rare
+    set is the df tail — usually most of the VOCABULARY but a small
+    fraction of OCCURRENCES — joined on the token hash; the final
+    rollup is a groupBy on doc_id."""
+    from .dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    occ = toks.select(F.col(id_col), F.explode_outer("__t").alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    dfreq = (
+        toks.select(F.col(id_col), F.explode(F.array_distinct("__t")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__df"))
+    )
+    rare = dfreq.filter(F.col("__df") < min_df).select("token")
+    rare_occ = occ.join(rare, on="token").groupBy(id_col).agg(
+        F.count("*").alias("n_rare")
+    )
+    totals = occ.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        totals.join(rare_occ, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
 
 
 def contamination_stats(

@@ -176,3 +176,58 @@ def test_stratified_sample_deterministic(spark):
         r["stratum"]: (r["n_docs"], r["n_kept"], r["realized_rate"])
         for r in stratified_sample_stats(docs).collect()
     }
+
+
+# ----------------------------------------------------------------------
+# round-5 operators: keep-best dedup, length banding, rare tokens
+# ----------------------------------------------------------------------
+def test_exact_duplicates_keep_best(spark):
+    """Representative = highest score, ties to lowest id — NOT first
+    id (doc 1 loses to doc 3 despite the lower id)."""
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 10),
+            (3, "same text", 25),   # longest copy wins
+            (7, "same text", 25),   # tie on score -> id 3 keeps
+            (4, "other", 5),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = {
+        r["keeper_id"]: (r["keeper_score"], r["n_copies"])
+        for r in dedup.exact_duplicates_keep_best(df).collect()
+    }
+    assert rows == {3: (25, 3), 4: (5, 1)}
+
+
+def test_length_band_stats_discrete_percentiles(spark):
+    """n=20 per lang, lengths 1..20: k05 = ceil(0.05*20) = 1 -> p_lo
+    is the 1st order statistic, k95 = ceil(0.95*20) = 19 -> p_hi the
+    19th; band [1,19] keeps 19 of 20."""
+    rows = [(i, "en", i) for i in range(1, 21)] + [(100 + i, "es", 10 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["lang"]: r for r in text.length_band_stats(df).collect()}
+    assert (got["en"]["p_lo"], got["en"]["p_hi"]) == (1, 19)
+    assert (got["en"]["n_total"], got["en"]["n_kept"]) == (20, 19)
+    # es: n=10, k05 = ceil(0.5) = 1, k95 = ceil(9.5) = 10 -> keeps all
+    assert (got["es"]["p_lo"], got["es"]["p_hi"]) == (10, 100)
+    assert (got["es"]["n_total"], got["es"]["n_kept"]) == (10, 10)
+
+
+def test_rare_token_stats(spark):
+    """'the' appears in all 3 docs (df=3, not rare at min_df=3);
+    'qzx'/'wvu' are df=1 rares; doc 3 is all-rare."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran qzx"),
+            (3, "qzx wvu the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.rare_token_stats(df, min_df=2).collect()}
+    # min_df=2: rare iff df < 2 (df==1). 'the' df=3, 'qzx' df=2 -> not rare
+    assert (got[1]["n_tokens"], got[1]["n_rare"]) == (3, 2)      # cat, sat
+    assert (got[2]["n_tokens"], got[2]["n_rare"]) == (4, 2)      # dog, ran
+    assert (got[3]["n_tokens"], got[3]["n_rare"]) == (3, 1)      # wvu
+    assert got[3]["rare_ratio"] == pytest.approx(1 / 3)
