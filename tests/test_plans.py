@@ -232,3 +232,62 @@ def test_passage_stats_single_digest_shuffle(spark, sf_dir):
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_single_shuffle_no_window(spark, sf_dir):
+    """The keep-best decision must be an aggregate (partial-combine
+    over the digest shuffle), NOT a row_number window over the corpus
+    (a window would sort every group's rows; the MIN-over-struct agg
+    ships one struct per (mapper, digest))."""
+    df = entry_queries.queries()["dedup_keep_best"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+
+
+def test_length_band_broadcast_band_table(spark, sf_dir):
+    """The per-group band table (|langs| rows) must come back as a
+    broadcast join — shuffling the corpus against a 100-row dim would
+    be the classic missed-broadcast at scale."""
+    df = entry_queries.queries()["doc_length_band"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rare_tokens_no_cartesian_and_parallel(spark, sf_dir):
+    """Rare-token scoring joins occurrences to the rare-token set on
+    the token key — no cartesian/nested-loop fallbacks, and the token
+    explode must run on repartitioned input (ensure_parallelism), not
+    a single scan split."""
+    df = entry_queries.queries()["text_rare_tokens"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange RoundRobinPartitioning" in plan  # ensure_parallelism fired
+
+
+def test_ivf_exact_training_is_wide_agg(spark, sf_dir):
+    """The IVF trainer's per-iteration sums must be the wide aggregate
+    (k x (dim+1) cells per mapper), not a posexplode of dim rows per
+    vector."""
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark.operators import similarity
+
+    emb = entry_queries.load(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        F.col("vec_id"), similarity.ivf_quantize_expr(F.col("embedding")).alias("qv")
+    )
+    cents = [[0] * 64 for _ in range(4)]
+    assigned = qdf.withColumn(
+        "__c", similarity._nearest_centroid_l2(F.col("qv"), cents)
+    )
+    agg = assigned.groupBy("__c").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(64)],
+    )
+    plan = _executed_plan(agg)
+    assert "Generate" not in plan  # no explode
+    assert "partial_sum" in plan  # map-side combine before the shuffle
