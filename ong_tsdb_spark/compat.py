@@ -23,8 +23,31 @@ from .engine import OngTsdbSpark
 from .sources.influx import PARSED_COLS  # noqa: F401 (re-export convenience)
 
 
+class OngTsdbClientBaseError(Exception):
+    """Root of the client-side error taxonomy (reference
+    exceptions.py:1-44)."""
+
+
+class ServerDownError(OngTsdbClientBaseError):
+    """The storage location is unreachable — the in-process analogue
+    of the reference's connection-refused ServerDownException."""
+
+
+class WrongAddressError(OngTsdbClientBaseError):
+    """The configured location can never serve as a database (e.g. the
+    path exists but is a file) — the reference's bad-URL taxonomy."""
+
+
 class OngTsdbClient:
-    """Reference-API client over the Spark engine."""
+    """Reference-API client over the Spark engine.
+
+    Accepts the reference constructor's full keyword surface
+    (client.py:40-90) so call sites port verbatim: the retry knobs and
+    ``proxy_auth_body`` are stored but inert (there is no HTTP hop to
+    retry; interactive proxy auth is out of scope by design),
+    ``validate_server_version`` gates the version handshake, and
+    ``auto_connect`` gates the reachability probe exactly like the
+    reference's deferred-connection mode."""
 
     def __init__(
         self,
@@ -32,21 +55,77 @@ class OngTsdbClient:
         token: str | None = None,
         spark: SparkSession | None = None,
         admin_key: str | None = None,
+        retry_total: int | None = None,
+        retry_connect: int | None = None,
+        retry_backoff_factor: float = 0.2,
+        proxy_auth_body: dict | None = None,
+        validate_server_version: bool = True,
+        auto_connect: bool = True,
     ):
-        base_dir = url.replace("file://", "")
+        self._base_dir = url.replace("file://", "")
         self.token = token
-        self._engine = OngTsdbSpark(
-            spark or SparkSession.builder.getOrCreate(), base_dir, admin_key=admin_key
-        )
+        # reference client.py:74-77: localhost defaults to 1 connect
+        # retry, remote to 10 — mirrored for introspection parity even
+        # though no request ever leaves the process
+        self.retry_total = retry_total
+        self.retry_connect = retry_connect if retry_connect is not None else 1
+        self.retry_backoff_factor = retry_backoff_factor
+        self.proxy_auth_body = dict(proxy_auth_body or {})
+        self.validate_server_version = validate_server_version
+        self._spark = spark or SparkSession.builder.getOrCreate()
+        self._admin_key = admin_key
+        self.__engine: OngTsdbSpark | None = None
         # wire-parity version handshake (reference client.py:230-233):
         # in-process the "server" is this same package, so this can
         # only fail on a genuinely mixed install — but the check (and
         # its exception type) is part of the public surface.
         from . import __version__
-        from .check_versions import check_version_and_raise
 
         self.server_version = __version__
-        check_version_and_raise(self.server_version)
+        if validate_server_version:
+            from .check_versions import check_version_and_raise
+
+            check_version_and_raise(self.server_version)
+        if auto_connect:
+            self.connect()
+
+    @property
+    def _engine(self) -> OngTsdbSpark:
+        """Engine construction is deferred to first use (the
+        reference's ``auto_connect=False`` contract: a bad address
+        must not fail at construction time, only at first request) and
+        translates filesystem failures into the client taxonomy."""
+        if self.__engine is None:
+            import os
+
+            base = self._base_dir
+            if os.path.exists(base) and not os.path.isdir(base):
+                raise WrongAddressError(f"not a directory: {base}")
+            try:
+                self.__engine = OngTsdbSpark(
+                    self._spark, base, admin_key=self._admin_key
+                )
+            except OSError as e:
+                raise ServerDownError(f"storage unreachable: {base}: {e}") from e
+        return self.__engine
+
+    def connect(self) -> None:
+        """Reachability probe (reference client.py:92-147: connect()
+        performs a config reload as the connection test).  In-process
+        the "server address" is the storage location, so the
+        connection-refused taxonomy maps to filesystem reality:
+        a path that exists but is not a directory can NEVER become a
+        database -> :class:`WrongAddressError`; a location that cannot
+        be created or listed (permissions, missing mount) ->
+        :class:`ServerDownError`.  Safe to call repeatedly, like the
+        reference's."""
+        import os
+
+        base = self._engine.catalog.base_dir
+        try:
+            os.listdir(base)
+        except OSError as e:
+            raise ServerDownError(f"storage unreachable: {base}: {e}") from e
 
     # -- db lifecycle ---------------------------------------------------
     def exist_db(self, database: str) -> bool:

@@ -189,3 +189,37 @@ def test_version_handshake_key_semantics():
     with pytest.raises(WrongServerVersion):
         check_version_and_raise("0.0.0")
     check_version_and_raise("999.0")  # newer server: fine
+
+
+def test_connect_taxonomy_and_kwargs(spark, tmp_path):
+    """Reference constructor-surface parity (client.py:40-147): the
+    retry/proxy kwargs are accepted, auto_connect gates the probe, and
+    the connection-refused taxonomy maps to filesystem reality."""
+    from ong_tsdb_spark.compat import (
+        OngTsdbClientBaseError, ServerDownError, WrongAddressError,
+    )
+
+    # full reference kwarg surface accepted; localhost-style default
+    # retry_connect mirrors the reference's 1
+    c = OngTsdbClient(
+        str(tmp_path / "ok"), token=None, spark=spark,
+        retry_total=5, retry_backoff_factor=0.3, proxy_auth_body={"user": "x"},
+        validate_server_version=True, auto_connect=True,
+    )
+    assert c.retry_connect == 1 and c.retry_total == 5
+    c.connect()  # repeatable, like the reference
+    c.connect()
+
+    # path exists but is a file -> WrongAddressError (bad address)
+    f = tmp_path / "a_file"
+    f.write_text("x")
+    with pytest.raises(WrongAddressError):
+        OngTsdbClient(str(f), token=None, spark=spark)
+    assert issubclass(WrongAddressError, OngTsdbClientBaseError)
+    assert issubclass(ServerDownError, OngTsdbClientBaseError)
+
+    # deferred connection: constructing against the bad address is
+    # fine with auto_connect=False; connect() raises on first use
+    c2 = OngTsdbClient(str(f), token=None, spark=spark, auto_connect=False)
+    with pytest.raises(WrongAddressError):
+        c2.connect()
