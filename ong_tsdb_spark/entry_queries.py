@@ -2564,6 +2564,51 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rare_token_stats(docs)
 
 
+def _ann_recall_sql() -> str:
+    brute_cos = (
+        _DOT_SQL.format(a="embedding", b="qe")
+        + f" / ({_norm_sql('embedding')} * {_norm_sql('qe')})"
+    )
+    return f"""
+    WITH ann AS ({_ann_lsh_sql()}),
+    brute AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+        FROM (
+          SELECT vec_id, {brute_cos} AS cosine
+          FROM embeddings, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+          WHERE vec_id <> 0)
+      ) WHERE rank <= 10),
+    hits AS (SELECT count(*) AS h FROM ann JOIN brute USING (vec_id))
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(h AS BIGINT) AS n_hits,
+           CAST(h AS DOUBLE) / 10.0 AS recall
+    FROM hits
+    """
+
+
+@register("emb_ann_recall", _ann_recall_sql())
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the LSH bucket path
+    against the exact brute-force ranking — the metric every ANN
+    deployment monitors before trading exactness for scan reduction.
+    Both sides are deterministic (literal hyperplanes, sequential
+    cosine folds), so even the EVALUATION has an exact oracle twin.
+    Output is one row (k, n_hits, recall)."""
+    ann = REGISTRY["emb_ann_lsh"].fn(spark, sf_dir).select("vec_id")
+    brute = REGISTRY["emb_cosine_topk"].fn(spark, sf_dir).select("vec_id")
+    return (
+        ann.join(brute, on="vec_id")
+        .agg(F.count("*").alias("__h"))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.col("__h").cast("bigint").alias("n_hits"),
+            (F.col("__h").cast("double") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
