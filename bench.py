@@ -91,6 +91,11 @@ SCALE_FAMILIES = [
     "corpus_clean_pipeline",
     "ts_rolling_mean",
     "tpch_q3_topk",
+    # round-5 operators
+    "dedup_keep_best",
+    "doc_length_band",
+    "text_rare_tokens",
+    "emb_ann_recall",
 ]
 
 
