@@ -340,16 +340,21 @@ def rare_token_stats(
 
     Returns (doc_id, n_tokens, n_rare, rare_ratio).
 
-    Scale shape: document frequency comes from per-doc DISTINCT tokens
-    (map-side array_distinct before the explode, like vocab()), so the
-    df shuffle carries one row per distinct (doc, token).  The rare
-    set is the df tail — usually most of the VOCABULARY but a small
-    fraction of OCCURRENCES — joined on the token hash; the final
-    rollup is a groupBy on doc_id."""
-    from .dedup import ensure_parallelism
+    Scale shape: the token-array table is materialized ONCE (it feeds
+    document frequency, the occurrence join, and the per-doc totals —
+    Catalyst re-runs the split per consumer otherwise); document
+    frequency comes from per-doc DISTINCT tokens (map-side
+    array_distinct before the explode, like vocab()), so the df
+    shuffle carries one row per distinct (doc, token); per-doc totals
+    are ``size(tokens)`` — pure map-side, NO explode and no shuffle;
+    only the rare-occurrence join actually ships occurrences, keyed by
+    token."""
+    from .dedup import ensure_parallelism, materialize_for_self_join
 
-    toks = ensure_parallelism(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    toks = materialize_for_self_join(
+        ensure_parallelism(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        )
     )
     occ = toks.select(F.col(id_col), F.explode_outer("__t").alias("token")).filter(
         F.col("token").isNotNull()
@@ -363,7 +368,9 @@ def rare_token_stats(
     rare_occ = occ.join(rare, on="token").groupBy(id_col).agg(
         F.count("*").alias("n_rare")
     )
-    totals = occ.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    totals = toks.filter(F.col("__t").isNotNull()).select(
+        F.col(id_col), F.size("__t").cast("long").alias("n_tokens")
+    )
     return (
         totals.join(rare_occ, on=id_col, how="left")
         .select(

@@ -258,14 +258,21 @@ def test_length_band_broadcast_band_table(spark, sf_dir):
 
 def test_rare_tokens_no_cartesian_and_parallel(spark, sf_dir):
     """Rare-token scoring joins occurrences to the rare-token set on
-    the token key — no cartesian/nested-loop fallbacks, and the token
-    explode must run on repartitioned input (ensure_parallelism), not
-    a single scan split."""
+    the token key — no cartesian/nested-loop fallbacks.  The token
+    table is checkpointed once (it feeds df/occurrences/totals), so
+    the final plan reads the materialized RDD; per-doc totals must be
+    map-side size() — the plan may contain at most the dfreq, the
+    rare-occ join/rollup, and the final join exchanges, NOT an extra
+    totals explode+shuffle."""
     df = entry_queries.queries()["text_rare_tokens"](spark, sf_dir)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Exchange RoundRobinPartitioning" in plan  # ensure_parallelism fired
+    assert "Scan ExistingRDD" in plan  # materialized token table
+    # totals are size(__t): exactly two Generate (explode) nodes may
+    # exist — dfreq's distinct-explode and occ's — never a third for
+    # the per-doc totals
+    assert plan.count("Generate explode") <= 2
 
 
 def test_ivf_exact_training_is_wide_agg(spark, sf_dir):
