@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_keep_best",
     "doc_length_band",
     "text_rare_tokens",
+    "corpus_pack_stats",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -96,6 +97,7 @@ SCALE_FAMILIES = [
     "doc_length_band",
     "text_rare_tokens",
     "emb_ann_recall",
+    "corpus_pack_stats",
 ]
 
 

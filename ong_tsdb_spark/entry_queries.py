@@ -2564,6 +2564,39 @@ def text_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rare_token_stats(docs)
 
 
+@register(
+    "corpus_pack_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE.replace("'", "''")}')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, n_tok,
+           CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS bin_id,
+           CAST((cum - n_tok) % 4096 AS BIGINT) AS bin_offset,
+           CAST(CASE WHEN n_tok > 0
+                     THEN floor((cum - 1) / 4096.0)
+                          - floor((cum - n_tok) / 4096.0) + 1
+                     ELSE 1 END AS BIGINT) AS n_bins_spanned
+    FROM c
+    """,
+)
+def corpus_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-split sequence packing layout (the standard
+    LLM pre-training shard format): per document, the training
+    sequence it starts in, its token offset, and how many sequences it
+    spans — integer-exact on BPE-proxy token counts; the global
+    running count runs through the chunked prefix sum, not one global
+    window task (operators/text.sequence_pack_stats)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.sequence_pack_stats(docs)
+
+
 def _ann_recall_sql() -> str:
     brute_cos = (
         _DOT_SQL.format(a="embedding", b="qe")
@@ -2636,6 +2669,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
+    "influx_roundtrip",
     "ts_range_read",
     "ts_snap_grid",
     "ts_last_timestamp",

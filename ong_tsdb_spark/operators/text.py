@@ -385,6 +385,58 @@ def rare_token_stats(
     )
 
 
+def sequence_pack_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 4096,
+    chunk_docs: int = 100_000,
+) -> DataFrame:
+    """Greedy concat-and-split sequence packing (the standard LLM
+    pre-training layout: concatenate documents in a deterministic
+    order, slice into fixed ``seq_len``-token training sequences):
+    for every document, which training sequence (bin) it starts in, at
+    what token offset, and how many sequences it spans.
+
+    Returns (doc_id, n_tok, bin_id, bin_offset, n_bins_spanned) —
+    what a packing job needs to materialize shards, and what capacity
+    planning reads (bins = ceil(total_tokens / seq_len)).
+
+    Everything is integer arithmetic on BPE-proxy token counts, so the
+    layout is bit-identical across engines.  The global running token
+    count — the one inherently sequential quantity — runs through the
+    two-pass chunked prefix sum (operators/prefix.py): parallelism is
+    doc-id chunks, NOT one task for the whole corpus, and the offset
+    window runs over chunk TOTALS (corpus/chunk_docs rows)."""
+    from .dedup import ensure_parallelism
+    from .prefix import chunked_running_sum
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col), bpe_token_count(F.col(text_col)).cast("long").alias("n_tok")
+    )
+    cum = chunked_running_sum(
+        d,
+        key_cols=[],
+        order_cols=[id_col],
+        value=F.col("n_tok"),
+        chunk=F.floor(F.col(id_col) / F.lit(chunk_docs)),
+        out_col="__cum",
+    )
+    prev = F.col("__cum") - F.col("n_tok")
+    bin_id = F.floor(prev / F.lit(seq_len)).cast("long")
+    spans = F.when(
+        F.col("n_tok") > 0,
+        F.floor((F.col("__cum") - 1) / F.lit(seq_len)).cast("long") - bin_id + 1,
+    ).otherwise(F.lit(1).cast("long"))
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        bin_id.cast("bigint").alias("bin_id"),
+        (prev % F.lit(seq_len)).cast("bigint").alias("bin_offset"),
+        spans.cast("bigint").alias("n_bins_spanned"),
+    )
+
+
 def contamination_stats(
     corpus: DataFrame,
     bench: DataFrame,

@@ -231,3 +231,28 @@ def test_rare_token_stats(spark):
     assert (got[2]["n_tokens"], got[2]["n_rare"]) == (4, 2)      # dog, ran
     assert (got[3]["n_tokens"], got[3]["n_rare"]) == (3, 1)      # wvu
     assert got[3]["rare_ratio"] == pytest.approx(1 / 3)
+
+
+def test_sequence_pack_stats(spark):
+    """Hand-computed packing layout with seq_len=10: docs of 4/8/3
+    tokens -> cums 4/12/15; doc 2 starts in bin 0 at offset 4 and
+    SPANS the bin boundary; doc 3 starts in bin 1."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h i j k l"), (3, "m n o")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text.sequence_pack_stats(df, seq_len=10, chunk_docs=2).collect()
+    }
+    assert (got[1]["bin_id"], got[1]["bin_offset"], got[1]["n_bins_spanned"]) == (0, 0, 1)
+    assert (got[2]["bin_id"], got[2]["bin_offset"], got[2]["n_bins_spanned"]) == (0, 4, 2)
+    assert (got[3]["bin_id"], got[3]["bin_offset"], got[3]["n_bins_spanned"]) == (1, 2, 1)
+    # chunk boundary at doc 3 (chunk_docs=2) must not change the layout
+    # vs a single chunk
+    got1 = {
+        r["doc_id"]: r
+        for r in text.sequence_pack_stats(df, seq_len=10, chunk_docs=100).collect()
+    }
+    for k in got:
+        assert tuple(got[k]) == tuple(got1[k])
