@@ -80,3 +80,25 @@ def test_query_vs_oracle(spark, duck, name):
     dc = _rows_canon(dcols, drows)
     mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_registry_window_invariants():
+    """The correctness driver samples the FIRST 50 registry entries;
+    round 4 shipped an operator at head position 51 with zero driver
+    evidence.  Pin the invariants so that class of bug cannot recur:
+    head <= 50, the tail really sits at the end in rotation order,
+    every tail name exists, and every entry has an oracle."""
+    from ong_tsdb_spark import entry_queries as eq
+
+    qs = list(entry_mod.queries().keys())
+    tail = eq._TAIL_ROTATION
+    head = [q for q in qs if q not in tail]
+    assert len(head) <= 50, (
+        f"registry head is {len(head)} > 50 — rotate more green queries "
+        "into _TAIL_ROTATION or the newest operators get no driver row"
+    )
+    assert set(tail) <= set(qs), "tail names must be registered queries"
+    assert qs[len(head):] == [q for q in tail if q in qs]
+    oracles = entry_mod.oracle_sql()
+    missing = [q for q in qs if not oracles.get(q)]
+    assert not missing, f"entries without value-checked oracles: {missing}"
