@@ -1255,3 +1255,83 @@ def test_multimodal_real_decode_via_pil(spark):
     )
     r = multimodal.extract_features(df, decoders="real").first()
     assert (r["width"], r["height"]) == (5, 9)
+
+
+# ----------------------------------------------------------------------
+# streaming dedup (bounded-state + persistent ledger)
+# ----------------------------------------------------------------------
+def test_ledger_dedup_batch_logic(spark, tmp_path):
+    """The ledger protocol, unit-level: within-batch dedup, cross-batch
+    anti-join, ledger idempotency on replay, compaction."""
+    from ong_tsdb_spark.streaming.dedup import (
+        FINGERPRINT_COL, compact_ledger, dedup_batch_against_ledger,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    fresh1 = dedup_batch_against_ledger(spark, b1, ledger)
+    assert fresh1.count() == 2  # alpha kept once within the batch
+    fresh1.select(FINGERPRINT_COL).write.mode("append").parquet(ledger)
+
+    # batch 2: one true duplicate of batch 1, one new doc
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    )
+    fresh2 = dedup_batch_against_ledger(spark, b2, ledger)
+    assert [r["doc_id"] for r in fresh2.collect()] == [5]
+    fresh2.select(FINGERPRINT_COL).write.mode("append").parquet(ledger)
+
+    # replay batch 2 (at-least-once delivery): nothing new emitted
+    assert dedup_batch_against_ledger(spark, b2, ledger).count() == 0
+    # replay may have appended duplicate digest rows: compaction
+    fresh2.select(FINGERPRINT_COL).write.mode("append").parquet(ledger)
+    assert compact_ledger(spark, ledger) == 3  # alpha, beta, gamma
+
+
+def test_ledger_dedup_stream_end_to_end(spark, tmp_path):
+    """Real streaming query: two duplicate-bearing files through
+    start_ledger_dedup — output has one copy per distinct content and
+    the ledger holds exactly the distinct digests."""
+    import json
+
+    from ong_tsdb_spark.streaming.dedup import start_ledger_dedup
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    (in_dir / "f1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "beta"},
+                {"doc_id": 3, "text": "alpha"},
+            ]
+        )
+    )
+    (in_dir / "f2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 4, "text": "beta"},
+                {"doc_id": 5, "text": "gamma"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(in_dir))
+    q = start_ledger_dedup(
+        spark,
+        stream,
+        ledger_path=str(tmp_path / "ledger"),
+        out_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    texts = sorted(r["text"] for r in out.collect())
+    assert texts == ["alpha", "beta", "gamma"]
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    assert ledger.distinct().count() == 3
