@@ -2597,6 +2597,43 @@ def corpus_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_pack_stats(docs)
 
 
+@register(
+    "dedup_ledger_backfill",
+    """
+    WITH ledger AS (
+      SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id >= 250),
+    first_per_fp AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM batch GROUP BY fingerprint)
+    SELECT f.doc_id, f.fingerprint
+    FROM first_per_fp f LEFT JOIN ledger l USING (fingerprint)
+    WHERE l.fingerprint IS NULL
+    """,
+)
+def dedup_ledger_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH tier of the streaming digest-ledger dedup protocol
+    (streaming/dedup.py), value-checked: documents with doc_id < 250
+    play the already-ingested ledger, the rest arrive as a backfill
+    batch — within-batch first-occurrence per digest (deterministic:
+    lowest doc_id), then the anti-join against the ledger.  One digest
+    shuffle + one digest-keyed anti-join; document text never moves."""
+    from .streaming.dedup import FINGERPRINT_COL, content_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    ledger = (
+        content_fingerprint(docs.filter(F.col("doc_id") < 250), "text")
+        .select(FINGERPRINT_COL)
+        .distinct()
+    )
+    batch = content_fingerprint(docs.filter(F.col("doc_id") >= 250), "text")
+    first = batch.groupBy(FINGERPRINT_COL).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        first.join(ledger, on=FINGERPRINT_COL, how="left_anti")
+        .select("doc_id", F.col(FINGERPRINT_COL).alias("fingerprint"))
+    )
+
+
 def _ann_recall_sql() -> str:
     brute_cos = (
         _DOT_SQL.format(a="embedding", b="qe")
@@ -2669,6 +2706,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
+    "doc_stats_by_lang",
     "influx_roundtrip",
     "ts_range_read",
     "ts_snap_grid",
