@@ -619,6 +619,9 @@ def test_ivf_exact_trainer_partition_invariant(spark):
     c32 = train_ivf_centroids_exact(df32, k=4, iters=2)
     c3 = train_ivf_centroids_exact(df3, k=4, iters=2)
     assert c1 == c32 == c3  # exact integer equality
+    # the Arrow int64-matmul assignment and the Catalyst fold are the
+    # same exact arithmetic: identical centroids, bit for bit
+    assert train_ivf_centroids_exact(df32, k=4, iters=2, use_arrow=False) == c1
 
     # pure-Python reference of the same spec
     qvs = {i: ivf_quantize_py(list(map(float, vecs[i]))) for i in range(60)}
