@@ -64,6 +64,9 @@ HEADLINE = [
     "doc_length_band",
     "text_rare_tokens",
     "corpus_pack_stats",
+    "dedup_semantic",
+    "text_bm25_topk",
+    "ts_ewma",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -98,6 +101,8 @@ SCALE_FAMILIES = [
     "text_rare_tokens",
     "emb_ann_recall",
     "corpus_pack_stats",
+    "dedup_semantic",
+    "text_bm25_topk",
 ]
 
 

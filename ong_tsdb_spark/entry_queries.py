@@ -1801,24 +1801,25 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, topk: int = 10) -> str:
-    """DuckDB twin of the integer-exact IVF pipeline
-    (similarity.train_ivf_centroids_exact + ivf_topk_exact).  The fixed
-    iteration count unrolls Lloyd's into a chained-CTE pipeline; every
-    training step is bigint arithmetic (quantize by 2^20 is rounding-
-    free for float32, sums are exact in any order, centroid = floored
-    mean via the truncated-mod floor-division identity), so both
-    engines converge to BIT-IDENTICAL centroids, clusters, probes and
-    candidate sets.  The final re-rank reuses the sequential cosine
-    fold already proven by the emb_cosine_topk oracle."""
+def _ivf_l2_sql(a: str, b: str, dim: int) -> str:
+    """Integer squared-L2 fold between two bigint list expressions —
+    exact, order-free (the Lloyd's-step distance in the oracle twin)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _ivf_train_sql(k: int, iters: int, dim: int) -> tuple[str, str]:
+    """The unrolled integer-exact Lloyd's chain as a CTE fragment
+    (shared by the IVF top-k and semantic-dedup oracles).  Returns
+    ``(ctes, last)`` where ``ctes`` defines q0 (quantized vectors)
+    through the final centroid CTE ``last``.  Every training step is
+    bigint arithmetic (quantize by 2^20 is rounding-free for float32,
+    sums are exact in any order, centroid = floored mean via the
+    truncated-mod floor-division identity), so both engines converge
+    to BIT-IDENTICAL centroids and cluster assignments."""
     scale = similarity.IVF_QUANT_SCALE
-
-    def l2(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
-        )
-
     ctes = [
         f"""q0 AS (
       SELECT vec_id,
@@ -1835,7 +1836,7 @@ def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, to
       SELECT vec_id, qv, cid FROM (
         SELECT q.vec_id, q.qv, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {l2("q.qv", "c.cv")}, c.cid) AS rn
+                                  ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
         FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1),
     s{it} AS (
       SELECT cid, pos, SUM(qv[pos]) AS s, COUNT(*) AS n
@@ -1849,18 +1850,38 @@ def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, to
       FROM {prev} c LEFT JOIN n{it} u USING (cid))"""
         )
         prev = f"c{it}"
+    return ",".join(ctes), prev
+
+
+def _ivf_af_sql(prev: str, dim: int) -> str:
+    """Final exact assignment CTE body: every vector to its nearest
+    trained centroid (lowest-index tie-break, like np.argmin)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
+        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1"""
+
+
+def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, topk: int = 10) -> str:
+    """DuckDB twin of the integer-exact IVF pipeline
+    (similarity.train_ivf_centroids_exact + ivf_topk_exact) — see
+    :func:`_ivf_train_sql` for why the unrolled chain is bit-identical
+    cross-engine.  The final re-rank reuses the sequential cosine
+    fold already proven by the emb_cosine_topk oracle."""
+    ctes, prev = _ivf_train_sql(k, iters, dim)
+
+    def l2(a: str, b: str) -> str:
+        return _ivf_l2_sql(a, b, dim)
+
     cos = (
         _DOT_SQL.format(a="c.embedding", b="qe")
         + f" / ({_norm_sql('c.embedding')} * {_norm_sql('qe')})"
     )
     return f"""
-    WITH {",".join(ctes)},
-    af AS (
-      SELECT vec_id, cid FROM (
-        SELECT q.vec_id, c.cid,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {l2("q.qv", "c.cv")}, c.cid) AS rn
-        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1),
+    WITH {ctes},
+    af AS ({_ivf_af_sql(prev, dim)}),
     probe AS (
       SELECT cid FROM (
         SELECT c.cid,
@@ -2679,6 +2700,170 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_sql(k: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.4) -> str:
+    ctes, prev = _ivf_train_sql(k, iters, dim)
+    cos = (
+        _DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+        + f" / ({_norm_sql('ea.embedding')} * {_norm_sql('eb.embedding')})"
+    )
+    return f"""
+    WITH {ctes},
+    af AS ({_ivf_af_sql(prev, dim)}),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id > b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round({cos}, 6) >= {threshold})
+    SELECT af.vec_id, CAST(af.cid AS INT) AS cid,
+           (d.vec_id IS NULL) AS keep
+    FROM af LEFT JOIN dup d ON af.vec_id = d.vec_id
+    """
+
+
+@register("dedup_semantic", _semantic_dedup_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDedup, Abbas et al. 2023): integer-
+    exact k-means clusters bound the quadratic term, then each vector
+    is dropped if a LOWER-id cluster member is cosine-similar above
+    the threshold (operators/similarity.semantic_dedup).  One row per
+    vector (vec_id, cid, keep).  The oracle reuses the unrolled
+    Lloyd's CTE chain proven by emb_ivf_topk, so clustering, pairing
+    and the rounded-cosine keep decision are all value-checked."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4)
+
+
+# BM25 retrieval: fixed query-term list over the documents corpus.
+_BM25_TERMS = ["dup", "spark", "merge"]
+
+
+def _bm25_sql(terms: list[str] = _BM25_TERMS, topk: int = 10) -> str:
+    k1, k1p1 = repr(text.BM25_K1), repr(text.BM25_K1 + 1.0)
+    b, omb = repr(text.BM25_B), repr(1.0 - text.BM25_B)
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(((n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((tf{i} * {k1p1}) / (tf{i} + {k1} * ({omb} + {b} * (dl / avgdl)))))"
+        for i in range(len(terms))
+    )
+    anymatch = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {df_cols}
+      FROM feat),
+    scored AS (
+      SELECT doc_id, {parts} AS score
+      FROM feat, stats
+      WHERE {anymatch})
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {topk}
+    """
+
+
+@register("text_bm25_topk", _bm25_sql())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the corpus (top-10 for a fixed
+    query) — the ranking primitive a curation pipeline uses to mine
+    topical training subsets.  operators/text.bm25_scores documents
+    the one deliberate deviation (rational odds idf, no log — log is
+    not correctly-rounded-guaranteed across libms, the rational form
+    is monotone-equivalent and bit-exact cross-engine).  Plan shape:
+    map-side tf/dl from the token array (no explode), ONE 1-row
+    scalar aggregate broadcast back, TakeOrderedAndProject top-k —
+    at 100 TB this is a single corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, _BM25_TERMS)
+    return _topk_ranked(scored, [F.col("score").desc(), F.col("doc_id")], 10)
+
+
+# EWMA smoothing: K-lag truncated exponential weights with a DYADIC
+# decay (alpha = 1/2), so every weight 0.5^j and every product w*x is
+# EXACT in IEEE doubles (power-of-two scaling shifts the exponent, no
+# mantissa rounding).  The numerator/denominator sums are emitted in
+# the same left-associated order by both engines, and the single final
+# division is correctly rounded — bit-identical cross-engine without
+# DECIMAL casts.  This is the pandas ``ewm(alpha=0.5, adjust=True)``
+# recurrence truncated at K lags (the 0.5^8 tail weight below the
+# truncation is < 0.4% of the mass); the streaming twin (unbounded
+# recurrence, per-key state) lives in streaming/stateful.py.
+_EWMA_K = 8
+_EWMA_WEIGHTS = [0.5**j for j in range(_EWMA_K)]
+
+
+def _ewma_sql() -> str:
+    def x(j: int) -> str:
+        return "value" if j == 0 else f"lag(value, {j}) OVER w"
+
+    num = " + ".join(
+        f"(CASE WHEN {x(j)} IS NOT NULL THEN {w!r} * {x(j)} ELSE 0.0 END)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {x(j)} IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return f"""
+    SELECT event_type, us AS ts_us, value,
+           CASE WHEN ({den}) > 0.0 THEN ({num}) / ({den}) ELSE NULL END AS ewma8
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    """
+
+
+@register("ts_ewma", _ewma_sql())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing (alpha = 1/2, truncated at 8 lags) —
+    the batch twin of the stateful streaming EWMA
+    (streaming/stateful.py), value-checked: dyadic weights make every
+    term exact, so the oracle comparison is bitwise.  Runs through the
+    chunk-parallel window machinery (operators/chunkwin.py), so the
+    per-series history never funnels into one task: parallelism is
+    keys x weeks, with exactly 7 carry rows per chunk edge."""
+    from functools import reduce
+    from operator import add
+
+    from .operators.chunkwin import chunked_window
+
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", _us(ev, "ts"))
+
+    def _build(w):
+        nums, dens = [], []
+        for j, wt in enumerate(_EWMA_WEIGHTS):
+            x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+            nums.append(F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0)))
+            dens.append(F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0)))
+        num = reduce(add, nums)
+        den = reduce(add, dens)
+        return {"ewma8": F.when(den > F.lit(0.0), num / den)}
+
+    out = chunked_window(
+        ev.select("event_type", "ts_us", "event_id", "value"),
+        key_cols=["event_type"],
+        order_cols=["ts_us", "event_id"],
+        chunk_len=WEEK_US,
+        build=_build,
+        rows_before=_EWMA_K - 1,
+    )
+    return out.select("event_type", "ts_us", "value", "ewma8")
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -2706,6 +2891,11 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
+    # (dedup_exact / text_quality / text_langid rotated out mid-r5 to
+    # make head room for dedup_semantic, text_bm25_topk and ts_ewma)
+    "dedup_exact",
+    "text_quality",
+    "text_langid",
     "doc_stats_by_lang",
     "influx_roundtrip",
     "ts_range_read",

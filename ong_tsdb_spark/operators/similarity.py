@@ -646,3 +646,110 @@ def lsh_cosine_buckets(
     return df.select(
         F.col(id_col), lsh_bucket_expr(F.col(vec_col), dim, num_planes).alias("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# SemDedup: semantic deduplication inside coarse embedding clusters
+# ----------------------------------------------------------------------
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+    use_blas: bool = True,
+    tile_rows: int = 1024,
+) -> DataFrame:
+    """Semantic deduplication (SemDedup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the INTEGER-EXACT
+    k-means coarse quantizer, then inside each cluster drop every
+    vector whose cosine to a LOWER-id cluster member reaches the
+    threshold (the paper's keep-one-representative policy, with the
+    deterministic lowest-id representative instead of
+    distance-to-centroid).  Returns one row per input vector:
+    ``(id, cid, keep)``.
+
+    Why this shape scales: the cluster key bounds the quadratic term
+    exactly as in the paper — at corpus scale k grows with N so the
+    expected cluster stays ~1-10k vectors, and the only full-data
+    movement is one shuffle on the cluster id.  Training cost is
+    independent of corpus size per iteration (k x (dim+1) cells per
+    mapper, see :func:`train_ivf_centroids_exact`); the within-cluster
+    comparison is one Arrow batch + tiled BLAS matmul per cluster
+    (``tile_rows`` bounds the score-matrix slab so memory is
+    O(tile_rows x cluster), not cluster^2).
+
+    Cross-engine determinism: assignments are integer-exact (bit-
+    identical in any engine); cosines are ROUNDED to ``round_digits``
+    before the threshold test, the same convention as
+    :func:`cosine_pairs_blocked_numpy`, so BLAS vs sequential-fold
+    summation (~1e-15 apart) cannot disagree on membership.
+
+    ``use_blas=False`` runs the same semantics as a Catalyst
+    cluster-equi-self-join — the no-Arrow reference path the parity
+    test pins against the BLAS default.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = train_ivf_centroids_exact(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign_exact(df, cents, vec_col=vec_col).select(
+        id_col, vec_col, "ivf_cluster"
+    )
+
+    if not use_blas:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        dup = (
+            a.join(
+                b,
+                (F.col("a.ivf_cluster") == F.col("b.ivf_cluster"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            )
+            .filter(
+                F.round(
+                    cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                    round_digits,
+                )
+                >= threshold
+            )
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        return (
+            assigned.join(dup, on=id_col, how="left")
+            .select(
+                id_col,
+                F.col("ivf_cluster").cast("int").alias("cid"),
+                F.col("__dup").isNull().alias("keep"),
+            )
+        )
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        if n >= 2:
+            M = np.array([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            for i0 in range(1, n, tile_rows):
+                i1 = min(i0 + tile_rows, n)
+                # rows [i0, i1) against every EARLIER column (< row idx)
+                S = np.round(Mn[i0:i1] @ Mn[:i1].T, round_digits)
+                for r in range(i0, i1):
+                    if (S[r - i0, :r] >= threshold).any():
+                        keep[r] = False
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": pdf["ivf_cluster"].to_numpy().astype("int32"),
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("ivf_cluster").applyInPandas(
+        block, f"{id_col} long, cid int, keep boolean"
+    )

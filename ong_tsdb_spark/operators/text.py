@@ -553,3 +553,84 @@ def stratified_sample_stats(
             ),
         )
     )
+
+
+# BM25 constants.  k1+1, 1-b and b are emitted as the SAME literals in
+# the oracle twin so both engines parse identical doubles.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25-style relevance score for a fixed query-term
+    list (Robertson/Sparck Jones probabilistic ranking — the lexical
+    retrieval baseline a data-curation pipeline uses to mine topical
+    subsets from a corpus).  One deviation from textbook BM25, on
+    purpose: the idf factor is the RATIONAL odds form
+    ``(N - df + 0.5) / (df + 0.5)`` without the ``log`` — log is not
+    required to be correctly rounded by IEEE 754, so ``ln`` from two
+    libms can differ in the last ulp and break value-exact
+    cross-engine checks.  The rational form is a strictly monotone
+    transform of the same odds, preserving every ranking property,
+    and consists only of correctly-rounded +,-,*,/ — bit-identical
+    in any IEEE engine evaluating the same expression tree.
+
+    Scale shape: tf and dl come straight from the per-row token array
+    (map-side, no explode/shuffle); N, avgdl and each term's df are
+    ONE tiny aggregate (conditional sums, map-side partial combine)
+    broadcast back as a 1-row cross join.  Score is then a pure column
+    expression; the only data-sized cost is the corpus scan.  At 100
+    TB this is scan + a k-term scalar broadcast — no join on document
+    keys at all.
+
+    Returns ``(id, score)`` for documents matching >= 1 term; ranking
+    ties are broken downstream by id.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _is(term: str):
+        # NOTE: a `lambda x, t=term:` default-arg closure would make
+        # pyspark's arity inspection treat this as an (element, index)
+        # lambda and bind t to the INDEX — a real closure is required
+        return lambda x: x == F.lit(term)
+
+    feat = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(toks, _is(t))).cast("bigint").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = feat.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n_docs") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        part = idf * (
+            (tf * F.lit(BM25_K1 + 1.0))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        score = part if score is None else score + part
+    match = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i}") > 0
+        match = c if match is None else match | c
+    return scored.filter(match).select(F.col(id_col), score.alias("score"))

@@ -1338,3 +1338,127 @@ def test_ledger_dedup_stream_end_to_end(spark, tmp_path):
     assert texts == ["alpha", "beta", "gamma"]
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
     assert ledger.distinct().count() == 3
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDedup on a planted fixture: two tight duplicate groups and a
+    singleton.  Keep = lowest id per similar group; BLAS and Catalyst
+    paths must agree bit-for-bit."""
+    dim = 8
+    a = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    a2 = [0.999, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    a3 = [0.998, 0.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    b2 = [0.01, 0.999, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    c = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    rows = [(0, a), (1, b), (2, a2), (3, a3), (4, b2), (5, c)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in similarity.semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()
+    }
+    keeps = {v: out[v][1] for v in sorted(out)}
+    # lowest id of each near-dup group survives; the singleton survives
+    assert keeps == {0: True, 1: True, 2: False, 3: False, 4: False, 5: True}
+
+    ref = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, k=2, iters=2, threshold=0.95, use_blas=False
+        ).collect()
+    )
+    blas = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(df, k=2, iters=2, threshold=0.95).collect()
+    )
+    assert ref == blas
+
+
+def test_semantic_dedup_tiling_invariant(spark):
+    """The tiled BLAS comparison (tile_rows < cluster size) must give
+    the same keep set as one whole-cluster matmul."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, [float(x) for x in v]))
+        rows.append((i * 10 + 1, [float(x) for x in v + 0.001]))  # near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    big = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(df, k=3, iters=2, threshold=0.99).collect()
+    )
+    tiled = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, k=3, iters=2, threshold=0.99, tile_rows=2
+        ).collect()
+    )
+    assert big == tiled
+    # every planted near-dup pair must lose at least its higher id
+    keeps = {vid: keep for vid, _, keep in big}
+    assert sum(1 for k in keeps.values() if not k) >= 6
+    for i in range(6):
+        assert not (keeps[i * 10] and keeps[i * 10 + 1])
+
+
+def test_bm25_scores_fixture(spark):
+    """BM25 on a hand fixture — expected scores computed with the
+    IDENTICAL expression order in Python doubles (all ops correctly
+    rounded, so equality is exact)."""
+    docs = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry durian"),
+        (4, "apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in text.bm25_scores(df, ["apple", "banana"]).collect()
+    }
+    assert set(out) == {1, 2, 4}  # doc 3 matches no term
+
+    n_docs, avgdl = 4.0, (3 + 2 + 2 + 1) / 4
+    k1, k1p1, b, omb = text.BM25_K1, text.BM25_K1 + 1.0, text.BM25_B, 1.0 - text.BM25_B
+
+    def part(tf, dfq, dl):
+        idf = (n_docs - dfq + 0.5) / (dfq + 0.5)
+        return idf * ((tf * k1p1) / (tf + k1 * (omb + b * (dl / avgdl))))
+
+    assert out[1] == part(2, 2.0, 3) + part(1, 2.0, 3)
+    assert out[2] == part(0, 2.0, 2) + part(1, 2.0, 2)
+    assert out[4] == part(1, 2.0, 1) + part(0, 2.0, 1)
+    # the rare-term doc outranks the common-term docs it ties on tf with
+    assert out[1] > out[2]
+
+
+def test_ts_ewma_chunked_matches_global_window(spark, sf_dir):
+    """The chunk-parallel EWMA must be bit-identical to the same
+    expression over a plain per-series global window."""
+    from functools import reduce
+    from operator import add
+
+    from ong_tsdb_spark import entry_queries as eq
+
+    out = eq.queries()["ts_ewma"](spark, sf_dir)
+    got = sorted(tuple(r) for r in out.collect())
+
+    ev = eq.load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", eq._us(ev, "ts"))
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    nums, dens = [], []
+    for j, wt in enumerate(eq._EWMA_WEIGHTS):
+        x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        nums.append(F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0)))
+        dens.append(F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0)))
+    num, den = reduce(add, nums), reduce(add, dens)
+    exp = ev.select(
+        "event_type", "ts_us", "value",
+        F.when(den > F.lit(0.0), num / den).alias("ewma8"),
+    )
+    want = sorted(tuple(r) for r in exp.collect())
+    assert got == want

@@ -167,6 +167,7 @@ def test_fresh_ingest_single_shuffle(spark, tmp_path):
         ("ts_rolling_mean", "sum("),
         ("ts_moving_range_avg", "sum("),
         ("ts_time_weighted_avg", "lead("),
+        ("ts_ewma", "lag("),
     ],
 )
 def test_series_windows_are_chunk_partitioned(spark, sf_dir, qname, fn_marker):
@@ -298,3 +299,29 @@ def test_ivf_exact_training_is_wide_agg(spark, sf_dir):
     plan = _executed_plan(agg)
     assert "Generate" not in plan  # no explode
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_bm25_single_scan_no_explode(spark, sf_dir):
+    """BM25's tf/dl must come from the per-row token array (map-side,
+    no explode) with the corpus-level scalars returned as a broadcast
+    cross join — the whole query is one corpus scan + a TakeOrdered
+    top-k.  A Generate or a hash-keyed exchange means someone
+    re-introduced the explode+join shape that shuffles every token."""
+    df = entry_queries.queries()["text_bm25_topk"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
+    """SemDedup's only full-data movement may be the ONE shuffle on the
+    cluster id feeding the per-cluster Arrow comparison; assignment is
+    mapInPandas (no shuffle), and no join touches the vectors."""
+    df = entry_queries.queries()["dedup_semantic"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
