@@ -67,6 +67,9 @@ HEADLINE = [
     "dedup_semantic",
     "text_bm25_topk",
     "ts_ewma",
+    "emb_centroid_dist",
+    "corpus_mix_weights",
+    "ts_mad_anomaly",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -103,6 +106,9 @@ SCALE_FAMILIES = [
     "corpus_pack_stats",
     "dedup_semantic",
     "text_bm25_topk",
+    "emb_centroid_dist",
+    "corpus_mix_weights",
+    "ts_mad_anomaly",
 ]
 
 

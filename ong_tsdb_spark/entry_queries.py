@@ -2864,6 +2864,109 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "ts_us", "value", "ewma8")
 
 
+def _centroid_dist_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    ctes, prev = _ivf_train_sql(k, iters, dim)
+    return f"""
+    WITH {ctes},
+    af AS ({_ivf_af_sql(prev, dim)})
+    SELECT af.vec_id, CAST(af.cid AS INT) AS cid,
+           {_ivf_l2_sql("q.qv", "c.cv", dim)} AS sqdist
+    FROM af JOIN q0 q ON q.vec_id = af.vec_id
+            JOIN {prev} c ON c.cid = af.cid
+    """
+
+
+@register("emb_centroid_dist", _centroid_dist_sql())
+def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality scoring (SSL-prototypes data-pruning metric,
+    Sorscher et al. 2022): integer-exact squared L2 distance of every
+    vector to its assigned k-means centroid
+    (operators/similarity.centroid_distances) — the score column is
+    pure bigint arithmetic, so even the ranking a pruning pipeline
+    cuts at is bit-identical cross-engine.  Broadcast k-row centroid
+    table, map-side fold, no data-sized shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.centroid_distances(emb, k=8, iters=2)
+
+
+def _mix_weights_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', {ppm})" for s, ppm in sorted(text.TARGET_MIX_PPM.items())
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tgt(source, target_ppm) AS (VALUES {vals}),
+    j AS (
+      SELECT c.source, c.n_docs, CAST(t.target_ppm AS BIGINT) AS target_ppm
+      FROM counts c JOIN tgt t USING (source)),
+    star AS (
+      SELECT n_docs AS n_star, target_ppm AS t_star FROM j
+      ORDER BY CAST(n_docs AS DOUBLE) / target_ppm, source LIMIT 1)
+    SELECT source, n_docs, target_ppm,
+           CAST((target_ppm * n_star) // t_star AS BIGINT) AS n_keep
+    FROM j, star
+    """
+
+
+@register("corpus_mix_weights", _mix_weights_sql())
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rebalance plan (operators/text.mixture_plan): how
+    many documents to keep per source so the kept corpus hits the
+    target mixture exactly by downsampling only.  Integer-exact
+    (binding source by one double ranking, keep counts by bigint
+    floor division).  One count aggregate + two broadcasts — nothing
+    data-sized moves."""
+    docs = load(spark, sf_dir, "documents")
+    return text.mixture_plan(docs)
+
+
+@register(
+    "ts_mad_anomaly",
+    """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us, value FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM base GROUP BY event_type),
+    d AS (
+      SELECT b.event_type, b.us, b.value, m.med, abs(b.value - m.med) AS adev
+      FROM base b JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, d.us AS ts_us, d.value, d.med, m2.mad
+    FROM d JOIN mad m2 USING (event_type)
+    WHERE d.adev > 3.0 * m2.mad
+    """,
+)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: |x - median| > 3 * MAD per series —
+    the outlier rule that, unlike ts_zscore_anomaly, is itself immune
+    to the outliers it hunts.  Exact interpolated medians via Spark
+    `percentile` ≡ DuckDB `quantile_cont` (the bit-equality already
+    proven by ts_percentiles); both median tables come back as
+    broadcasts, so the data-sized cost is two scans of the events
+    table and no shuffle of data rows."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_type", _us(ev, "ts").alias("ts_us"), "value")
+    med = base.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = base.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), on="event_type")
+        .filter(F.col("adev") > F.lit(3.0) * F.col("mad"))
+        .select("event_type", "ts_us", "value", "med", "mad")
+    )
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -2892,10 +2995,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
     # (dedup_exact / text_quality / text_langid rotated out mid-r5 to
-    # make head room for dedup_semantic, text_bm25_topk and ts_ewma)
+    # make head room for dedup_semantic, text_bm25_topk and ts_ewma;
+    # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
+    # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly)
     "dedup_exact",
     "text_quality",
     "text_langid",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
     "doc_stats_by_lang",
     "influx_roundtrip",
     "ts_range_read",

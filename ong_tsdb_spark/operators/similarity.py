@@ -753,3 +753,45 @@ def semantic_dedup(
     return assigned.groupBy("ivf_cluster").applyInPandas(
         block, f"{id_col} long, cid int, keep boolean"
     )
+
+
+def centroid_distances(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototypicality scoring (the SSL-prototypes data-pruning metric,
+    Sorscher et al. 2022, arXiv:2206.14486): each vector's squared L2
+    distance to its assigned cluster centroid, in the 2^20-quantized
+    integer space — low distance = prototypical/easy example, high
+    distance = outlier — the ranking a pruning pipeline keeps or drops
+    percentiles of.  Returns ``(id, cid, sqdist)`` with ``sqdist`` an
+    EXACT bigint (no float accumulation at all), so the whole score
+    column is bit-identical across engines and partitionings.
+
+    Plan shape: training is corpus-size-independent per iteration
+    (see :func:`train_ivf_centroids_exact`), assignment is one Arrow
+    matmul pass, and the distance is a map-side fold against the
+    BROADCAST k-row centroid table — no data-sized shuffle anywhere.
+    """
+    cents = train_ivf_centroids_exact(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    qdf = df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
+    assigned = _assign_exact_arrow(qdf, cents)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cv array<long>",
+    )
+    diffs = F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+    return (
+        assigned.join(F.broadcast(cdf), assigned["__c"] == cdf["cid"])
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.aggregate(diffs, F.lit(0).cast("long"), lambda a, d: a + d).alias(
+                "sqdist"
+            ),
+        )
+    )

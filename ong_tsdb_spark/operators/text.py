@@ -634,3 +634,63 @@ def bm25_scores(
         c = F.col(f"tf{i}") > 0
         match = c if match is None else match | c
     return scored.filter(match).select(F.col(id_col), score.alias("score"))
+
+
+#: Target corpus mixture in parts-per-million per source (sums to 1e6).
+#: A deterministic 4-tier pattern over the synthetic src0..src19 pool —
+#: stand-in for the per-domain weights a data-mixing recipe prescribes.
+TARGET_MIX_PPM = {f"src{i}": (80_000, 60_000, 40_000, 20_000)[i % 4] for i in range(20)}
+
+
+def mixture_plan(
+    df: DataFrame,
+    target_ppm: dict[str, int] | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """Downsample-only data-mixing plan: given target mixture shares
+    (ppm per source), compute how many documents to KEEP from each
+    source so the kept corpus hits the target proportions exactly while
+    only ever dropping (never repeating) documents — the standard
+    mixture-rebalancing step before training-shard writes.
+
+    The math stays INTEGER-exact end to end: the binding source s* is
+    the one with the smallest n_s / t_s (ranked by one correctly-
+    rounded double division, ties to the source name), and every keep
+    count is ``floor(t_s * n_star / t_star)`` on bigints — so the plan
+    is bit-identical across engines and reruns.
+
+    Plan shape: one per-source count aggregate (map-side combine), a
+    broadcast join against the |sources|-row literal target table, and
+    a broadcast of the single binding row — nothing data-sized moves.
+    """
+    from .dedup import materialize_for_self_join
+
+    rates = target_ppm or TARGET_MIX_PPM
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(rates.items()), "source string, target_ppm long"
+    ).withColumnRenamed("source", source_col)
+    counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    # j feeds both the output and the binding-row subquery; Catalyst
+    # produces no ReusedExchange for the two consumers, which would
+    # mean TWO full corpus scans — materialize the |sources|-row table
+    # once instead
+    j = materialize_for_self_join(counts.join(F.broadcast(tgt), on=source_col))
+    star = (
+        j.orderBy(
+            (F.col("n_docs").cast("double") / F.col("target_ppm")), F.col(source_col)
+        )
+        .limit(1)
+        .select(
+            F.col("n_docs").alias("n_star"), F.col("target_ppm").alias("t_star")
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(star))
+        .select(
+            F.col(source_col),
+            F.col("n_docs"),
+            F.col("target_ppm"),
+            F.expr("(target_ppm * n_star) div t_star").cast("bigint").alias("n_keep"),
+        )
+    )

@@ -1462,3 +1462,82 @@ def test_ts_ewma_chunked_matches_global_window(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in exp.collect())
     assert got == want
+
+
+def test_centroid_distances_exact(spark):
+    """centroid_distances must equal a pure-Python recomputation of
+    quantize -> assign -> integer sqdist (same tie-breaks)."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.95]),
+        (4, [0.52, 0.51]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cid"], r["sqdist"])
+        for r in similarity.centroid_distances(df, k=2, iters=2).collect()
+    }
+
+    # python twin (float32 storage -> double -> quantize like the engine)
+    import numpy as np
+
+    vecs = {
+        i: [math.floor(float(np.float32(x)) * similarity.IVF_QUANT_SCALE) for x in v]
+        for i, v in rows
+    }
+    cents = [vecs[0], vecs[1]]
+    for _ in range(2):
+        groups: dict[int, list[list[int]]] = {}
+        for i, q in vecs.items():
+            d = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+            groups.setdefault(d.index(min(d)), []).append(q)
+        cents = [
+            [sum(col) // len(g) for col in zip(*g)] if (g := groups.get(j)) else cents[j]
+            for j in range(2)
+        ]
+    for i, q in vecs.items():
+        d = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+        cid = d.index(min(d))
+        assert got[i] == (cid, d[cid]), f"vec {i}"
+
+
+def test_mixture_plan_fixture(spark):
+    """Downsample-only mixing plan on known counts: the binding source
+    keeps everything; the others keep floor(t_s * n_star / t_star)."""
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(20)] + [
+        ("c", i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    plan = {
+        r["source"]: (r["n_docs"], r["n_keep"])
+        for r in text.mixture_plan(
+            df, {"a": 500_000, "b": 300_000, "c": 200_000}
+        ).collect()
+    }
+    # ratios n/t: a binds (10/5e5 smallest) -> keep a=10, b=6, c=4
+    assert plan == {"a": (10, 10), "b": (20, 6), "c": (30, 4)}
+    kept = [plan[s][1] for s in ("a", "b", "c")]
+    assert kept == [10, 6, 4]  # 50/30/20% of the kept corpus
+
+
+def test_mad_rule_flags_planted_outlier(spark):
+    """The |x - med| > 3*MAD rule on a planted fixture: the spike is
+    flagged, steady values are not, and a zero-MAD series still flags
+    its single deviant."""
+    rows = [("s1", i, v) for i, v in enumerate([10.0, 10.4, 9.6, 10.2, 9.8, 50.0])]
+    rows += [("s2", i, 5.0) for i in range(5)] + [("s2", 5, 5.1)]
+    df = spark.createDataFrame(rows, "event_type string, ts_us long, value double")
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    d = df.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    out = d.join(F.broadcast(mad), on="event_type").filter(
+        F.col("adev") > F.lit(3.0) * F.col("mad")
+    )
+    flagged = {(r["event_type"], r["value"]) for r in out.collect()}
+    assert flagged == {("s1", 50.0), ("s2", 5.1)}

@@ -325,3 +325,35 @@ def test_semantic_dedup_single_cluster_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_dist_broadcast_no_shuffle(spark, sf_dir):
+    """Prototypicality scoring may not shuffle data rows: assignment
+    is mapInPandas and the k-row centroid table joins as a broadcast."""
+    df = entry_queries.queries()["emb_centroid_dist"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_weights_single_count_shuffle(spark, sf_dir):
+    """The per-source count table is materialized ONCE (it feeds both
+    the output and the binding-row subquery; without that the corpus
+    scans twice); the final plan reads the stored |sources|-row table
+    with the binding row as a broadcast — no further shuffle."""
+    df = entry_queries.queries()["corpus_mix_weights"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan  # materialized count table
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_anomaly_broadcast_medians(spark, sf_dir):
+    """Both per-series median tables must join back as broadcasts —
+    never a sort-merge join shuffling the event rows on the series
+    key."""
+    df = entry_queries.queries()["ts_mad_anomaly"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
