@@ -70,6 +70,8 @@ HEADLINE = [
     "emb_centroid_dist",
     "corpus_mix_weights",
     "ts_mad_anomaly",
+    "dedup_minhash_error",
+    "corpus_curation_report",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -109,6 +111,8 @@ SCALE_FAMILIES = [
     "emb_centroid_dist",
     "corpus_mix_weights",
     "ts_mad_anomaly",
+    "dedup_minhash_error",
+    "corpus_curation_report",
 ]
 
 

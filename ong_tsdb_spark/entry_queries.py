@@ -2358,10 +2358,8 @@ def dedup_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_LIST_SQL = "'" + "','".join(text.GOPHER_STOPWORDS) + "'"
 
-
-@register(
-    "text_gopher_quality",
-    f"""
+# shared by text_gopher_quality and corpus_curation_report
+_GOPHER_SQL = f"""
     WITH s AS (
       SELECT doc_id, text, string_split(text, ' ') AS t, length(text) AS nc
       FROM documents
@@ -2385,8 +2383,10 @@ GOPHER_LIST_SQL = "'" + "','".join(text.GOPHER_STOPWORDS) + "'"
             AND alpha_frac > 0.8
             AND stop_hits >= 2) AS gopher_pass
     FROM f
-    """,
-)
+    """
+
+
+@register("text_gopher_quality", _GOPHER_SQL)
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveWeb document-quality rules (Rae et al. 2021
     §A1.1) per document, plus the combined pass/fail verdict
@@ -2967,6 +2967,106 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_error_sql(num_hashes: int = 16) -> str:
+    return (
+        _SHINGLE_CTE
+        + _LSH_BANDS_CTE
+        + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS mm
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.d1
+      JOIN mh y ON y.doc_id = c.d2 AND y.seed = x.seed AND y.h = x.h
+      GROUP BY c.d1, c.d2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM (
+      SELECT c.d1, c.d2,
+             CAST(COALESCE(m.mm, 0) AS DOUBLE) / {float(num_hashes)} AS est_jaccard,
+             CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / CAST(s1.n + s2.n - COALESCE(i.i, 0) AS DOUBLE) AS exact_jaccard
+      FROM cand c
+      LEFT JOIN m ON m.d1 = c.d1 AND m.d2 = c.d2
+      LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+      JOIN sizes s1 ON s1.doc_id = c.d1
+      JOIN sizes s2 ON s2.doc_id = c.d2)
+    """
+    )
+
+
+@register("dedup_minhash_error", _minhash_error_sql())
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash-LSH path
+    (operators/dedup.minhash_error_stats): per candidate pair, the
+    16-hash Jaccard estimate vs the exact shingle Jaccard and the
+    absolute error — the emb_ann_recall counterpart for the dedup
+    sketch, with an exact oracle twin for the whole evaluation."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_error_stats(docs, n=3, num_hashes=16, band_size=2)
+
+
+_CURATION_SQL = f"""
+    WITH g AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL})),
+    sem AS (SELECT vec_id AS doc_id, keep AS semantic_keep
+            FROM ({_semantic_dedup_sql()})),
+    fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    win AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f),
+    ex AS (SELECT fp.doc_id, (fp.doc_id = win.keeper) AS exact_keep
+           FROM fp JOIN win USING (f))
+    SELECT ex.doc_id, ex.exact_keep, g.gopher_pass, sem.semantic_keep,
+           (ex.exact_keep AND g.gopher_pass AND sem.semantic_keep) AS keep
+    FROM ex JOIN g USING (doc_id) JOIN sem USING (doc_id)
+    """
+
+
+@register("corpus_curation_report", _CURATION_SQL)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation verdict, one row per document: exact-dup
+    keep (lowest id per md5 fingerprint), Gopher quality pass,
+    semantic-dedup keep (SemDedup over the doc's embedding —
+    embeddings.vec_id is documents.doc_id in this corpus), and the
+    conjunction a shard writer would filter on.  Composes three
+    already-value-checked operator families in ONE value-checked
+    query — the oracle nests their exact SQL twins.
+
+    Plan shape: fingerprints + gopher features come from one corpus
+    scan (map-side exprs); the only data-sized shuffles are the
+    digest groupBy/join pair and the final doc_id join against the
+    embedding-derived keep flags."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    g = text.gopher_quality(docs).select("doc_id", "gopher_pass")
+    fp = dedup.materialize_for_self_join(
+        docs.select("doc_id", F.md5("text").alias("__fp"))
+    )
+    win = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keeper"))
+    ex = fp.join(win, on="__fp").select(
+        "doc_id", (F.col("doc_id") == F.col("__keeper")).alias("exact_keep")
+    )
+    sem = similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).select(
+        F.col("vec_id").alias("doc_id"), F.col("keep").alias("semantic_keep")
+    )
+    return (
+        ex.join(g, on="doc_id")
+        .join(sem, on="doc_id")
+        .select(
+            "doc_id", "exact_keep", "gopher_pass", "semantic_keep",
+            (
+                F.col("exact_keep") & F.col("gopher_pass") & F.col("semantic_keep")
+            ).alias("keep"),
+        )
+    )
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -2997,13 +3097,17 @@ _TAIL_ROTATION = [
     # (dedup_exact / text_quality / text_langid rotated out mid-r5 to
     # make head room for dedup_semantic, text_bm25_topk and ts_ewma;
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
-    # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly)
+    # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly;
+    # emb_neardup_blocked / emb_neardup_lsh for dedup_minhash_error
+    # and corpus_curation_report)
     "dedup_exact",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "emb_cosine_topk",
+    "emb_neardup_blocked",
+    "emb_neardup_lsh",
     "doc_stats_by_lang",
     "influx_roundtrip",
     "ts_range_read",

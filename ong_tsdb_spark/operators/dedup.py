@@ -722,3 +722,118 @@ def passage_dup_stats(
             F.col("n_dup_passages").cast("double") / F.col("n_passages").cast("double"),
         )
     )
+
+
+def minhash_error_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash-LSH dedup path: for
+    every LSH candidate pair, the MinHash Jaccard ESTIMATE (fraction
+    of agreeing minhashes — what the sketch promises) next to the
+    EXACT shingle-set Jaccard, and the absolute estimation error —
+    the number a pipeline operator reads before trusting the sketch
+    threshold at scale (E[err] ~ 1/sqrt(num_hashes)).
+
+    Returns (d1, d2, est_jaccard, exact_jaccard, abs_err) — every
+    column deterministic (integer counts, single double divisions),
+    so even the error report has an exact oracle twin, like
+    emb_ann_recall does for the ANN path.
+
+    Plan shape: ONE materialized shingle table feeds the wide
+    signature aggregate (16 min columns, map-side partial), the band
+    self-join (candidate generation) and the inverted-index
+    intersection counts; candidate pairs are few by construction, so
+    the two signature lookups broadcast."""
+    sh = materialize_for_self_join(shingle_table_with_size(df, text_col, id_col, n))
+    n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
+    with_digests = sh.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        *[
+            F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    mins = [F.min("n_sh").alias("n_sh")]
+    for i in range(num_hashes):
+        s, j = divmod(i, HASHES_PER_DIGEST)
+        mins.append(F.min(F.substring(F.col(f"_d{s}"), j * 8 + 1, 8)).alias(f"h{i}"))
+    sigs = materialize_for_self_join(with_digests.groupBy(id_col).agg(*mins))
+
+    n_bands = num_hashes // band_size
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * band_size + k}") for k in range(band_size)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(bb, on=["band", "sig"])
+        .filter(F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}"))
+        .select(
+            F.col(f"ba.{id_col}").alias("d1"), F.col(f"bb.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+
+    # attach both sides' signatures by BROADCASTING THE CANDIDATES
+    # (few by construction) and probing the corpus-sized signature
+    # table — never the other way around; n_sh rides in the signature
+    # row, so no separate sizes table or join exists
+    s1 = sigs.select(
+        F.col(id_col).alias("d1"),
+        F.col("n_sh").alias("n1"),
+        *[F.col(f"h{i}").alias(f"x{i}") for i in range(num_hashes)],
+    )
+    s2 = sigs.select(
+        F.col(id_col).alias("d2"),
+        F.col("n_sh").alias("n2"),
+        *[F.col(f"h{i}").alias(f"y{i}") for i in range(num_hashes)],
+    )
+    left = s1.join(F.broadcast(cand), on="d1")
+    both = s2.join(F.broadcast(left), on="d2")
+
+    matches = None
+    for i in range(num_hashes):
+        t = (F.col(f"x{i}") == F.col(f"y{i}")).cast("int")
+        matches = t if matches is None else matches + t
+    est = matches.cast("bigint").cast("double") / F.lit(float(num_hashes))
+    exact = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("n1") + F.col("n2") - F.coalesce(F.col("i"), F.lit(0))
+    ).cast("double")
+    return (
+        both.join(inter.select("d1", "d2", "i"), on=["d1", "d2"], how="left")
+        .select(
+            "d1", "d2",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+    )

@@ -1541,3 +1541,67 @@ def test_mad_rule_flags_planted_outlier(spark):
     )
     flagged = {(r["event_type"], r["value"]) for r in out.collect()}
     assert flagged == {("s1", 50.0), ("s2", 5.1)}
+
+
+def test_minhash_error_stats_planted(spark):
+    """Identical docs must be candidates with est = exact = 1.0 and
+    zero error; every candidate's exact_jaccard must agree with the
+    uncapped inverted-index Jaccard scorer."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "alpha beta gamma delta other words here"),
+        (4, "completely different tokens in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["d1"], r["d2"]): r
+        for r in dedup.minhash_error_stats(df).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["est_jaccard"] == 1.0 and r["exact_jaccard"] == 1.0
+    assert r["abs_err"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert r["abs_err"] == abs(r["est_jaccard"] - r["exact_jaccard"])
+
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    for (d1, d2), r in out.items():
+        assert r["exact_jaccard"] == exact.get((d1, d2), 0.0)
+
+
+def test_curation_report_components_agree(spark, sf_dir):
+    """Each curation-report column must equal its generating operator
+    family computed independently."""
+    from ong_tsdb_spark import entry_queries as eq
+
+    rep = {
+        r["doc_id"]: r
+        for r in eq.queries()["corpus_curation_report"](spark, sf_dir).collect()
+    }
+    docs = eq.load(spark, sf_dir, "documents")
+    emb = eq.load(spark, sf_dir, "embeddings")
+
+    keepers = {
+        r["keeper_id"] for r in dedup.exact_duplicates(docs).collect()
+    }
+    gopher = {
+        r["doc_id"]: r["gopher_pass"] for r in text.gopher_quality(docs).collect()
+    }
+    sem = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).collect()
+    }
+    assert set(rep) == set(gopher)
+    for d, r in rep.items():
+        assert r["exact_keep"] == (d in keepers)
+        assert r["gopher_pass"] == gopher[d]
+        assert r["semantic_keep"] == sem[d]
+        assert r["keep"] == (r["exact_keep"] and r["gopher_pass"] and r["semantic_keep"])

@@ -357,3 +357,27 @@ def test_mad_anomaly_broadcast_medians(spark, sf_dir):
     plan = _executed_plan(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_minhash_error_candidates_broadcast(spark, sf_dir):
+    """The sketch-error evaluation must probe the corpus-sized
+    signature table with the SMALL candidate set broadcast — never
+    broadcast a corpus-sized side — and reuse the materialized shingle
+    and signature tables."""
+    df = entry_queries.queries()["dedup_minhash_error"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan  # materialized shingles/signatures
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cand pushed to both sides
+
+
+def test_curation_report_composition_shape(spark, sf_dir):
+    """The capstone report: fingerprint table materialized once (the
+    groupBy + join pair would otherwise scan the corpus twice), the
+    SemDedup tier present as the single cluster-keyed Arrow stage, no
+    cartesian anywhere."""
+    df = entry_queries.queries()["corpus_curation_report"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
