@@ -195,6 +195,43 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_features(t: Column) -> dict[str, Column]:
+    """The Gopher rule features as named column expressions — shared
+    by the batch report (:func:`gopher_quality`) and the streaming
+    quality gate (:func:`gopher_pass_expr`), so the two paths cannot
+    drift."""
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_char = F.length(t)
+    mean_len = (n_char - n_tok + F.lit(1)).cast("double") / n_tok.cast("double")
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = alpha.cast("double") / n_tok.cast("double")
+    n_hash = n_char - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (n_char - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_tok.cast("double")
+    stop_hits = stopword_hits(t, GOPHER_STOPWORDS).cast("bigint")
+    return {
+        "n_words": n_tok,
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_pass_expr(t: Column) -> Column:
+    """The combined Gopher pass/fail verdict as one boolean column —
+    usable as a streaming-safe stateless filter."""
+    f = _gopher_features(t)
+    return (
+        f["n_words"].between(50, 100_000)
+        & f["mean_word_len"].between(3.0, 10.0)
+        & (f["symbol_ratio"] < 0.1)
+        & (f["alpha_frac"] > 0.8)
+        & (f["stop_hits"] >= 2)
+    )
+
+
 def gopher_quality(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -209,16 +246,12 @@ def gopher_quality(
     non-overlapping semantics in both engines.
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = F.size(toks).cast("bigint")
-    n_char = F.length(t)
-    mean_len = (n_char - n_tok + F.lit(1)).cast("double") / n_tok.cast("double")
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = alpha.cast("double") / n_tok.cast("double")
-    n_hash = n_char - F.length(F.regexp_replace(t, "#", ""))
-    n_ellipsis = (n_char - F.length(F.replace(t, F.lit("..."), F.lit("")))) / F.lit(3)
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_tok.cast("double")
-    stop_hits = stopword_hits(t, GOPHER_STOPWORDS).cast("bigint")
+    f = _gopher_features(t)
+    n_tok = f["n_words"]
+    mean_len = f["mean_word_len"]
+    alpha_frac = f["alpha_frac"]
+    symbol_ratio = f["symbol_ratio"]
+    stop_hits = f["stop_hits"]
     return df.select(
         F.col(id_col),
         n_tok.alias("n_words"),

@@ -77,3 +77,46 @@ def test_packed_shards_layout(spark, sf_dir, tmp_path):
     # to the next shard's read path)
     tok = back.groupBy(SHARD_COL).agg(F.sum("n_tok").alias("t")).collect()
     assert len(tok) == n_shards
+
+
+def test_streaming_corpus_ingest(spark, tmp_path):
+    """End-to-end incremental ingest over a JSONL drop directory: the
+    Gopher gate rejects the junk doc, PII is scrubbed, and a second
+    shard re-delivering the same (pre-scrub) content is deduped by
+    the ledger while a genuinely new doc lands."""
+    import json as _json
+
+    from ong_tsdb_spark.streaming.corpus import start_corpus_ingest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    good_words = ("the be to of and that have with " * 10).split()
+    good = " ".join(good_words)
+    with_email = good + " contact bob@example.com here"
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+        )
+
+    (src / "shard1.jsonl").write_text(
+        doc(1, with_email) + "\n" + doc(2, "x y z") + "\n"
+    )
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_corpus_ingest(spark, str(src), ledger, out, ckpt)
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}  # junk doc gated out
+    assert "<EMAIL>" in got[1] and "bob@example.com" not in got[1]
+
+    # second drop: same content under a new id (dup) + a new doc
+    (src / "shard2.jsonl").write_text(
+        doc(10, with_email) + "\n" + doc(11, good + " fresh tail words") + "\n"
+    )
+    q2 = start_corpus_ingest(spark, str(src), ledger, out, ckpt)
+    q2.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 11}  # dup content dropped, new doc landed
