@@ -790,7 +790,17 @@ def minhash_error_stats(
         .distinct()
     )
 
-    a, b = sh.alias("a"), sh.alias("b")
+    # the exact intersection is only needed for CANDIDATE docs — a
+    # broadcast semi-join on the (small) candidate id set cuts the
+    # inverted-index self-join from corpus x corpus to cand x cand
+    cand = materialize_for_self_join(cand)
+    cand_ids = (
+        cand.select(F.col("d1").alias(id_col))
+        .union(cand.select(F.col("d2").alias(id_col)))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_ids), on=id_col)
+    a, b = sh_c.alias("a"), sh_c.alias("b")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

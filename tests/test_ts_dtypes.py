@@ -46,6 +46,8 @@ QUERIES = [
     "ts_pivot_daily",
     "ts_zscore_anomaly",
     "ts_cumulative_sum",
+    "ts_ewma",
+    "ts_mad_anomaly",
 ]
 
 
