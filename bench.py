@@ -72,6 +72,7 @@ HEADLINE = [
     "ts_mad_anomaly",
     "dedup_minhash_error",
     "corpus_curation_report",
+    "text_fertility",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

@@ -3067,6 +3067,32 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE.replace("'", "''")}')) AS BIGINT) AS bpe,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE-proxy tokens per
+    whitespace word) — the diagnostic that flags languages the
+    tokenizer fragments and feeds per-language token budgets next to
+    corpus_mix_weights (operators/text.fertility_by_lang).  Integer
+    sums, one division per group, map-side counting into a |langs|-row
+    aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return text.fertility_by_lang(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3099,8 +3125,9 @@ _TAIL_ROTATION = [
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
     # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly;
     # emb_neardup_blocked / emb_neardup_lsh for dedup_minhash_error
-    # and corpus_curation_report)
+    # and corpus_curation_report; emb_ann_lsh for text_fertility)
     "dedup_exact",
+    "emb_ann_lsh",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",

@@ -727,3 +727,32 @@ def mixture_plan(
             F.expr("(target_ppm * n_star) div t_star").cast("bigint").alias("n_keep"),
         )
     )
+
+
+def fertility_by_lang(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-proxy tokens emitted per
+    whitespace word — the diagnostic that tells a pipeline which
+    languages a tokenizer fragments (fertility ~1 for English-like
+    text, rising for scripts the vocab under-serves) and feeds
+    per-language token-budget planning next to the mixture weights.
+
+    Exact integer sums (order-free) with one final double division per
+    group — bit-identical cross-engine.  Pure map-side counting into a
+    per-language aggregate: the shuffle carries |langs| rows per
+    mapper."""
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.col(lang_col).alias("lang"),
+        bpe_token_count(t).cast("long").alias("__bpe"),
+        token_count(t).cast("long").alias("__words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("__words").cast("bigint").alias("n_words"),
+        (F.sum("__bpe").cast("double") / F.sum("__words").cast("double")).alias(
+            "fertility"
+        ),
+    )

@@ -1605,3 +1605,20 @@ def test_curation_report_components_agree(spark, sf_dir):
         assert r["gopher_pass"] == gopher[d]
         assert r["semantic_keep"] == sem[d]
         assert r["keep"] == (r["exact_keep"] and r["gopher_pass"] and r["semantic_keep"])
+
+
+def test_fertility_by_lang_fixture(spark):
+    """Fertility on a hand fixture: punctuation-heavy text emits more
+    BPE-proxy tokens per word than plain words."""
+    rows = [
+        (1, "plain simple words here", "en"),
+        (2, "plain simple words here", "en"),
+        (3, "co-ordinate: punct-heavy!! (tokens)", "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in text.fertility_by_lang(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["xx"]["n_docs"] == 1
+    assert out["en"]["n_words"] == 8
+    # 4 words -> 4 BPE tokens per doc in plain text
+    assert out["en"]["fertility"] == out["en"]["n_bpe_tokens"] / out["en"]["n_words"]
+    assert out["xx"]["fertility"] > out["en"]["fertility"]
