@@ -114,6 +114,7 @@ SCALE_FAMILIES = [
     "ts_mad_anomaly",
     "dedup_minhash_error",
     "corpus_curation_report",
+    "text_fertility",
 ]
 
 

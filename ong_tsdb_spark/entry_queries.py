@@ -2749,9 +2749,16 @@ def _bm25_sql(terms: list[str] = _BM25_TERMS, topk: int = 10) -> str:
         f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
         for i in range(len(terms))
     )
+    # tf{i} is BIGINT and DuckDB types a bare decimal literal as
+    # DECIMAL, so `tf * 2.2` would be evaluated EXACTLY and diverge
+    # from Spark's all-double tree in the last ulp (e.g. tf=3:
+    # 6.5999999999999996 vs 6.6000000000000005) — cast the literal so
+    # the multiply is the same correctly-rounded double op.  Every
+    # other literal sits in an already-DOUBLE context.
     parts = " + ".join(
         f"(((n_docs - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * ((tf{i} * {k1p1}) / (tf{i} + {k1} * ({omb} + {b} * (dl / avgdl)))))"
+        f" * ((tf{i} * CAST({k1p1} AS DOUBLE))"
+        f" / (tf{i} + {k1} * ({omb} + {b} * (dl / avgdl)))))"
         for i in range(len(terms))
     )
     anymatch = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
@@ -2899,10 +2906,13 @@ def _mix_weights_sql() -> str:
       FROM documents GROUP BY source),
     tgt(source, target_ppm) AS (VALUES {vals}),
     j AS (
-      SELECT c.source, c.n_docs, CAST(t.target_ppm AS BIGINT) AS target_ppm
-      FROM counts c JOIN tgt t USING (source)),
+      SELECT COALESCE(c.source, t.source) AS source,
+             CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+             CAST(COALESCE(t.target_ppm, 0) AS BIGINT) AS target_ppm
+      FROM counts c FULL JOIN tgt t ON c.source = t.source),
     star AS (
       SELECT n_docs AS n_star, target_ppm AS t_star FROM j
+      WHERE target_ppm > 0
       ORDER BY CAST(n_docs AS DOUBLE) / target_ppm, source LIMIT 1)
     SELECT source, n_docs, target_ppm,
            CAST((target_ppm * n_star) // t_star AS BIGINT) AS n_keep
@@ -2954,8 +2964,13 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = base.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )
-    d = base.join(F.broadcast(med), on="event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    # d feeds BOTH the MAD aggregate and the final filter; without
+    # materialization the events scan + median join run twice (three
+    # scans total with med's own) — store the adev frame once
+    d = dedup.materialize_for_self_join(
+        base.join(F.broadcast(med), on="event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
     )
     mad = d.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
@@ -3046,11 +3061,13 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     g = text.gopher_quality(docs).select("doc_id", "gopher_pass")
     fp = dedup.materialize_for_self_join(
-        docs.select("doc_id", F.md5("text").alias("__fp"))
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
     )
-    win = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keeper"))
-    ex = fp.join(win, on="__fp").select(
-        "doc_id", (F.col("doc_id") == F.col("__keeper")).alias("exact_keep")
+    # the keeper decision IS dedup.keeper_groups — the shared policy,
+    # applied to the materialized fingerprint table (one corpus scan)
+    win = dedup.keeper_groups(fp)
+    ex = fp.join(win.select("fingerprint", "keeper_id"), on="fingerprint").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper_id")).alias("exact_keep")
     )
     sem = similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).select(
         F.col("vec_id").alias("doc_id"), F.col("keep").alias("semantic_keep")

@@ -32,15 +32,24 @@ from pyspark.sql import functions as F
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
+def keeper_groups(fp_df: DataFrame, id_col: str = "doc_id", fp_col: str = "fingerprint") -> DataFrame:
+    """THE canonical exact-dup keep policy over a pre-fingerprinted
+    table: lowest id per digest wins.  Shared by
+    :func:`exact_duplicates` and the curation report so the policy
+    cannot fork."""
+    return fp_df.groupBy(fp_col).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Group by content digest; keep the min id as the canonical doc.
-    Returns (fingerprint, keeper_id, n_copies) per distinct content."""
-    return (
-        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
-        .groupBy("fingerprint")
-        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    """Group by content digest; keep the min id as the canonical doc
+    (:func:`keeper_groups`).  Returns (fingerprint, keeper_id,
+    n_copies) per distinct content."""
+    return keeper_groups(
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col)), id_col
     )
 
 
@@ -360,37 +369,42 @@ def minhash_signatures(
     return exploded.groupBy(id_col, "seed").agg(F.min("h").alias("h"))
 
 
-def band_signatures(
-    df: DataFrame,
-    text_col: str = "text",
+def wide_minhash_table(
+    sh: DataFrame,
     id_col: str = "doc_id",
-    n: int = 3,
     num_hashes: int = 16,
-    band_size: int = 2,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band, sig) LSH band signatures in ONE shuffle: the 16
-    minhashes are 16 ``min`` aggregate columns over the shingle table
-    (digests computed once per shingle pre-agg, map-side partial min),
-    and band keys are plain column concats — no per-hash row
-    explosion, no collect_list second shuffle."""
-    sh = shingle_table(df, text_col, id_col, n)
+    """The wide signature table (id, [carries], h0..h{n-1}) from a
+    shingle table — one md5 per digest-seed per shingle (each digest
+    yields 4 hashes), map-side partial min, ONE shuffle.  Shared by
+    the band generator and the sketch-error evaluator so the hash
+    family cannot desynchronize between them.  ``carry_cols`` are
+    per-doc constants (e.g. n_sh) ridden through the aggregate."""
     n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
     with_digests = sh.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         *[
             F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
             for s in range(n_seeds)
         ],
     )
-    mins = []
+    mins = [F.min(c).alias(c) for c in carry_cols]
     for i in range(num_hashes):
         s, j = divmod(i, HASHES_PER_DIGEST)
         mins.append(
             F.min(F.substring(F.col(f"_d{s}"), j * 8 + 1, 8)).alias(f"h{i}")
         )
-    sigs = with_digests.groupBy(id_col).agg(*mins)
+    return with_digests.groupBy(id_col).agg(*mins)
+
+
+def band_structs_expr(num_hashes: int, band_size: int) -> Column:
+    """The LSH band keys as an array of (band, sig) structs over the
+    wide signature columns — plain column concats, no per-hash row
+    explosion."""
     n_bands = num_hashes // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -401,6 +415,24 @@ def band_signatures(
             for b in range(n_bands)
         ]
     )
+
+
+def band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band, sig) LSH band signatures in ONE shuffle: the 16
+    minhashes are 16 ``min`` aggregate columns over the shingle table
+    (:func:`wide_minhash_table`), and band keys are plain column
+    concats (:func:`band_structs_expr`) — no per-hash row explosion,
+    no collect_list second shuffle."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sigs = wide_minhash_table(sh, id_col, num_hashes)
+    bands = band_structs_expr(num_hashes, band_size)
     return sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
@@ -750,34 +782,12 @@ def minhash_error_stats(
     intersection counts; candidate pairs are few by construction, so
     the two signature lookups broadcast."""
     sh = materialize_for_self_join(shingle_table_with_size(df, text_col, id_col, n))
-    n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
-    with_digests = sh.select(
-        F.col(id_col),
-        F.col("n_sh"),
-        *[
-            F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
-            for s in range(n_seeds)
-        ],
+    sigs = materialize_for_self_join(
+        wide_minhash_table(sh, id_col, num_hashes, carry_cols=("n_sh",))
     )
-    mins = [F.min("n_sh").alias("n_sh")]
-    for i in range(num_hashes):
-        s, j = divmod(i, HASHES_PER_DIGEST)
-        mins.append(F.min(F.substring(F.col(f"_d{s}"), j * 8 + 1, 8)).alias(f"h{i}"))
-    sigs = materialize_for_self_join(with_digests.groupBy(id_col).agg(*mins))
-
-    n_bands = num_hashes // band_size
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(
-                    *[F.col(f"h{b * band_size + k}") for k in range(band_size)]
-                ).alias("sig"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sigs.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
+    bands = sigs.select(
+        F.col(id_col), F.explode(band_structs_expr(num_hashes, band_size)).alias("bk")
+    ).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
     ba, bb = bands.alias("ba"), bands.alias("bb")

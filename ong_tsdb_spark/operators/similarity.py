@@ -44,7 +44,10 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+    # try_divide: a zero-norm vector yields NULL (like the SQL oracle's
+    # 0/0) instead of an ANSI DIVIDE_BY_ZERO error — identical to plain
+    # division on every nonzero-norm input
+    return F.try_divide(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim))
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -701,6 +704,12 @@ def semantic_dedup(
 
     if not use_blas:
         a, b = assigned.alias("a"), assigned.alias("b")
+        cos = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        # NaN guard: a zero-norm vector gives cosine 0/0 = NaN, and
+        # Spark orders NaN ABOVE every number, so a bare `>=` would
+        # call the pair similar — numpy (NaN >= t is False) and the
+        # SQL oracle (0/0 -> NULL, filtered) both say NOT similar;
+        # make the reference path agree
         dup = (
             a.join(
                 b,
@@ -708,11 +717,10 @@ def semantic_dedup(
                 & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
             )
             .filter(
-                F.round(
-                    cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-                    round_digits,
+                F.coalesce(
+                    F.when(~F.isnan(cos), F.round(cos, round_digits) >= threshold),
+                    F.lit(False),
                 )
-                >= threshold
             )
             .select(F.col(f"a.{id_col}").alias(id_col))
             .distinct()

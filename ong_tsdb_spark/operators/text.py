@@ -632,13 +632,21 @@ def bm25_scores(
         # lambda and bind t to the INDEX — a real closure is required
         return lambda x: x == F.lit(term)
 
-    feat = df.select(
-        F.col(id_col),
-        F.size(toks).cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter(toks, _is(t))).cast("bigint").alias(f"tf{i}")
-            for i, t in enumerate(terms)
-        ],
+    from .dedup import materialize_for_self_join
+
+    # feat feeds BOTH the scalar stats aggregate and the scored
+    # projection; Catalyst gives the two consumers no ReusedExchange,
+    # which would tokenize and scan the corpus twice — materialize the
+    # small (id, dl, tf*) table once instead
+    feat = materialize_for_self_join(
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("dl"),
+            *[
+                F.size(F.filter(toks, _is(t))).cast("bigint").alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
     stats = feat.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -704,13 +712,25 @@ def mixture_plan(
         sorted(rates.items()), "source string, target_ppm long"
     ).withColumnRenamed("source", source_col)
     counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    # FULL outer: an inner join would silently drop a target source
+    # with zero corpus documents (the true binding constraint — the
+    # only exact-mixture downsample is then the empty corpus) and a
+    # corpus source absent from the recipe (target share 0 -> keep 0).
     # j feeds both the output and the binding-row subquery; Catalyst
     # produces no ReusedExchange for the two consumers, which would
     # mean TWO full corpus scans — materialize the |sources|-row table
     # once instead
-    j = materialize_for_self_join(counts.join(F.broadcast(tgt), on=source_col))
+    j = materialize_for_self_join(
+        counts.join(F.broadcast(tgt), on=source_col, how="full")
+        .select(
+            F.col(source_col),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("target_ppm"), F.lit(0)).cast("bigint").alias("target_ppm"),
+        )
+    )
     star = (
-        j.orderBy(
+        j.filter(F.col("target_ppm") > 0)  # zero-share rows never bind
+        .orderBy(
             (F.col("n_docs").cast("double") / F.col("target_ppm")), F.col(source_col)
         )
         .limit(1)

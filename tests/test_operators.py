@@ -1622,3 +1622,32 @@ def test_fertility_by_lang_fixture(spark):
     # 4 words -> 4 BPE tokens per doc in plain text
     assert out["en"]["fertility"] == out["en"]["n_bpe_tokens"] / out["en"]["n_words"]
     assert out["xx"]["fertility"] > out["en"]["fertility"]
+
+
+def test_semantic_dedup_zero_vector_parity(spark):
+    """A zero-norm vector gives cosine NaN; both execution paths must
+    agree it is NOT similar to anything (Spark's native NaN ordering
+    would silently call it a duplicate in a bare >= filter)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (2, [0.0, 0.0, 0.0, 0.0]),  # another zero vector
+        (3, [0.99, 0.01, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    blas = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(df, k=2, iters=1, threshold=0.9).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup(
+            df, k=2, iters=1, threshold=0.9, use_blas=False
+        ).collect()
+    )
+    assert blas == ref
+    keeps = {vid: keep for vid, _, keep in blas}
+    # zero vectors are never "similar" to anything — all kept
+    assert keeps[1] and keeps[2]
+    # the genuine near-dup still loses
+    assert not keeps[3]

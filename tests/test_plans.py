@@ -350,13 +350,15 @@ def test_mix_weights_single_count_shuffle(spark, sf_dir):
 
 
 def test_mad_anomaly_broadcast_medians(spark, sf_dir):
-    """Both per-series median tables must join back as broadcasts —
-    never a sort-merge join shuffling the event rows on the series
-    key."""
+    """The adev frame (events + broadcast median) is materialized once
+    (it feeds both the MAD aggregate and the final filter — without
+    that the events scan runs three times), and the MAD table joins
+    back as a broadcast — never a sort-merge join on the series key."""
     df = entry_queries.queries()["ts_mad_anomaly"](spark, sf_dir)
     plan = _executed_plan(df)
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan  # materialized adev frame
+    assert "BroadcastHashJoin" in plan  # the MAD join
 
 
 def test_minhash_error_candidates_broadcast(spark, sf_dir):
