@@ -116,16 +116,29 @@ class OngTsdbClient:
         connection-refused taxonomy maps to filesystem reality:
         a path that exists but is not a directory can NEVER become a
         database -> :class:`WrongAddressError`; a location that cannot
-        be created or listed (permissions, missing mount) ->
-        :class:`ServerDownError`.  Safe to call repeatedly, like the
-        reference's."""
+        be listed, or whose PARENT does not exist (mistyped path,
+        absent mount) -> :class:`ServerDownError`.  The probe inspects
+        the path WITHOUT constructing the engine — constructing it
+        would mkdir the storage root and make every bad address look
+        healthy by fabricating an empty directory.  A nonexistent base
+        whose parent exists is fine (local create-on-first-use
+        semantics).  Safe to call repeatedly, like the reference's."""
         import os
 
-        base = self._engine.catalog.base_dir
-        try:
-            os.listdir(base)
-        except OSError as e:
-            raise ServerDownError(f"storage unreachable: {base}: {e}") from e
+        base = self._base_dir
+        if os.path.exists(base):
+            if not os.path.isdir(base):
+                raise WrongAddressError(f"not a directory: {base}")
+            try:
+                os.listdir(base)
+            except OSError as e:
+                raise ServerDownError(f"storage unreachable: {base}: {e}") from e
+        else:
+            parent = os.path.dirname(os.path.abspath(base)) or "/"
+            if not os.path.isdir(parent):
+                raise ServerDownError(
+                    f"storage unreachable (missing mount or mistyped path): {base}"
+                )
 
     # -- db lifecycle ---------------------------------------------------
     def exist_db(self, database: str) -> bool:

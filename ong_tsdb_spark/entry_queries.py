@@ -2529,7 +2529,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, doc_id, n_chars,
              row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
              count(*) OVER (PARTITION BY lang) AS n
-      FROM documents),
+      FROM documents WHERE n_chars IS NOT NULL),
     bands AS (
       SELECT lang, CAST(min(n_chars) AS BIGINT) AS p_lo,
              CAST(max(n_chars) AS BIGINT) AS p_hi,

@@ -70,10 +70,19 @@ def exact_duplicates_keep_best(
     Scale shape: one shuffle on the 16-byte digest; the keep decision
     is a MIN aggregate over (-score, id) structs — partial-combine
     friendly, no window over the corpus, and integer tie-breaking means
-    any engine picks the identical representative."""
+    any engine picks the identical representative.
+
+    NULL scores LOSE to any scored copy (coalesced to +inf in the
+    neg-score slot): a bare struct-min would sort the null field FIRST
+    and crown the null-score copy, diverging from the oracle's
+    ``ORDER BY score DESC`` (nulls last) — an all-null group still
+    falls back to the lowest id."""
     best = F.min(
         F.struct(
-            (-F.col(score_col)).alias("neg_score"), F.col(id_col).alias("id")
+            F.coalesce(
+                (-F.col(score_col)).cast("long"), F.lit((1 << 63) - 1).cast("long")
+            ).alias("neg_score"),
+            F.col(id_col).alias("id"),
         )
     )
     return (
@@ -87,7 +96,13 @@ def exact_duplicates_keep_best(
         .select(
             "fingerprint",
             F.col("__b.id").alias("keeper_id"),
-            (-F.col("__b.neg_score")).cast("bigint").alias("keeper_score"),
+            # the +inf sentinel means the whole group was null-scored
+            F.when(
+                F.col("__b.neg_score") == F.lit((1 << 63) - 1).cast("long"),
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise((-F.col("__b.neg_score")).cast("bigint"))
+            .alias("keeper_score"),
             F.col("n_copies").cast("bigint").alias("n_copies"),
         )
     )

@@ -276,11 +276,20 @@ def _assign_exact_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame
                 out["__c"] = pd.Series([], dtype="int32")
                 yield out
                 continue
-            V = np.array([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            # ||v - c||^2 ranks identically to ||c||^2 - 2<v,c> (the
-            # ||v||^2 term is constant per row) — all int64, exact
-            D = cnorm[None, :] - 2 * (V @ C.T)
-            out["__c"] = np.argmin(D, axis=1).astype("int32")
+            # NULL vectors get a null assignment (the Catalyst fold
+            # path yields null distances -> null idx for them; a bare
+            # np.asarray(None) would crash the whole job instead)
+            mask = np.array([v is not None for v in pdf["qv"]])
+            assign = pd.array([pd.NA] * len(pdf), dtype="Int32")
+            if mask.any():
+                V = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"][mask]]
+                )
+                # ||v - c||^2 ranks identically to ||c||^2 - 2<v,c>
+                # (the ||v||^2 term is constant per row) — int64, exact
+                D = cnorm[None, :] - 2 * (V @ C.T)
+                assign[mask] = np.argmin(D, axis=1).astype("int32")
+            out["__c"] = assign
             yield out
 
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -323,9 +332,19 @@ def train_ivf_centroids_exact(
     posexplode — the explode would shuffle dim rows per VECTOR
     (corpus x dim), the wide agg partially combines map-side and
     shuffles only k x (dim + 1) cells per mapper."""
-    qdf = df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
+    # NULL vectors cannot seed or update a centroid — drop them from
+    # training entirely (assignment still gives them a NULL cluster)
+    qdf = df.select(
+        F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv")
+    ).filter(F.col("qv").isNotNull())
     init = qdf.orderBy(F.col(id_col)).limit(k).collect()
     centroids = [[int(v) for v in r["qv"]] for r in init]
+    # fewer vectors than k: train with what exists (an empty input
+    # returns [] — previously the update loop indexed centroids[j]
+    # past the collected count and died with a bare IndexError)
+    k = len(centroids)
+    if k == 0:
+        return []
     dim = len(centroids[0]) if centroids else 0
     qdf = qdf.persist()
     try:
@@ -347,6 +366,7 @@ def train_ivf_centroids_exact(
             new = {
                 int(r["__c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
                 for r in sums
+                if r["__c"] is not None  # null-vector rows train nothing
             }
             centroids = [new.get(j, centroids[j]) for j in range(k)]
     finally:
@@ -370,9 +390,15 @@ def ivf_assign_exact(
             .withColumnRenamed("__c", "ivf_cluster")
             .drop("qv")
         )
+    # null guard keeps the two paths identical: a NULL vector gets a
+    # NULL cluster on both (struct-min over null distances would
+    # otherwise pick an arbitrary index here)
     return df.withColumn(
         "ivf_cluster",
-        _nearest_centroid_l2(ivf_quantize_expr(F.col(vec_col)), centroids),
+        F.when(
+            F.col(vec_col).isNotNull(),
+            _nearest_centroid_l2(ivf_quantize_expr(F.col(vec_col)), centroids),
+        ),
     )
 
 

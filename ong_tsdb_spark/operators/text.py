@@ -318,10 +318,19 @@ def length_band_stats(
     task: fine for language-sized cardinality (~100s of groups); for
     higher-cardinality grouping route through the chunked prefix
     machinery instead (operators/prefix.py)."""
+    # NULL lengths are EXCLUDED from the order statistics entirely
+    # (ranks, counts, and the in-band tally): Spark's default ASC puts
+    # NULLs first while SQL puts them last, so any rank that could
+    # land on a NULL row is a cross-engine trap — and a NULL length is
+    # not a length
     w = Window.partitionBy(group_col).orderBy(F.col("__len"), F.col(id_col))
-    ranked = df.select(
-        F.col(group_col), F.col(id_col), F.col(len_col).cast("long").alias("__len")
-    ).withColumn("__rn", F.row_number().over(w))
+    ranked = (
+        df.select(
+            F.col(group_col), F.col(id_col), F.col(len_col).cast("long").alias("__len")
+        )
+        .filter(F.col("__len").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+    )
     counts = ranked.groupBy(group_col).agg(F.count("*").alias("__n"))
     bands = (
         ranked.join(F.broadcast(counts), on=group_col)

@@ -69,21 +69,41 @@ def dedup_batch_against_ledger(
     batch_df: DataFrame,
     ledger_path: str,
     text_col: str = "text",
+    exclude_batch: int | None = None,
 ) -> DataFrame:
     """One micro-batch of the ledger protocol: return only documents
-    whose digest is NOT in the ledger, first occurrence per digest
-    within the batch (smallest-row wins is irrelevant here — any one
-    representative is correct, and dropDuplicates picks one
-    deterministically per batch content since the digest decides).
+    whose digest is NOT in the ledger, with a CONTENT-DETERMINISTIC
+    representative per digest within the batch (min over the full row
+    struct — the same batch yields the same row under any
+    partitioning or rerun, matching the min-id policy the
+    value-checked ``dedup_ledger_backfill`` registry twin pins).
 
     Exposed separately so the logic is unit-testable without a
     streaming query and reusable for backfill jobs."""
     fp = content_fingerprint(batch_df, text_col)
     try:
-        ledger = spark.read.parquet(ledger_path).select(FINGERPRINT_COL)
-    except AnalysisException:
-        ledger = None  # first batch ever: no ledger yet
-    fresh = fp.dropDuplicates([FINGERPRINT_COL])
+        raw = spark.read.parquet(ledger_path)
+        if exclude_batch is not None and "batch" in raw.columns:
+            # a REPLAYED batch must not see its own (partially
+            # written) ledger partition, or the rerun anti-joins
+            # against itself, emits nothing, and overwrites its
+            # output directory with an empty result
+            raw = raw.filter(F.col("batch") != exclude_batch)
+        ledger = raw.select(FINGERPRINT_COL)
+    except AnalysisException as ex:
+        # ONLY path-not-found means "first batch ever" — a ledger that
+        # exists but cannot be read (partial write, corruption) must
+        # FAIL the batch, not silently disable dedup for it
+        msg = str(ex)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        ledger = None
+    data_cols = [c for c in fp.columns if c != FINGERPRINT_COL]
+    fresh = (
+        fp.groupBy(FINGERPRINT_COL)
+        .agg(F.min(F.struct(*[F.col(c) for c in data_cols])).alias("__row"))
+        .select(FINGERPRINT_COL, *[F.col(f"__row.{c}").alias(c) for c in data_cols])
+    )
     if ledger is not None:
         fresh = fresh.join(ledger, on=FINGERPRINT_COL, how="left_anti")
     return fresh
@@ -99,21 +119,32 @@ def start_ledger_dedup(
     trigger_available_now: bool = True,
 ):
     """Unbounded-horizon streaming dedup with the digest ledger in
-    Parquet.  Each micro-batch: anti-join against the ledger → append
-    surviving documents to ``out_path`` → append their digests to the
-    ledger.  Restart-safe: a replayed batch finds its digests already
-    in the ledger and emits nothing new (the ledger may accumulate
-    duplicate digest ROWS on replay — harmless for the anti-join;
-    run :func:`compact_ledger` periodically)."""
+    Parquet.  Each micro-batch: anti-join against the ledger → write
+    surviving documents under ``out_path/batch=N`` → write their
+    digests under ``ledger_path/batch=N``.
+
+    Restart-safe BECAUSE both writes are per-batch-directory
+    OVERWRITES, i.e. idempotent: foreachBatch is at-least-once, and a
+    replay of batch N (crash between the two writes, or after a
+    partial one) recomputes the same anti-join against the same prior
+    ledger batches and rewrites exactly its own two directories —
+    plain appends here would duplicate documents on every replay.
+    Readers see one partition column (``batch``) on both outputs;
+    :func:`compact_ledger` folds the ledger batches down."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = dedup_batch_against_ledger(spark, batch_df, ledger_path, text_col)
+        fresh = dedup_batch_against_ledger(
+            spark, batch_df, ledger_path, text_col, exclude_batch=batch_id
+        )
         # localCheckpoint: the anti-join must be evaluated BEFORE the
-        # ledger append below changes what it reads (lazy evaluation
-        # would otherwise let the output write observe the new ledger)
+        # ledger write below changes what a lazy plan would read
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.drop(FINGERPRINT_COL).write.mode("append").parquet(out_path)
-        fresh.select(FINGERPRINT_COL).write.mode("append").parquet(ledger_path)
+        fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
+        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
+            f"{ledger_path}/batch={batch_id}"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
@@ -124,9 +155,32 @@ def start_ledger_dedup(
 
 
 def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
-    """Rewrite the ledger with distinct digests (replayed batches can
-    leave duplicate rows).  Returns the distinct digest count."""
-    distinct = spark.read.parquet(ledger_path).distinct().localCheckpoint(eager=True)
+    """Fold the per-batch ledger partitions into one distinct-digest
+    partition (``batch=-1``).  Returns the distinct digest count.
+
+    Loss-proof against a CONCURRENTLY running stream: the batch
+    directories to remove are listed BEFORE the read, so a partition
+    written at any point during compaction is either included in the
+    compacted set (created before the read) or left untouched on disk
+    (created after the listing) — digests are never dropped.  (Local
+    filesystem paths; for object stores route the delete through
+    object_store.HadoopCatalog.)"""
+    import os
+    import shutil
+
+    old = [
+        d
+        for d in os.listdir(ledger_path)
+        if d.startswith("batch=") and d != "batch=-1"
+    ]
+    distinct = (
+        spark.read.parquet(ledger_path)
+        .select(FINGERPRINT_COL)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = distinct.count()
-    distinct.write.mode("overwrite").parquet(ledger_path)
+    distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch=-1")
+    for d in old:
+        shutil.rmtree(os.path.join(ledger_path, d), ignore_errors=True)
     return n

@@ -1651,3 +1651,115 @@ def test_semantic_dedup_zero_vector_parity(spark):
     assert keeps[1] and keeps[2]
     # the genuine near-dup still loses
     assert not keeps[3]
+
+
+def test_keep_best_null_score_loses(spark):
+    """A NULL-score copy must lose to any scored copy (a bare
+    struct-min sorts the null field first and would crown it); an
+    all-null group falls back to the lowest id with a NULL score —
+    both matching the oracle's ORDER BY score DESC (nulls last)."""
+    rows = [
+        (1, "same", 10),
+        (2, "same", None),
+        (3, "othr", None),
+        (4, "othr", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r["keeper_id"]: r["keeper_score"]
+        for r in dedup.exact_duplicates_keep_best(df).collect()
+    }
+    assert out == {1: 10, 3: None}
+
+
+def test_length_band_ignores_null_lengths(spark):
+    """NULL lengths are excluded from the order statistics — the band
+    over 1..10 plus a NULL row equals the band over 1..10 alone."""
+    rows = [("en", i, i) for i in range(1, 11)] + [("en", 99, None)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long")
+    out = text.length_band_stats(df).collect()[0]
+    clean = text.length_band_stats(
+        spark.createDataFrame(rows[:10], "lang string, doc_id long, n_chars long")
+    ).collect()[0]
+    assert (out["p_lo"], out["p_hi"], out["n_total"]) == (
+        clean["p_lo"], clean["p_hi"], clean["n_total"],
+    )
+
+
+def test_ivf_trainer_small_input_and_null_vectors(spark):
+    """k > n trains with the vectors that exist (no IndexError); a
+    NULL embedding gets a NULL cluster on BOTH assignment paths."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, None), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.train_ivf_centroids_exact(df, k=8, iters=2)
+    assert len(cents) == 3  # the NULL vector trains nothing
+    arrow = {
+        r["vec_id"]: r["ivf_cluster"]
+        for r in similarity.ivf_assign_exact(df, cents).collect()
+    }
+    catalyst = {
+        r["vec_id"]: r["ivf_cluster"]
+        for r in similarity.ivf_assign_exact(df, cents, use_arrow=False).collect()
+    }
+    assert arrow == catalyst
+    assert arrow[2] is None
+    assert similarity.train_ivf_centroids_exact(df.limit(0), k=8, iters=2) == []
+
+
+def test_ledger_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (foreachBatch is at-least-once) must
+    not duplicate documents: the per-batch directory overwrite plus
+    the self-excluding anti-join make a replay rewrite exactly its own
+    output, even when its own ledger partition was already written."""
+    from ong_tsdb_spark.streaming.dedup import (
+        FINGERPRINT_COL,
+        content_fingerprint,
+        dedup_batch_against_ledger,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+
+    def run_batch(bdf, bid):
+        fresh = dedup_batch_against_ledger(
+            spark, bdf, ledger, exclude_batch=bid
+        ).localCheckpoint(eager=True)
+        fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
+            f"{ledger}/batch={bid}"
+        )
+
+    run_batch(batch, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]  # doc 3 is an in-batch dup of doc 1
+    # simulate the crash-replay: ledger batch=0 already exists, the
+    # batch runs again
+    run_batch(batch, 0)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [1, 2]  # no duplicates, nothing lost
+    # a later batch with one seen and one new doc
+    batch2 = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc")], "doc_id long, text string"
+    )
+    run_batch(batch2, 1)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 11]
+
+
+def test_corrupt_ledger_fails_loudly(spark, tmp_path):
+    """A ledger directory that exists but is unreadable must FAIL the
+    batch — not silently disable dedup (only path-not-found means
+    'first batch ever')."""
+    import pytest as _pytest
+
+    from ong_tsdb_spark.streaming.dedup import dedup_batch_against_ledger
+
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    (ledger / "junk.parquet").write_text("this is not parquet")
+    batch = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    with _pytest.raises(Exception):
+        dedup_batch_against_ledger(spark, batch, str(ledger)).collect()
