@@ -72,16 +72,21 @@ def exact_duplicates_keep_best(
     friendly, no window over the corpus, and integer tie-breaking means
     any engine picks the identical representative.
 
-    NULL scores LOSE to any scored copy (coalesced to +inf in the
-    neg-score slot): a bare struct-min would sort the null field FIRST
-    and crown the null-score copy, diverging from the oracle's
-    ``ORDER BY score DESC`` (nulls last) — an all-null group still
-    falls back to the lowest id."""
+    NULL scores LOSE to any scored copy: the ordering struct leads
+    with a has-score bit (0 = scored, 1 = null), so a bare struct-min
+    can't crown a null-score copy (Spark sorts the null field FIRST,
+    diverging from the oracle's ``ORDER BY score DESC`` nulls-last);
+    an all-null group still falls back to the lowest id.  The
+    negation runs in DECIMAL(20,0) — wide enough that no long score
+    (including LONG_MIN) can overflow it, where ``-bigint`` would
+    wrap (or throw under ANSI) at the boundary."""
+    neg = (-F.col(score_col).cast("decimal(20,0)")).alias("neg_score")
     best = F.min(
         F.struct(
-            F.coalesce(
-                (-F.col(score_col)).cast("long"), F.lit((1 << 63) - 1).cast("long")
-            ).alias("neg_score"),
+            F.when(F.col(score_col).isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("score_missing"),
+            neg,
             F.col(id_col).alias("id"),
         )
     )
@@ -96,13 +101,7 @@ def exact_duplicates_keep_best(
         .select(
             "fingerprint",
             F.col("__b.id").alias("keeper_id"),
-            # the +inf sentinel means the whole group was null-scored
-            F.when(
-                F.col("__b.neg_score") == F.lit((1 << 63) - 1).cast("long"),
-                F.lit(None).cast("bigint"),
-            )
-            .otherwise((-F.col("__b.neg_score")).cast("bigint"))
-            .alias("keeper_score"),
+            (-F.col("__b.neg_score")).cast("bigint").alias("keeper_score"),
             F.col("n_copies").cast("bigint").alias("n_copies"),
         )
     )

@@ -276,10 +276,18 @@ def _assign_exact_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame
                 out["__c"] = pd.Series([], dtype="int32")
                 yield out
                 continue
-            # NULL vectors get a null assignment (the Catalyst fold
-            # path yields null distances -> null idx for them; a bare
-            # np.asarray(None) would crash the whole job instead)
-            mask = np.array([v is not None for v in pdf["qv"]])
+            # NULL vectors — and vectors CONTAINING a null element —
+            # get a null assignment (a bare np.asarray would crash the
+            # whole job on a null vector; Arrow surfaces null ELEMENTS
+            # as NaN after the float conversion, so probe via isnan).
+            # The Catalyst path's isNull/exists guard mirrors this.
+            def _clean(v) -> bool:
+                if v is None:
+                    return False
+                arr = np.asarray(v, dtype="float64")
+                return not np.isnan(arr).any()
+
+            mask = np.array([_clean(v) for v in pdf["qv"]])
             assign = pd.array([pd.NA] * len(pdf), dtype="Int32")
             if mask.any():
                 V = np.array(
@@ -332,11 +340,14 @@ def train_ivf_centroids_exact(
     posexplode — the explode would shuffle dim rows per VECTOR
     (corpus x dim), the wide agg partially combines map-side and
     shuffles only k x (dim + 1) cells per mapper."""
-    # NULL vectors cannot seed or update a centroid — drop them from
-    # training entirely (assignment still gives them a NULL cluster)
-    qdf = df.select(
-        F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv")
-    ).filter(F.col("qv").isNotNull())
+    # NULL vectors (or vectors with a null ELEMENT) cannot seed or
+    # update a centroid — drop them from training entirely
+    # (assignment still gives them a NULL cluster)
+    qdf = (
+        df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .filter(~F.exists(F.col("qv"), lambda x: x.isNull()))
+    )
     init = qdf.orderBy(F.col(id_col)).limit(k).collect()
     centroids = [[int(v) for v in r["qv"]] for r in init]
     # fewer vectors than k: train with what exists (an empty input
@@ -345,7 +356,7 @@ def train_ivf_centroids_exact(
     k = len(centroids)
     if k == 0:
         return []
-    dim = len(centroids[0]) if centroids else 0
+    dim = len(centroids[0])  # k == 0 already returned above
     qdf = qdf.persist()
     try:
         for _ in range(iters):
@@ -365,8 +376,7 @@ def train_ivf_centroids_exact(
             ).collect()
             new = {
                 int(r["__c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
-                for r in sums
-                if r["__c"] is not None  # null-vector rows train nothing
+                for r in sums  # qdf is pre-filtered: no null clusters here
             }
             centroids = [new.get(j, centroids[j]) for j in range(k)]
     finally:
@@ -390,13 +400,17 @@ def ivf_assign_exact(
             .withColumnRenamed("__c", "ivf_cluster")
             .drop("qv")
         )
-    # null guard keeps the two paths identical: a NULL vector gets a
-    # NULL cluster on both (struct-min over null distances would
-    # otherwise pick an arbitrary index here)
+    # null guard keeps the two paths identical: a NULL vector — or one
+    # containing a null ELEMENT — gets a NULL cluster on both
+    # (struct-min over null distances would otherwise pick an
+    # arbitrary index here, and the Arrow path masks such rows)
+    clean = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
     return df.withColumn(
         "ivf_cluster",
         F.when(
-            F.col(vec_col).isNotNull(),
+            clean,
             _nearest_centroid_l2(ivf_quantize_expr(F.col(vec_col)), centroids),
         ),
     )

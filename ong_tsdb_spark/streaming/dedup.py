@@ -39,6 +39,20 @@ from pyspark.sql.utils import AnalysisException
 FINGERPRINT_COL = "__fp"
 
 
+def _is_orderable(dt) -> bool:
+    """Whether Spark can ORDER on this type (maps cannot; arrays and
+    structs can iff their element/field types can)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the md5 content digest (map-side, 16 bytes)."""
     return df.withColumn(FINGERPRINT_COL, F.md5(F.col(text_col)))
@@ -91,17 +105,32 @@ def dedup_batch_against_ledger(
             raw = raw.filter(F.col("batch") != exclude_batch)
         ledger = raw.select(FINGERPRINT_COL)
     except AnalysisException as ex:
-        # ONLY path-not-found means "first batch ever" — a ledger that
-        # exists but cannot be read (partial write, corruption) must
-        # FAIL the batch, not silently disable dedup for it
+        # path-not-found = first batch ever; UNABLE_TO_INFER_SCHEMA =
+        # the directory exists but holds NO committed parquet files
+        # (pre-created by ops, or a crash before the first commit) —
+        # both mean an empty ledger.  Anything else (including the
+        # non-Analysis errors a corrupt footer raises) fails the
+        # batch loudly instead of silently disabling dedup.
         msg = str(ex)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+        if not any(
+            tag in msg
+            for tag in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
+        ):
             raise
         ledger = None
     data_cols = [c for c in fp.columns if c != FINGERPRINT_COL]
+    # content-deterministic representative per digest: min_by over the
+    # ORDERABLE columns (a bare min(struct) would fail analysis on
+    # map-typed payload columns, which need no ordering to ride along)
+    orderable = [c for c in data_cols if _is_orderable(fp.schema[c].dataType)]
+    row = F.struct(*[F.col(c) for c in data_cols])
+    if orderable:
+        agg = F.min_by(row, F.struct(*[F.col(c) for c in orderable]))
+    else:  # no orderable payload at all: any single representative
+        agg = F.min_by(row, F.col(FINGERPRINT_COL))
     fresh = (
         fp.groupBy(FINGERPRINT_COL)
-        .agg(F.min(F.struct(*[F.col(c) for c in data_cols])).alias("__row"))
+        .agg(agg.alias("__row"))
         .select(FINGERPRINT_COL, *[F.col(f"__row.{c}").alias(c) for c in data_cols])
     )
     if ledger is not None:
@@ -133,18 +162,36 @@ def start_ledger_dedup(
     :func:`compact_ledger` folds the ledger batches down."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        # A COMMITTED output directory means this is a replay whose
+        # output already landed — recomputing it could now be wrong
+        # (compact_ledger may have folded this batch's digests into
+        # batch=-1, where the self-exclusion below cannot see them,
+        # making the recomputed batch empty); keep the committed
+        # output and only (re)write the idempotent ledger partition.
+        out_dir = f"{out_path}/batch={batch_id}"
+        out_committed = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+
         fresh = dedup_batch_against_ledger(
             spark, batch_df, ledger_path, text_col, exclude_batch=batch_id
         )
         # localCheckpoint: the anti-join must be evaluated BEFORE the
         # ledger write below changes what a lazy plan would read
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(
-            f"{out_path}/batch={batch_id}"
-        )
-        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
-            f"{ledger_path}/batch={batch_id}"
-        )
+        if not out_committed:
+            fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(out_dir)
+            fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
+                f"{ledger_path}/batch={batch_id}"
+            )
+        else:
+            # re-derive the digests from the committed output, NOT the
+            # recomputation: they are the batch's true contribution
+            spark.read.parquet(out_dir).select(
+                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
+            ).distinct().write.mode("overwrite").parquet(
+                f"{ledger_path}/batch={batch_id}"
+            )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
@@ -155,24 +202,40 @@ def start_ledger_dedup(
 
 
 def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
-    """Fold the per-batch ledger partitions into one distinct-digest
-    partition (``batch=-1``).  Returns the distinct digest count.
+    """Fold the ledger down to distinct digests.  Returns the distinct
+    digest count.
 
-    Loss-proof against a CONCURRENTLY running stream: the batch
-    directories to remove are listed BEFORE the read, so a partition
-    written at any point during compaction is either included in the
-    compacted set (created before the read) or left untouched on disk
-    (created after the listing) — digests are never dropped.  (Local
-    filesystem paths; for object stores route the delete through
+    Streaming (per-batch-partitioned) layout: fold into ``batch=-1``
+    and remove only batch directories that were COMMITTED (_SUCCESS
+    present) at listing time — an in-flight partition (directory
+    created, files not yet committed) is left untouched, so a
+    concurrently running stream can never lose digests: every deleted
+    directory's digests are provably in the compacted set, and
+    directories appearing later survive on disk.  A crash between the
+    ``batch=-1`` write and the deletes leaves only duplicate digest
+    ROWS (harmless for the anti-join; the next compaction removes
+    them).
+
+    Flat layout (root-level part files — the sequential backfill
+    pattern of :func:`dedup_batch_against_ledger` with ``append``):
+    rewritten in place via the materialized distinct set.  NOT safe
+    under concurrent flat appends — the streaming layout is the
+    concurrent-mode protocol.
+
+    (Local filesystem paths; for object stores route deletes through
     object_store.HadoopCatalog.)"""
     import os
     import shutil
 
-    old = [
+    entries = os.listdir(ledger_path)
+    committed_batches = [
         d
-        for d in os.listdir(ledger_path)
-        if d.startswith("batch=") and d != "batch=-1"
+        for d in entries
+        if d.startswith("batch=")
+        and d != "batch=-1"
+        and os.path.exists(os.path.join(ledger_path, d, "_SUCCESS"))
     ]
+    has_partitions = any(d.startswith("batch=") for d in entries)
     distinct = (
         spark.read.parquet(ledger_path)
         .select(FINGERPRINT_COL)
@@ -180,7 +243,10 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
         .localCheckpoint(eager=True)
     )
     n = distinct.count()
-    distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch=-1")
-    for d in old:
-        shutil.rmtree(os.path.join(ledger_path, d), ignore_errors=True)
+    if has_partitions:
+        distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch=-1")
+        for d in committed_batches:
+            shutil.rmtree(os.path.join(ledger_path, d), ignore_errors=True)
+    else:
+        distinct.write.mode("overwrite").parquet(ledger_path)
     return n

@@ -1763,3 +1763,143 @@ def test_corrupt_ledger_fails_loudly(spark, tmp_path):
     batch = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     with _pytest.raises(Exception):
         dedup_batch_against_ledger(spark, batch, str(ledger)).collect()
+
+
+def test_ledger_replay_after_compaction_keeps_output(spark, tmp_path):
+    """If compaction folded a batch's digests into batch=-1 before the
+    checkpoint committed, the replay's self-exclusion cannot see them —
+    a committed output directory must therefore be KEPT, not
+    overwritten with the (now empty) recomputation."""
+    from ong_tsdb_spark.streaming import dedup as sd
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    src = tmp_path / "drop"
+    src.mkdir()
+    import json as _json
+
+    (src / "s1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "unique content", "lang": "en",
+                     "source": "s", "n_chars": 1}) + "\n"
+    )
+    from ong_tsdb_spark.sources.jsonl import DOCUMENTS_SCHEMA
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).json(str(src))
+    q = sd.start_ledger_dedup(spark, stream, ledger, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    # compaction folds batch=0 into batch=-1 and deletes it
+    n = sd.compact_ledger(spark, ledger)
+    assert n == 1
+    # simulate the replay of batch 0 (checkpoint lost): the committed
+    # output must survive and the ledger partition be re-derived
+    batch = spark.read.parquet(out).drop("batch")
+    def replay():
+        import pyspark.sql.functions as SF
+        fresh = sd.dedup_batch_against_ledger(spark, batch, ledger, exclude_batch=0)
+        import os
+        out_dir = f"{out}/batch=0"
+        if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            raise AssertionError("expected committed output")
+        spark.read.parquet(out_dir).select(
+            SF.md5(SF.col("text")).alias(sd.FINGERPRINT_COL)
+        ).distinct().write.mode("overwrite").parquet(f"{ledger}/batch=0")
+    replay()
+    assert spark.read.parquet(out).count() == 1  # nothing lost
+    # the doc's digest exists in the ledger (batch=-1 and/or batch=0)
+    assert spark.read.parquet(ledger).select(sd.FINGERPRINT_COL).distinct().count() == 1
+
+
+def test_compact_ledger_spares_uncommitted_partitions(spark, tmp_path):
+    """A batch directory without _SUCCESS (in-flight write) must
+    survive compaction untouched."""
+    import os
+
+    from ong_tsdb_spark.streaming import dedup as sd
+
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame([("abc",)], f"{sd.FINGERPRINT_COL} string").write.parquet(
+        f"{ledger}/batch=0"
+    )
+    inflight = tmp_path / "ledger" / "batch=9"
+    inflight.mkdir()
+    (inflight / "_temporary_marker").write_text("in flight")
+    n = sd.compact_ledger(spark, ledger)
+    assert n == 1
+    assert not os.path.exists(f"{ledger}/batch=0")  # committed: folded+removed
+    assert os.path.exists(str(inflight))  # in-flight: untouched
+    assert os.path.exists(f"{ledger}/batch=-1")
+
+
+def test_compact_ledger_flat_layout(spark, tmp_path):
+    """The sequential-backfill flat layout compacts in place (no
+    batch=-1 directory beside root part files — that mixed structure
+    breaks partition discovery on every later read)."""
+    import os
+
+    from ong_tsdb_spark.streaming import dedup as sd
+
+    ledger = str(tmp_path / "ledger")
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",)], f"{sd.FINGERPRINT_COL} string"
+    )
+    df.write.parquet(ledger)
+    df.write.mode("append").parquet(ledger)
+    n = sd.compact_ledger(spark, ledger)
+    assert n == 2
+    assert not os.path.exists(f"{ledger}/batch=-1")
+    assert spark.read.parquet(ledger).count() == 2  # still readable, deduped
+
+
+def test_ledger_empty_directory_is_first_batch(spark, tmp_path):
+    """A pre-created empty ledger directory means 'no ledger yet' —
+    it must not wedge the stream."""
+    from ong_tsdb_spark.streaming.dedup import dedup_batch_against_ledger
+
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    batch = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out = dedup_batch_against_ledger(spark, batch, str(ledger)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_ledger_dedup_with_map_column(spark, tmp_path):
+    """A docs stream carrying a map-typed payload column must still
+    dedup (maps are not orderable; the representative picker orders on
+    the orderable columns only)."""
+    from ong_tsdb_spark.streaming.dedup import dedup_batch_against_ledger
+
+    batch = spark.createDataFrame(
+        [(2, "aaa", {"k": "v2"}), (1, "aaa", {"k": "v1"}), (3, "bbb", {})],
+        "doc_id long, text string, meta map<string,string>",
+    )
+    out = {r["doc_id"] for r in
+           dedup_batch_against_ledger(spark, batch, str(tmp_path / "none")).collect()}
+    assert out == {1, 3}  # lowest doc_id represents the 'aaa' pair
+
+
+def test_keep_best_extreme_scores(spark):
+    """Negation runs in DECIMAL: LONG_MIN scores neither wrap nor
+    throw, and no sentinel collision exists at the long boundary."""
+    lo = -(1 << 63)
+    rows = [(1, "same", lo), (2, "same", lo + 1), (3, "same", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = dedup.exact_duplicates_keep_best(df).collect()[0]
+    assert out["keeper_id"] == 2 and out["keeper_score"] == lo + 1
+
+
+def test_ivf_null_element_vector(spark):
+    """A vector with a null ELEMENT gets a NULL cluster on both
+    assignment paths and never crashes the Arrow batch."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, None]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.train_ivf_centroids_exact(df, k=2, iters=1)
+    assert len(cents) == 2
+    arrow = {r["vec_id"]: r["ivf_cluster"]
+             for r in similarity.ivf_assign_exact(df, cents).collect()}
+    catalyst = {r["vec_id"]: r["ivf_cluster"]
+                for r in similarity.ivf_assign_exact(df, cents, use_arrow=False).collect()}
+    assert arrow == catalyst
+    assert arrow[2] is None
