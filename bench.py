@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_minhash_error",
     "corpus_curation_report",
     "text_fertility",
+    "corpus_delta_stats",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -115,6 +116,7 @@ SCALE_FAMILIES = [
     "dedup_minhash_error",
     "corpus_curation_report",
     "text_fertility",
+    "corpus_delta_stats",
 ]
 
 

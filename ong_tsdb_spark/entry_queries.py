@@ -3110,6 +3110,47 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fertility_by_lang(docs)
 
 
+@register(
+    "corpus_delta_stats",
+    """
+    WITH v1 AS (
+      SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id < 250),
+    v2 AS (
+      SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id >= 250),
+    j AS (SELECT v1.f AS f1, v2.f AS f2 FROM v1 FULL JOIN v2 ON v1.f = v2.f)
+    SELECT CAST(count(f1) AS BIGINT) AS n_v1,
+           CAST(count(f2) AS BIGINT) AS n_v2,
+           CAST(sum(CASE WHEN f1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN f2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN f1 IS NOT NULL AND f2 IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+    FROM j
+    """,
+)
+def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff observability: distinct-content counts of two
+    corpus versions plus how many contents were added, removed, and
+    retained between them (here v1/v2 are the doc_id halves of the
+    test corpus; in production, two snapshot paths).  The metric an
+    incremental pipeline monitors to catch silent refresh anomalies —
+    e.g. a re-crawl that replaced 90% of content.  One digest shuffle
+    per side + a digest full-outer join; document text never moves."""
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("f"), "doc_id")
+    v1 = fp.filter(F.col("doc_id") < 250).select(F.col("f").alias("f1")).distinct()
+    v2 = fp.filter(F.col("doc_id") >= 250).select(F.col("f").alias("f2")).distinct()
+    j = v1.join(v2, v1["f1"] == v2["f2"], how="full")
+    return j.agg(
+        F.count("f1").cast("bigint").alias("n_v1"),
+        F.count("f2").cast("bigint").alias("n_v2"),
+        F.sum(F.col("f1").isNull().cast("long")).cast("bigint").alias("n_added"),
+        F.sum(F.col("f2").isNull().cast("long")).cast("bigint").alias("n_removed"),
+        F.sum((F.col("f1").isNotNull() & F.col("f2").isNotNull()).cast("long"))
+        .cast("bigint")
+        .alias("n_retained"),
+    )
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3142,9 +3183,11 @@ _TAIL_ROTATION = [
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
     # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly;
     # emb_neardup_blocked / emb_neardup_lsh for dedup_minhash_error
-    # and corpus_curation_report; emb_ann_lsh for text_fertility)
+    # and corpus_curation_report; emb_ann_lsh for text_fertility;
+    # multimodal_features for corpus_delta_stats)
     "dedup_exact",
     "emb_ann_lsh",
+    "multimodal_features",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",

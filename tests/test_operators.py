@@ -1903,3 +1903,29 @@ def test_ivf_null_element_vector(spark):
                 for r in similarity.ivf_assign_exact(df, cents, use_arrow=False).collect()}
     assert arrow == catalyst
     assert arrow[2] is None
+
+
+def test_corpus_delta_stats_planted(spark):
+    """Snapshot diff on planted content: 2 shared, 1 removed, 1 added
+    (by CONTENT, not id), duplicate contents counted once."""
+    from ong_tsdb_spark import entry_queries as eq
+
+    rows = [
+        (0, "shared one"), (1, "shared two"), (2, "only v1"), (3, "shared one"),
+        (250, "shared one"), (251, "shared two"), (252, "only v2"),
+    ]
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = df.select(SF.md5("text").alias("f"), "doc_id")
+    v1 = fp.filter(SF.col("doc_id") < 250).select(SF.col("f").alias("f1")).distinct()
+    v2 = fp.filter(SF.col("doc_id") >= 250).select(SF.col("f").alias("f2")).distinct()
+    j = v1.join(v2, v1["f1"] == v2["f2"], how="full")
+    out = j.agg(
+        SF.count("f1").alias("n_v1"), SF.count("f2").alias("n_v2"),
+        SF.sum(SF.col("f1").isNull().cast("long")).alias("n_added"),
+        SF.sum(SF.col("f2").isNull().cast("long")).alias("n_removed"),
+        SF.sum((SF.col("f1").isNotNull() & SF.col("f2").isNotNull()).cast("long")).alias("n_retained"),
+    ).collect()[0]
+    assert (out["n_v1"], out["n_v2"]) == (3, 3)
+    assert (out["n_added"], out["n_removed"], out["n_retained"]) == (1, 1, 2)
