@@ -101,3 +101,69 @@ def test_upsert_matches_model(spark, tmp_path_factory, batches):
                 assert math.isnan(got), f"ts={ts} {m}: expected NaN got {got}"
             else:
                 assert got == v, f"ts={ts} {m}: expected {v} got {got}"
+
+
+# ----------------------------------------------------------------------
+# chunk-parallel window exactness: chunked_window must be bit-identical
+# to the same expressions over a plain per-key global window, for
+# ARBITRARY series shapes — sparse chunks, duplicate order keys, nulls,
+# single-row keys, chunk lengths down to 1 (every row its own chunk).
+# ----------------------------------------------------------------------
+_series_row = st.tuples(
+    st.sampled_from(["a", "b"]),                       # key
+    st.integers(min_value=0, max_value=60),            # order position
+    st.one_of(st.none(), st.integers(-50, 50)),        # value (nullable)
+)
+_series = st.lists(_series_row, min_size=1, max_size=28)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_series, chunk_len=st.sampled_from([1, 2, 5, 9]))
+def test_chunked_window_equals_global_window(spark, rows, chunk_len):
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    data = [
+        (k, t, None if v is None else float(v), i)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, t long, v double, rid long")
+
+    def _build(w):
+        wf = w.rowsBetween(-3, 0)
+        terms = [
+            F.coalesce(F.lag("v", j).over(w), F.lit(0.0)) * F.lit(float(j + 1))
+            for j in range(1, 4)
+        ]
+        return {
+            "lag1": F.lag("v", 1).over(w),
+            "lag3": F.lag("v", 3).over(w),
+            "roll": F.sum(F.col("v").cast("decimal(18,2)")).over(wf).cast("double"),
+            "wsum": reduce(add, terms),
+        }
+
+    chunked = chunked_window(
+        df,
+        key_cols=["k"],
+        order_cols=["t", "rid"],
+        chunk_len=chunk_len,
+        build=_build,
+        rows_before=3,
+    )
+    got = sorted(tuple(r) for r in chunked.collect())
+
+    wg = Window.partitionBy("k").orderBy("t", "rid")
+    cols = _build(wg)
+    glob = df.select("*", *[c.alias(n) for n, c in cols.items()])
+    want = sorted(tuple(r) for r in glob.collect())
+    assert got == want
