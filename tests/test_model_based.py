@@ -167,3 +167,42 @@ def test_chunked_window_equals_global_window(spark, rows, chunk_len):
     glob = df.select("*", *[c.alias(n) for n, c in cols.items()])
     want = sorted(tuple(r) for r in glob.collect())
     assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_series, chunk_len=st.sampled_from([1, 3, 8]))
+def test_chunked_running_sum_equals_global_window(spark, rows, chunk_len):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark.operators.prefix import chunked_running_sum
+
+    data = [
+        (k, t, 0 if v is None else int(v), i)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, t long, v long, rid long")
+    out = chunked_running_sum(
+        df,
+        key_cols=["k"],
+        order_cols=["t", "rid"],
+        value=F.col("v"),
+        chunk=F.floor(F.col("t") / F.lit(chunk_len)),
+        out_col="run",
+    )
+    got = sorted((r["k"], r["t"], r["rid"], r["run"]) for r in out.collect())
+    wg = (
+        Window.partitionBy("k")
+        .orderBy("t", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = sorted(
+        (r["k"], r["t"], r["rid"], r["run"])
+        for r in df.withColumn("run", F.sum("v").over(wg)).collect()
+    )
+    assert got == want
