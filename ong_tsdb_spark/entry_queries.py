@@ -3114,9 +3114,11 @@ def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_delta_stats",
     """
     WITH v1 AS (
-      SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id < 250),
+      SELECT DISTINCT md5(text) AS f FROM documents
+      WHERE doc_id < 250 AND text IS NOT NULL),
     v2 AS (
-      SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id >= 250),
+      SELECT DISTINCT md5(text) AS f FROM documents
+      WHERE doc_id >= 250 AND text IS NOT NULL),
     j AS (SELECT v1.f AS f1, v2.f AS f2 FROM v1 FULL JOIN v2 ON v1.f = v2.f)
     SELECT CAST(count(f1) AS BIGINT) AS n_v1,
            CAST(count(f2) AS BIGINT) AS n_v2,
@@ -3134,9 +3136,14 @@ def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     test corpus; in production, two snapshot paths).  The metric an
     incremental pipeline monitors to catch silent refresh anomalies —
     e.g. a re-crawl that replaced 90% of content.  One digest shuffle
-    per side + a digest full-outer join; document text never moves."""
+    per side + a digest full-outer join; document text never moves.
+    NULL texts are excluded on both sides — md5(NULL) is NULL, which
+    can never match in the join and would count as a phantom add AND
+    remove simultaneously."""
     docs = load(spark, sf_dir, "documents")
-    fp = docs.select(F.md5("text").alias("f"), "doc_id")
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        F.md5("text").alias("f"), "doc_id"
+    )
     v1 = fp.filter(F.col("doc_id") < 250).select(F.col("f").alias("f1")).distinct()
     v2 = fp.filter(F.col("doc_id") >= 250).select(F.col("f").alias("f2")).distinct()
     j = v1.join(v2, v1["f1"] == v2["f2"], how="full")

@@ -280,19 +280,23 @@ def _assign_exact_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame
             # get a null assignment (a bare np.asarray would crash the
             # whole job on a null vector; Arrow surfaces null ELEMENTS
             # as NaN after the float conversion, so probe via isnan).
+            # ONE float64 matrix serves both the null probe and the
+            # int64 rebuild for clean rows — quantized magnitudes are
+            # far below 2^53, so the float round-trip is lossless.
             # The Catalyst path's isNull/exists guard mirrors this.
-            def _clean(v) -> bool:
-                if v is None:
-                    return False
-                arr = np.asarray(v, dtype="float64")
-                return not np.isnan(arr).any()
-
-            mask = np.array([_clean(v) for v in pdf["qv"]])
+            dim = C.shape[1]
+            M = np.array(
+                [
+                    np.asarray(v, dtype="float64")
+                    if v is not None
+                    else np.full(dim, np.nan)
+                    for v in pdf["qv"]
+                ]
+            )
+            mask = ~np.isnan(M).any(axis=1)
             assign = pd.array([pd.NA] * len(pdf), dtype="Int32")
             if mask.any():
-                V = np.array(
-                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"][mask]]
-                )
+                V = M[mask].astype(np.int64)
                 # ||v - c||^2 ranks identically to ||c||^2 - 2<v,c>
                 # (the ||v||^2 term is constant per row) — int64, exact
                 D = cnorm[None, :] - 2 * (V @ C.T)

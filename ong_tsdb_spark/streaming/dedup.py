@@ -39,6 +39,32 @@ from pyspark.sql.utils import AnalysisException
 FINGERPRINT_COL = "__fp"
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem façade for ``path`` — all filesystem probes
+    and deletes in this module go through it so the protocol works on
+    object-store URIs (s3a://, hdfs://), not just local paths."""
+    from ..object_store import HadoopFs
+
+    return HadoopFs(spark, path)
+
+
+def _has_data_files(fs, path: str) -> bool:
+    """Whether any non-hidden FILE exists under ``path`` (recursing
+    through subdirectories; ``_``/``.`` entries are Spark metadata or
+    in-flight temporaries).  Distinguishes a truly empty ledger
+    (benign) from one whose data files were lost (must fail)."""
+    for e in fs.listdir(path):
+        if e.startswith(("_", ".")):
+            continue
+        full = f"{path}/{e}"
+        if fs.isdir(full):
+            if _has_data_files(fs, full):
+                return True
+        else:
+            return True
+    return False
+
+
 def _is_orderable(dt) -> bool:
     """Whether Spark can ORDER on this type (maps cannot; arrays and
     structs can iff their element/field types can)."""
@@ -86,11 +112,15 @@ def dedup_batch_against_ledger(
     exclude_batch: int | None = None,
 ) -> DataFrame:
     """One micro-batch of the ledger protocol: return only documents
-    whose digest is NOT in the ledger, with a CONTENT-DETERMINISTIC
-    representative per digest within the batch (min over the full row
-    struct — the same batch yields the same row under any
+    whose digest is NOT in the ledger, with a deterministic
+    representative per digest within the batch: min_by over the
+    ORDERABLE columns — the same batch yields the same row under any
     partitioning or rerun, matching the min-id policy the
-    value-checked ``dedup_ledger_backfill`` registry twin pins).
+    value-checked ``dedup_ledger_backfill`` registry twin pins.
+    Determinism caveat: rows identical on EVERY orderable column but
+    differing in a map-typed payload tie (maps cannot be ordered);
+    any of them is a correct representative, but which one is not
+    pinned across reruns.
 
     Exposed separately so the logic is unit-testable without a
     streaming query and reusable for backfill jobs."""
@@ -105,19 +135,22 @@ def dedup_batch_against_ledger(
             raw = raw.filter(F.col("batch") != exclude_batch)
         ledger = raw.select(FINGERPRINT_COL)
     except AnalysisException as ex:
-        # path-not-found = first batch ever; UNABLE_TO_INFER_SCHEMA =
-        # the directory exists but holds NO committed parquet files
-        # (pre-created by ops, or a crash before the first commit) —
-        # both mean an empty ledger.  Anything else (including the
-        # non-Analysis errors a corrupt footer raises) fails the
-        # batch loudly instead of silently disabling dedup.
+        # path-not-found = first batch ever.  UNABLE_TO_INFER_SCHEMA
+        # means no committed parquet files — but that is only benign
+        # when the directory is TRULY empty (pre-created by ops, or a
+        # crash before the very first commit).  A directory that still
+        # contains entries (data-file wreckage, batch subdirectories)
+        # had a ledger that is now unreadable — fail the batch loudly
+        # instead of silently disabling dedup.
         msg = str(ex)
-        if not any(
-            tag in msg
-            for tag in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
-        ):
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            ledger = None
+        elif "UNABLE_TO_INFER_SCHEMA" in msg:
+            if _has_data_files(_fs(spark, ledger_path), ledger_path):
+                raise
+            ledger = None  # truly empty (possibly empty batch subdirs)
+        else:
             raise
-        ledger = None
     data_cols = [c for c in fp.columns if c != FINGERPRINT_COL]
     # content-deterministic representative per digest: min_by over the
     # ORDERABLE columns (a bare min(struct) would fail analysis on
@@ -162,16 +195,24 @@ def start_ledger_dedup(
     :func:`compact_ledger` folds the ledger batches down."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         # A COMMITTED output directory means this is a replay whose
         # output already landed — recomputing it could now be wrong
-        # (compact_ledger may have folded this batch's digests into
-        # batch=-1, where the self-exclusion below cannot see them,
-        # making the recomputed batch empty); keep the committed
-        # output and only (re)write the idempotent ledger partition.
+        # (compact_ledger may have folded this batch's digests into a
+        # compacted partition, where the self-exclusion below cannot
+        # see them, making the recomputed batch empty); keep the
+        # committed output and only (re)write the idempotent ledger
+        # partition.  The probe goes through the Hadoop FS API so it
+        # works on object-store URIs, not just local paths.
         out_dir = f"{out_path}/batch={batch_id}"
-        out_committed = os.path.exists(os.path.join(out_dir, "_SUCCESS"))
+        if _fs(spark, out_path).exists(f"{out_dir}/_SUCCESS"):
+            # re-derive the digests from the committed output, NOT a
+            # recomputation: they are the batch's true contribution
+            spark.read.parquet(out_dir).select(
+                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
+            ).distinct().write.mode("overwrite").parquet(
+                f"{ledger_path}/batch={batch_id}"
+            )
+            return
 
         fresh = dedup_batch_against_ledger(
             spark, batch_df, ledger_path, text_col, exclude_batch=batch_id
@@ -179,19 +220,10 @@ def start_ledger_dedup(
         # localCheckpoint: the anti-join must be evaluated BEFORE the
         # ledger write below changes what a lazy plan would read
         fresh = fresh.localCheckpoint(eager=True)
-        if not out_committed:
-            fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(out_dir)
-            fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
-                f"{ledger_path}/batch={batch_id}"
-            )
-        else:
-            # re-derive the digests from the committed output, NOT the
-            # recomputation: they are the batch's true contribution
-            spark.read.parquet(out_dir).select(
-                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
-            ).distinct().write.mode("overwrite").parquet(
-                f"{ledger_path}/batch={batch_id}"
-            )
+        fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(out_dir)
+        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
+            f"{ledger_path}/batch={batch_id}"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
@@ -205,37 +237,31 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
     """Fold the ledger down to distinct digests.  Returns the distinct
     digest count.
 
-    Streaming (per-batch-partitioned) layout: fold into ``batch=-1``
-    and remove only batch directories that were COMMITTED (_SUCCESS
-    present) at listing time — an in-flight partition (directory
-    created, files not yet committed) is left untouched, so a
-    concurrently running stream can never lose digests: every deleted
-    directory's digests are provably in the compacted set, and
-    directories appearing later survive on disk.  A crash between the
-    ``batch=-1`` write and the deletes leaves only duplicate digest
-    ROWS (harmless for the anti-join; the next compaction removes
-    them).
+    Streaming (per-batch-partitioned) layout — CRASH-SAFE at every
+    point: the compacted set is written to a FRESH negative partition
+    (``batch=-K``, K descending per compaction — never an in-place
+    overwrite, whose delete-then-write window would destroy every
+    previously compacted digest on a mid-write crash), and only source
+    directories that were COMMITTED (_SUCCESS) at listing time are
+    removed afterwards.  An in-flight concurrent partition is left
+    untouched; a crash anywhere leaves at worst duplicate digest ROWS
+    (harmless for the anti-join — the next compaction folds them).
+    All probes/deletes go through the Hadoop FS API, so object-store
+    URIs work.
 
     Flat layout (root-level part files — the sequential backfill
     pattern of :func:`dedup_batch_against_ledger` with ``append``):
-    rewritten in place via the materialized distinct set.  NOT safe
-    under concurrent flat appends — the streaming layout is the
-    concurrent-mode protocol.
-
-    (Local filesystem paths; for object stores route deletes through
-    object_store.HadoopCatalog.)"""
-    import os
-    import shutil
-
-    entries = os.listdir(ledger_path)
-    committed_batches = [
+    rewritten in place; NOT crash-safe or concurrent-safe — backfills
+    are sequential, rerunnable jobs, and the streaming layout is the
+    durable protocol."""
+    fs = _fs(spark, ledger_path)
+    entries = fs.listdir(ledger_path)
+    batch_dirs = [d for d in entries if d.startswith("batch=")]
+    committed = [
         d
-        for d in entries
-        if d.startswith("batch=")
-        and d != "batch=-1"
-        and os.path.exists(os.path.join(ledger_path, d, "_SUCCESS"))
+        for d in batch_dirs
+        if fs.exists(f"{ledger_path}/{d}/_SUCCESS")
     ]
-    has_partitions = any(d.startswith("batch=") for d in entries)
     distinct = (
         spark.read.parquet(ledger_path)
         .select(FINGERPRINT_COL)
@@ -243,10 +269,17 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
         .localCheckpoint(eager=True)
     )
     n = distinct.count()
-    if has_partitions:
-        distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch=-1")
-        for d in committed_batches:
-            shutil.rmtree(os.path.join(ledger_path, d), ignore_errors=True)
+    if batch_dirs:
+        neg = [
+            int(d.split("=", 1)[1])
+            for d in batch_dirs
+            if d.split("=", 1)[1].lstrip("-").isdigit() and "=-" in d
+        ]
+        k = (min(neg) - 1) if neg else -1
+        distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch={k}")
+        for d in committed:
+            if d != f"batch={k}":
+                fs.delete(f"{ledger_path}/{d}", recursive=True)
     else:
         distinct.write.mode("overwrite").parquet(ledger_path)
     return n

@@ -160,12 +160,12 @@ def test_chunked_window_equals_global_window(spark, rows, chunk_len):
         build=_build,
         rows_before=3,
     )
-    got = sorted(tuple(r) for r in chunked.collect())
+    got = sorted((tuple(r) for r in chunked.collect()), key=repr)
 
     wg = Window.partitionBy("k").orderBy("t", "rid")
     cols = _build(wg)
     glob = df.select("*", *[c.alias(n) for n, c in cols.items()])
-    want = sorted(tuple(r) for r in glob.collect())
+    want = sorted((tuple(r) for r in glob.collect()), key=repr)
     assert got == want
 
 

@@ -1929,3 +1929,31 @@ def test_corpus_delta_stats_planted(spark):
     ).collect()[0]
     assert (out["n_v1"], out["n_v2"]) == (3, 3)
     assert (out["n_added"], out["n_removed"], out["n_retained"]) == (1, 1, 2)
+
+
+def test_compact_ledger_never_overwrites_in_place(spark, tmp_path):
+    """Successive compactions write FRESH negative partitions (-1,
+    then -2, ...) — never an in-place overwrite whose delete-then-
+    write window could destroy previously compacted digests — and the
+    full digest set survives every step."""
+    import os
+
+    from ong_tsdb_spark.streaming import dedup as sd
+
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame([("a",), ("b",)], f"{sd.FINGERPRINT_COL} string").write.parquet(
+        f"{ledger}/batch=0"
+    )
+    assert sd.compact_ledger(spark, ledger) == 2
+    assert os.path.exists(f"{ledger}/batch=-1")
+    spark.createDataFrame([("c",)], f"{sd.FINGERPRINT_COL} string").write.parquet(
+        f"{ledger}/batch=1"
+    )
+    assert sd.compact_ledger(spark, ledger) == 3
+    assert os.path.exists(f"{ledger}/batch=-2")
+    assert not os.path.exists(f"{ledger}/batch=-1")  # folded and removed
+    got = sorted(
+        r[sd.FINGERPRINT_COL]
+        for r in spark.read.parquet(ledger).select(sd.FINGERPRINT_COL).distinct().collect()
+    )
+    assert got == ["a", "b", "c"]
