@@ -206,3 +206,65 @@ def test_chunked_running_sum_equals_global_window(spark, rows, chunk_len):
         for r in df.withColumn("run", F.sum("v").over(wg)).collect()
     )
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# gap-fill exactness vs a trivial Python model: random sparse series
+# (duplicate cells, nulls, far-apart chunks, single-point keys) must
+# materialize exactly the grid ticks between each key's min/max snapped
+# observation, forward-filled last-observation-wins per cell.
+# ----------------------------------------------------------------------
+_gf_row = st.tuples(
+    st.sampled_from(["x", "y"]),                      # series key
+    st.integers(min_value=0, max_value=400),          # raw ts seconds
+    st.one_of(st.none(), st.integers(-20, 20)),       # value (None = null)
+)
+_gf_series = st.lists(_gf_row, min_size=1, max_size=20)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_gf_series, chunk_ticks=st.sampled_from([2, 4, 16]))
+def test_gap_fill_ffill_matches_model(spark, rows, chunk_ticks):
+    from ong_tsdb_spark.operators.gapfill import gap_fill_ffill
+
+    TICK_S = 30
+    data = [
+        (k, t, None if v is None else float(v), i)
+        for i, (k, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, ts long, v double, rid long")
+    out = gap_fill_ffill(
+        df,
+        ts_sec_col="ts",
+        series_cols=["k"],
+        value_cols=["v"],
+        tick_seconds=TICK_S,
+        tiebreak_cols=["rid"],
+        chunk_ticks=chunk_ticks,
+    )
+    got = sorted(((r["k"], r["tick_s"], r["v"]) for r in out.collect()), key=repr)
+
+    # python model: snap, last-raw-ts (tiebreak rid) wins per cell,
+    # grid min..max snapped tick, ffill last non-null at-or-before
+    cells: dict = {}
+    for k, t, v, rid in data:
+        tick = t - t % TICK_S
+        prev = cells.get((k, tick))
+        if prev is None or (t, rid) > prev[0]:
+            cells[(k, tick)] = ((t, rid), v)
+    want = []
+    for k in {k for k, *_ in data}:
+        ticks = [tick for (kk, tick) in cells if kk == k]
+        last = None
+        for tick in range(min(ticks), max(ticks) + TICK_S, TICK_S):
+            if (k, tick) in cells and cells[(k, tick)][1] is not None:
+                last = cells[(k, tick)][1]
+            want.append((k, tick, last))
+    want = sorted(want, key=repr)
+    got = sorted(got, key=repr)
+    assert got == want
