@@ -3057,31 +3057,11 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (map-side exprs); the only data-sized shuffles are the
     digest groupBy/join pair and the final doc_id join against the
     embedding-derived keep flags."""
+    from ong_tsdb_spark.plans import curation
+
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    g = text.gopher_quality(docs).select("doc_id", "gopher_pass")
-    fp = dedup.materialize_for_self_join(
-        docs.select("doc_id", F.md5("text").alias("fingerprint"))
-    )
-    # the keeper decision IS dedup.keeper_groups — the shared policy,
-    # applied to the materialized fingerprint table (one corpus scan)
-    win = dedup.keeper_groups(fp)
-    ex = fp.join(win.select("fingerprint", "keeper_id"), on="fingerprint").select(
-        "doc_id", (F.col("doc_id") == F.col("keeper_id")).alias("exact_keep")
-    )
-    sem = similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).select(
-        F.col("vec_id").alias("doc_id"), F.col("keep").alias("semantic_keep")
-    )
-    return (
-        ex.join(g, on="doc_id")
-        .join(sem, on="doc_id")
-        .select(
-            "doc_id", "exact_keep", "gopher_pass", "semantic_keep",
-            (
-                F.col("exact_keep") & F.col("gopher_pass") & F.col("semantic_keep")
-            ).alias("keep"),
-        )
-    )
+    return curation.curation_report(docs, emb, k=8, iters=2, threshold=0.4)
 
 
 @register(

@@ -624,6 +624,31 @@ def read_ivf_centroids(path: str) -> list[list[float]]:
         return json.load(f)
 
 
+def write_exact_centroids(path: str, centroids: list[list[int]]) -> None:
+    """Persist integer-exact k-means centroids (the
+    :func:`train_ivf_centroids_exact` output) as a standalone JSON
+    sidecar.  Training is the only corpus-sized cost in SemDedup /
+    prototypicality scoring; persisting the k x dim ints makes
+    re-curation of a grown corpus incremental (and, because every
+    downstream step is integer-exact, bit-identical to retraining on
+    the original snapshot).  Atomic rename so a concurrent reader
+    never sees a torn file."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([[int(x) for x in c] for c in centroids], f)
+    os.replace(tmp, path)
+
+
+def read_exact_centroids(path: str) -> list[list[int]]:
+    import json
+
+    with open(path) as f:
+        return [[int(x) for x in c] for c in json.load(f)]
+
+
 def ivf_topk_persisted(
     spark,
     path: str,
@@ -708,6 +733,7 @@ def semantic_dedup(
     round_digits: int = 6,
     use_blas: bool = True,
     tile_rows: int = 1024,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDedup, Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the INTEGER-EXACT
@@ -737,11 +763,26 @@ def semantic_dedup(
     ``use_blas=False`` runs the same semantics as a Catalyst
     cluster-equi-self-join — the no-Arrow reference path the parity
     test pins against the BLAS default.
+
+    ``centroids`` (quantized-integer, as produced by
+    :func:`train_ivf_centroids_exact` or loaded via
+    :func:`read_exact_centroids`) skips training entirely — the
+    incremental path: train once on a corpus snapshot, persist the
+    k x dim ints, and re-run dedup/curation on grown corpora without
+    re-paying the Lloyd's iterations.  Because assignment is
+    integer-exact, a run with passed-in centroids is bit-identical to
+    the run that trained them.
     """
     import numpy as np
     import pandas as pd
 
-    cents = train_ivf_centroids_exact(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids_exact(
+            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    )
     assigned = ivf_assign_exact(df, cents, vec_col=vec_col).select(
         id_col, vec_col, "ivf_cluster"
     )
@@ -813,6 +854,7 @@ def centroid_distances(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Prototypicality scoring (the SSL-prototypes data-pruning metric,
     Sorscher et al. 2022, arXiv:2206.14486): each vector's squared L2
@@ -828,7 +870,13 @@ def centroid_distances(
     matmul pass, and the distance is a map-side fold against the
     BROADCAST k-row centroid table — no data-sized shuffle anywhere.
     """
-    cents = train_ivf_centroids_exact(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids_exact(
+            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    )
     qdf = df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
     assigned = _assign_exact_arrow(qdf, cents)
     spark = df.sparkSession

@@ -1607,6 +1607,31 @@ def test_curation_report_components_agree(spark, sf_dir):
         assert r["keep"] == (r["exact_keep"] and r["gopher_pass"] and r["semantic_keep"])
 
 
+def test_curation_report_incremental_parity(spark, sf_dir, tmp_path):
+    """The persisted-centroid (incremental) curation path must be
+    bit-identical to the trained-per-run registry path: training is
+    integer-exact, so reloading the persisted k x dim ints and skipping
+    Lloyd's cannot change a single verdict."""
+    from ong_tsdb_spark import entry_queries as eq
+    from ong_tsdb_spark.plans import curation
+
+    docs = eq.load(spark, sf_dir, "documents")
+    emb = eq.load(spark, sf_dir, "embeddings")
+
+    cpath = str(tmp_path / "curation_centroids.json")
+    cents = curation.train_curation_centroids(emb, cpath, k=8, iters=2)
+    assert similarity.read_exact_centroids(cpath) == cents
+
+    full = sorted(
+        tuple(r) for r in curation.curation_report(docs, emb, k=8, iters=2).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in curation.curation_report_incremental(docs, emb, cpath).collect()
+    )
+    assert inc == full and len(inc) > 0
+
+
 def test_fertility_by_lang_fixture(spark):
     """Fertility on a hand fixture: punctuation-heavy text emits more
     BPE-proxy tokens per word than plain words."""
