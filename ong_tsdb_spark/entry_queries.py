@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from .functions.timeseries import epoch_ns, epoch_sec, epoch_us, nan_sum
 from .operators import dedup, downsample, similarity, text
+from .plans import tokenized_shards
 from .sources import influx as influx_src
 
 # epoch-microsecond literals (UTC)
@@ -3138,6 +3139,90 @@ def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SEQ_LEN = 512
+_PACK_VOCAB = 256
+_PACK_SEQ_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{text.BPE_TOKEN_RE.replace("'", "''")}') AS toks
+      FROM documents),
+    tf AS (
+      SELECT u AS token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(toks) AS u FROM tk) GROUP BY u),
+    v AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY tf DESC, token) + 1 AS BIGINT) AS id
+      FROM (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT {_PACK_VOCAB})),
+    occ AS (
+      SELECT doc_id, unnest(toks) AS token, unnest(range(len(toks))) AS ord
+      FROM tk),
+    m AS (
+      SELECT o.doc_id, o.ord, CAST(coalesce(v.id, 1) AS BIGINT) AS id
+      FROM occ o LEFT JOIN v USING (token)),
+    ids AS (
+      SELECT doc_id, list(id ORDER BY ord) AS ids FROM m GROUP BY doc_id),
+    t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tk),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t),
+    lay AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((cum - n_tok) / {_PACK_SEQ_LEN}.0) AS BIGINT) AS bin_id,
+             CAST((cum - n_tok) % {_PACK_SEQ_LEN} AS BIGINT) AS off,
+             CAST(CASE WHEN n_tok > 0
+                       THEN floor((cum - 1) / {_PACK_SEQ_LEN}.0)
+                            - floor((cum - n_tok) / {_PACK_SEQ_LEN}.0) + 1
+                       ELSE 1 END AS BIGINT) AS spans
+      FROM c),
+    bs AS (
+      SELECT doc_id, n_tok, bin_id, off,
+             unnest(range(bin_id, bin_id + spans)) AS seq_id
+      FROM lay),
+    sl AS (
+      SELECT doc_id, seq_id,
+             CASE WHEN seq_id = bin_id THEN 1
+                  ELSE (seq_id - bin_id) * {_PACK_SEQ_LEN} - off + 1 END AS s,
+             least(n_tok, (seq_id - bin_id + 1) * {_PACK_SEQ_LEN} - off) AS e
+      FROM bs),
+    sq AS (
+      SELECT sl.seq_id,
+             flatten(list(coalesce(i.ids, [])[sl.s:sl.e] ORDER BY sl.doc_id)) AS ids,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM sl LEFT JOIN ids i USING (doc_id)
+      GROUP BY sl.seq_id),
+    un AS (
+      SELECT seq_id, unnest(ids) AS id, unnest(range(len(ids))) AS ord FROM sq),
+    ck AS (
+      SELECT seq_id, CAST(sum((ord + 1) * id) AS BIGINT) AS ids_checksum
+      FROM un GROUP BY seq_id)
+    SELECT sq.seq_id,
+           CAST(len(sq.ids) AS BIGINT) AS n_real_tokens,
+           sq.n_docs,
+           CAST(coalesce(ck.ids_checksum, 0) AS BIGINT) AS ids_checksum
+    FROM sq LEFT JOIN ck USING (seq_id)
+    """
+
+
+@register("corpus_pack_sequences", _PACK_SEQ_SQL)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenized training sequences, value-checked by CONTENT: the
+    concat-and-split layout of corpus_pack_stats MATERIALIZED — per
+    fixed-length sequence, its real-token count, how many documents it
+    straddles, and a positional checksum of the token ids (so the
+    cross-engine hash pins id values AND concat order, not just
+    counts).  Tokens ride the BPE-proxy pretokenizer with a
+    frequency-ranked top-{vocab} vocabulary (PAD=0, UNK=1, ties by
+    token string — fully deterministic; plans/tokenized_shards).  The
+    binary-blob writer (write_tokenized_shards) shares this exact
+    pipeline, so a green row here certifies the shard content too."""
+    docs = load(spark, sf_dir, "documents")
+    return tokenized_shards.pack_sequence_stats(
+        docs, vocab_size=_PACK_VOCAB, seq_len=_PACK_SEQ_LEN
+    )
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3165,7 +3250,10 @@ def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
-    # (dedup_exact / text_quality / text_langid rotated out mid-r5 to
+    # (multimodal_frame_sample rotated out late-r5 to make head room
+    # for corpus_pack_sequences — the pre-tokenized shard content
+    # check;
+    # dedup_exact / text_quality / text_langid rotated out mid-r5 to
     # make head room for dedup_semantic, text_bm25_topk and ts_ewma;
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
     # emb_centroid_dist, corpus_mix_weights and ts_mad_anomaly;
@@ -3175,6 +3263,7 @@ _TAIL_ROTATION = [
     "dedup_exact",
     "emb_ann_lsh",
     "multimodal_features",
+    "multimodal_frame_sample",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",

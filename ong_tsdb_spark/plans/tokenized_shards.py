@@ -1,0 +1,307 @@
+"""Pre-tokenized fixed-length training shards: the loader-handoff
+format at the end of the data pipeline.
+
+``plans/shards.py`` writes the corpus as token-balanced parquet shards
+of raw TEXT in packing order; this module completes the handoff by
+materializing the token IDS themselves — one row per fixed-length
+training sequence, ids packed into a little-endian binary blob a
+loader can ``np.frombuffer`` straight into a batch, no tokenizer on
+the training side at all.
+
+Tokenizer: the repo's BPE-proxy pretokenizer (``text.BPE_TOKEN_RE``)
+with a frequency-ranked top-``vocab_size`` vocabulary — deterministic
+(ties broken by token string), no merges table, no RNG.  Reserved ids:
+``PAD_ID = 0``, ``UNK_ID = 1``; real tokens start at 2.  A real BPE
+would slot in by replacing :func:`vocab_table` + the id-mapping step;
+everything downstream (packing, padding, binary layout) is
+tokenizer-agnostic.
+
+Scale shape:
+
+* vocabulary: one token-count aggregate (map-side combine), top-V by
+  (tf desc, token) — V is a config bound (30-100k for real BPE), so
+  ranking is a V-row window and the id map BROADCASTS to executors as
+  a plain dict;
+* id mapping: ONE Arrow ``mapInPandas`` pass over (doc_id, tokens) —
+  tokens are extracted JVM-side by the same regex that counted them
+  (so layout token counts and materialized ids always agree), the
+  dict lookup is the only Python step, and nothing shuffles;
+* packing: each document is sliced into the training sequences it
+  spans (``posexplode`` of the spanned-bin range — rows grow by the
+  average span, ~1), then ONE shuffle on ``seq_id`` assembles
+  sequences;
+* write: ``repartition(shard_id)`` + ``partitionBy`` — one job, shards
+  are token-balanced because ``shard_id = seq_id div bins_per_shard``
+  and every sequence is exactly ``seq_len`` tokens.
+
+The whole layout is integer-exact, so the registry query
+``corpus_pack_sequences`` value-checks sequence membership and content
+(a positional checksum of the ids) against a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ong_tsdb_spark.operators.text import (
+    BPE_TOKEN_RE,
+    sequence_pack_stats,
+)
+
+PAD_ID = 0
+UNK_ID = 1
+FIRST_ID = 2  # lowest id assigned to a real vocabulary token
+
+
+def bpe_tokens(text: F.Column) -> F.Column:
+    """All pretokenizer matches, in order (the array whose size is
+    ``text.bpe_token_count``)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))
+
+
+def vocab_table(
+    df: DataFrame,
+    vocab_size: int = 65_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, id) for the top-``vocab_size`` tokens by corpus term
+    frequency, ties broken by token string — fully deterministic, ids
+    are dense ``FIRST_ID .. FIRST_ID + V - 1``.
+
+    The ranking window is a single partition over at most
+    ``vocab_size`` rows (the corpus-sized work — counting — is a
+    map-side-combined aggregate before the LIMIT), which is exactly
+    the "vocab fits one machine" assumption every tokenizer already
+    makes."""
+    tf = (
+        df.select(F.explode(bpe_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(int(vocab_size))
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return tf.select(
+        "token",
+        (F.row_number().over(w) + F.lit(FIRST_ID - 1)).cast("int").alias("id"),
+    )
+
+
+def doc_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, ids array<int>): every document's token-id sequence.
+
+    Tokens are extracted JVM-side (same regex as the packing layout's
+    token counts); the vocabulary — bounded by ``vocab_size`` — is
+    collected once and broadcast as a Python dict, so the id mapping
+    is one Arrow pass with zero shuffle and no regex-dialect drift
+    between the counting and materializing paths."""
+    vmap = {r["token"]: int(r["id"]) for r in vocab.collect()}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(vmap)
+
+    tdf = df.select(F.col(id_col), bpe_tokens(F.col(text_col)).alias("__toks"))
+
+    def mapper(batches):
+        import pandas as pd
+
+        vm = bc.value
+        for pdf in batches:
+            ids = [
+                [] if toks is None else [vm.get(t, UNK_ID) for t in toks]
+                for toks in pdf["__toks"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "ids": ids})
+
+    return tdf.mapInPandas(mapper, f"{id_col} long, ids array<int>")
+
+
+def pack_sequences(
+    df: DataFrame,
+    vocab_size: int = 65_000,
+    seq_len: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the concat-and-split layout: one row per training
+    sequence — ``(seq_id, ids array<int> [padded to seq_len],
+    n_real_tokens, n_docs)``.  Only the LAST sequence of the corpus
+    can have ``n_real_tokens < seq_len``; every sequence is padded to
+    exactly ``seq_len`` with ``PAD_ID``.
+
+    Declarative end to end: layout join + per-(doc, spanned-bin)
+    ``slice`` + one groupBy on ``seq_id`` whose ``array_sort`` over
+    (doc_id, slice) structs restores concat order."""
+    L = int(seq_len)
+    vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
+    ids = doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
+    layout = sequence_pack_stats(df, text_col=text_col, id_col=id_col, seq_len=L)
+    j = ids.join(layout, on=id_col)
+
+    b = j.select(
+        F.col(id_col),
+        F.col("ids"),
+        F.col("n_tok"),
+        F.col("bin_id"),
+        F.col("bin_offset"),
+        F.explode(
+            F.sequence(F.col("bin_id"), F.col("bin_id") + F.col("n_bins_spanned") - 1)
+        ).alias("seq_id"),
+    )
+    # slice of THIS doc's ids that lands in bin seq_id (1-based start)
+    start = F.when(F.col("seq_id") == F.col("bin_id"), F.lit(1)).otherwise(
+        (F.col("seq_id") - F.col("bin_id")) * L - F.col("bin_offset") + 1
+    )
+    end = F.least(
+        F.col("n_tok"), (F.col("seq_id") - F.col("bin_id") + 1) * L - F.col("bin_offset")
+    )
+    sliced = b.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        F.slice(
+            F.col("ids"), start.cast("int"), F.greatest(end - start + 1, F.lit(0)).cast("int")
+        ).alias("part"),
+    )
+    seqs = sliced.groupBy("seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("part").alias("p")))),
+                lambda s: s["p"],
+            )
+        ).alias("real"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    return seqs.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.concat(
+            F.col("real"),
+            F.array_repeat(F.lit(PAD_ID).cast("int"), (F.lit(L) - F.size("real")).cast("int")),
+        ).alias("ids"),
+        F.size("real").cast("bigint").alias("n_real_tokens"),
+        F.col("n_docs"),
+    )
+
+
+def ids_checksum_expr(ids: F.Column, n_real: F.Column) -> F.Column:
+    """Positional checksum of the UNPADDED prefix: sum of
+    (position+1) * id over the first ``n_real`` ids — integer-exact
+    (bounded by seq_len^2 * vocab_size << 2^63), order-sensitive, so
+    it pins both membership and concat order cross-engine."""
+    real = F.slice(ids, F.lit(1), n_real.cast("int"))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("p"), F.lit(0).cast("long").alias("s")
+    )
+    return F.aggregate(
+        real,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["p"] + 1).alias("p"),
+            (acc["s"] + (acc["p"] + 1) * x.cast("long")).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+
+
+def pack_sequence_stats(
+    df: DataFrame,
+    vocab_size: int = 65_000,
+    seq_len: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Value-checkable view of :func:`pack_sequences`: (seq_id,
+    n_real_tokens, n_docs, ids_checksum) — the registry/oracle surface
+    (arrays stay out of the cross-engine hash)."""
+    seqs = pack_sequences(df, vocab_size, seq_len, text_col, id_col)
+    return seqs.select(
+        "seq_id",
+        "n_real_tokens",
+        "n_docs",
+        ids_checksum_expr(F.col("ids"), F.col("n_real_tokens"))
+        .cast("bigint")
+        .alias("ids_checksum"),
+    )
+
+
+def write_tokenized_shards(
+    df: DataFrame,
+    out_dir: str,
+    vocab_size: int = 65_000,
+    seq_len: int = 4096,
+    bins_per_shard: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Write pre-tokenized fixed-length shards:
+    ``out_dir/shard_id=N/`` parquet whose rows are
+    ``(seq_id, ids binary, n_real_tokens, n_docs)`` in ascending
+    ``seq_id`` order, plus a ``_tokenizer_meta.json`` sidecar (dtype,
+    seq_len, vocab_size, reserved ids) the loader reads to
+    ``np.frombuffer`` each blob.  Returns the number of shards.
+
+    ``uint16`` when the id space fits (vocab_size + reserved <=
+    65536), else ``int32`` — at 4096 tokens that is 8 KiB vs 16 KiB
+    per training sequence."""
+    import numpy as np
+
+    dtype = "<u2" if int(vocab_size) + FIRST_ID <= 65_536 else "<i4"
+    seqs = pack_sequences(df, vocab_size, seq_len, text_col, id_col)
+    with_shard = seqs.withColumn(
+        "shard_id", F.expr(f"seq_id div {int(bins_per_shard)}").cast("bigint")
+    )
+
+    def to_blob(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "seq_id": pdf["seq_id"],
+                    "ids": [
+                        np.asarray(a, dtype=dtype).tobytes() for a in pdf["ids"]
+                    ],
+                    "n_real_tokens": pdf["n_real_tokens"],
+                    "n_docs": pdf["n_docs"],
+                    "shard_id": pdf["shard_id"],
+                }
+            )
+
+    blobs = with_shard.mapInPandas(
+        to_blob,
+        "seq_id long, ids binary, n_real_tokens long, n_docs long, shard_id long",
+    )
+    (
+        blobs.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    meta = {
+        "dtype": dtype,
+        "seq_len": int(seq_len),
+        "vocab_size": int(vocab_size),
+        "pad_id": PAD_ID,
+        "unk_id": UNK_ID,
+        "first_id": FIRST_ID,
+        "bins_per_shard": int(bins_per_shard),
+    }
+    tmp = os.path.join(out_dir, "_tokenizer_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "_tokenizer_meta.json"))
+    spark = df.sparkSession
+    return spark.read.parquet(out_dir).select("shard_id").distinct().count()
+
+
+def read_tokenizer_meta(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "_tokenizer_meta.json")) as f:
+        return json.load(f)

@@ -1,0 +1,131 @@
+"""Pre-tokenized fixed-length training shards (plans/tokenized_shards):
+vocabulary determinism, id mapping, packing materialization, and the
+binary-blob loader handoff."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ong_tsdb_spark.plans import tokenized_shards as tsh
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_deterministic_dense_ids(spark):
+    """Top-V by (tf desc, token asc); ids dense from FIRST_ID."""
+    df = _docs(
+        spark,
+        [(1, "b b b a a c"), (2, "a c d")],
+    )
+    v = {r["token"]: r["id"] for r in tsh.vocab_table(df, vocab_size=3).collect()}
+    # tf: ' a'x2+a… — tokens include leading-space variants; check via
+    # rank properties instead of hardcoding the regex split: 3 entries,
+    # dense ids starting at FIRST_ID
+    assert len(v) == 3
+    assert sorted(v.values()) == [tsh.FIRST_ID, tsh.FIRST_ID + 1, tsh.FIRST_ID + 2]
+
+
+def test_doc_token_ids_unk_and_order(spark):
+    """Out-of-vocab tokens map to UNK_ID; in-vocab ids appear in
+    document order; token count equals the layout's n_tok."""
+    from ong_tsdb_spark.operators.text import bpe_token_count
+
+    df = _docs(spark, [(1, "aa bb aa zz"), (2, "")])
+    vocab = tsh.vocab_table(df, vocab_size=2)
+    out = {r["doc_id"]: r["ids"] for r in tsh.doc_token_ids(df, vocab).collect()}
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert len(out[1]) == counts[1]
+    assert out[2] == []
+    assert tsh.UNK_ID in out[1]  # 'zz' (and the un-vocabbed residue)
+    in_vocab = [i for i in out[1] if i >= tsh.FIRST_ID]
+    assert in_vocab  # the two top tokens got real ids
+
+
+def test_pack_sequences_fixture(spark):
+    """Hand-checkable packing: 3 docs x known token counts, seq_len=4.
+    Every sequence padded to exactly seq_len; only the last is short;
+    concat order follows doc_id; checksum matches a Python model."""
+    rows = [(0, "a b c"), (1, "d e f g h"), (2, "i j")]
+    df = _docs(spark, rows)
+    seqs = {
+        r["seq_id"]: r
+        for r in tsh.pack_sequences(df, vocab_size=100, seq_len=4).collect()
+    }
+    # 3 + 5 + 2 = 10 tokens -> bins 0,1 full, bin 2 has 2 real
+    assert set(seqs) == {0, 1, 2}
+    assert all(len(r["ids"]) == 4 for r in seqs.values())
+    assert [seqs[i]["n_real_tokens"] for i in range(3)] == [4, 4, 2]
+    assert seqs[2]["ids"][2:] == [tsh.PAD_ID, tsh.PAD_ID]
+    # doc 0 contributes 3 tokens then doc 1's first token closes bin 0
+    assert seqs[0]["n_docs"] == 2 and seqs[1]["n_docs"] == 1 and seqs[2]["n_docs"] == 1
+
+    # python model of the same layout over the same ids
+    vocab = tsh.vocab_table(df, vocab_size=100)
+    ids = {
+        r["doc_id"]: list(r["ids"]) for r in tsh.doc_token_ids(df, vocab).collect()
+    }
+    stream = ids[0] + ids[1] + ids[2]
+    for b in range(3):
+        real = stream[b * 4 : (b + 1) * 4]
+        assert list(seqs[b]["ids"])[: len(real)] == real
+        want = sum((p + 1) * x for p, x in enumerate(real))
+        got = (
+            tsh.pack_sequence_stats(df, vocab_size=100, seq_len=4)
+            .filter(F.col("seq_id") == b)
+            .collect()[0]["ids_checksum"]
+        )
+        assert got == want
+
+
+def test_write_tokenized_shards_roundtrip(spark, tmp_path):
+    """The binary handoff: blobs decode via the sidecar meta to
+    exactly the pack_sequences ids; every blob is seq_len * itemsize
+    bytes; in-shard row order is ascending seq_id."""
+    rows = [(i, " ".join(f"tok{j % 7}" for j in range(i % 13 + 1))) for i in range(60)]
+    df = _docs(spark, rows)
+    out = str(tmp_path / "shards")
+    n_shards = tsh.write_tokenized_shards(
+        df, out, vocab_size=50, seq_len=16, bins_per_shard=4
+    )
+    meta = tsh.read_tokenizer_meta(out)
+    assert meta["dtype"] == "<u2" and meta["seq_len"] == 16
+
+    expect = {
+        r["seq_id"]: list(r["ids"])
+        for r in tsh.pack_sequences(df, vocab_size=50, seq_len=16).collect()
+    }
+    back = spark.read.parquet(out).collect()
+    assert len(back) == len(expect)
+    assert n_shards == len({r["shard_id"] for r in back})
+    for r in back:
+        arr = np.frombuffer(r["ids"], dtype=meta["dtype"])
+        assert len(r["ids"]) == 16 * np.dtype(meta["dtype"]).itemsize
+        assert list(arr) == expect[r["seq_id"]]
+        assert r["shard_id"] == r["seq_id"] // 4
+
+    # in-file order is training order (flow: sortWithinPartitions)
+    import glob
+
+    for shard_dir in glob.glob(out + "/shard_id=*"):
+        pdf = spark.read.parquet(shard_dir).toPandas()
+        assert list(pdf["seq_id"]) == sorted(pdf["seq_id"])
+
+
+def test_dtype_widens_past_uint16(spark, tmp_path):
+    """vocab_size past the uint16 ceiling switches blobs to int32."""
+    df = _docs(spark, [(0, "a b c d")])
+    out = str(tmp_path / "wide")
+    tsh.write_tokenized_shards(df, out, vocab_size=70_000, seq_len=4)
+    meta = tsh.read_tokenizer_meta(out)
+    assert meta["dtype"] == "<i4"
+    r = spark.read.parquet(out).collect()[0]
+    assert len(r["ids"]) == 4 * 4
