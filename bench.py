@@ -74,6 +74,7 @@ HEADLINE = [
     "corpus_curation_report",
     "text_fertility",
     "corpus_delta_stats",
+    "corpus_pack_sequences",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -117,7 +118,28 @@ SCALE_FAMILIES = [
     "corpus_curation_report",
     "text_fertility",
     "corpus_delta_stats",
+    "corpus_pack_sequences",
 ]
+
+
+def release_blocks(spark) -> None:
+    """Drop every persisted RDD (cache + localCheckpoint blocks).
+
+    The pair-generator queries materialize their index tables via
+    eager localCheckpoint; those blocks live until the DataFrame is
+    GC'd, so a long single-session run (the bench, or any service
+    embedding the registry) accumulates executor block-store usage
+    from queries that already finished — observed as a creeping
+    ~0.5 s/query slowdown late in the 50-query bench.  Timings are
+    unaffected per-query because each timed run constructs (and
+    checkpoints) its own plan anyway."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd_id in list(jsc.getPersistentRDDs().keySet().toArray()):
+        try:
+            jsc.getPersistentRDDs().get(rdd_id).unpersist(False)
+        except Exception:
+            pass  # racing GC of a block already being dropped is fine
 
 
 def bench_scale10(spark, sf_dir: str) -> None:
@@ -156,6 +178,7 @@ def bench_scale10(spark, sf_dir: str) -> None:
                 fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
             rec[f"{tag}_warm"] = round(best, 4)
+            release_blocks(spark)
         rec["ratio_cold"] = round(rec["x10_cold"] / rec["x1_cold"], 2)
         rec["ratio_warm"] = round(rec["x10_warm"] / rec["x1_warm"], 2)
         out[name] = rec
@@ -278,6 +301,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"[bench] {name}: warmup {warm:.2f}s best {best:.2f}s", file=sys.stderr)
+        release_blocks(spark)
 
     total = round(sum(timings.values()), 4)
     print(
