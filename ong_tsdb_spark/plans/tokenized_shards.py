@@ -305,3 +305,32 @@ def write_tokenized_shards(
 def read_tokenizer_meta(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "_tokenizer_meta.json")) as f:
         return json.load(f)
+
+
+def iter_training_sequences(out_dir: str):
+    """LOADER-side consumption — no Spark: yield ``(seq_id, ids
+    np.ndarray[seq_len], n_real_tokens)`` in exact training order by
+    scanning shard directories ascending and each file's rows in
+    written order (the writer sorts within partitions, so file order
+    IS training order).  This is the complete handoff: a training
+    process needs only pyarrow + numpy and this function."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    meta = read_tokenizer_meta(out_dir)
+    dtype = np.dtype(meta["dtype"])
+    shard_dirs = sorted(
+        glob.glob(os.path.join(out_dir, "shard_id=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    for d in shard_dirs:
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            t = pq.read_table(f, columns=["seq_id", "ids", "n_real_tokens"])
+            for sid, blob, nr in zip(
+                t["seq_id"].to_pylist(),
+                t["ids"].to_pylist(),
+                t["n_real_tokens"].to_pylist(),
+            ):
+                yield sid, np.frombuffer(blob, dtype=dtype), nr

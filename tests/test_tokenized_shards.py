@@ -120,6 +120,25 @@ def test_write_tokenized_shards_roundtrip(spark, tmp_path):
         assert list(pdf["seq_id"]) == sorted(pdf["seq_id"])
 
 
+def test_iter_training_sequences_order(spark, tmp_path):
+    """The Spark-free loader iterator yields every sequence exactly
+    once, in ascending seq_id (= training) order, decoded to the same
+    ids pack_sequences computed."""
+    rows = [(i, " ".join(f"w{j % 5}" for j in range(i % 9 + 1))) for i in range(40)]
+    df = _docs(spark, rows)
+    out = str(tmp_path / "it")
+    tsh.write_tokenized_shards(df, out, vocab_size=30, seq_len=8, bins_per_shard=3)
+    expect = {
+        r["seq_id"]: (list(r["ids"]), r["n_real_tokens"])
+        for r in tsh.pack_sequences(df, vocab_size=30, seq_len=8).collect()
+    }
+    seen = []
+    for sid, arr, nr in tsh.iter_training_sequences(out):
+        assert (list(arr), nr) == expect[sid]
+        seen.append(sid)
+    assert seen == sorted(expect)
+
+
 def test_dtype_widens_past_uint16(spark, tmp_path):
     """vocab_size past the uint16 ceiling switches blobs to int32."""
     df = _docs(spark, [(0, "a b c d")])
@@ -129,3 +148,82 @@ def test_dtype_widens_past_uint16(spark, tmp_path):
     assert meta["dtype"] == "<i4"
     r = spark.read.parquet(out).collect()[0]
     assert len(r["ids"]) == 4 * 4
+
+
+# ----------------------------------------------------------------------
+# property: pack_sequences vs a pure-Python model over random corpora
+# ----------------------------------------------------------------------
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ASCII-only corpus so the Python twin of the Java/RE2 pretokenizer is
+# exact: \p{L} -> [A-Za-z], \p{N} -> [0-9] on this alphabet
+_PY_BPE = _re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\r A-Za-z0-9]+|[ \t\n\x0B\f\r]+"
+)
+
+_word = st.text(alphabet="ab1.!", min_size=0, max_size=5)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=10)
+
+
+def _model_pack(texts: list[str], vocab_size: int, seq_len: int):
+    """Pure-Python twin: tokenize, rank vocab, map ids, concat in
+    doc order, slice into seq_len bins, pad the last."""
+    toks = {i: _PY_BPE.findall(t) for i, t in enumerate(texts)}
+    tf: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vmap = {t: tsh.FIRST_ID + i for i, (t, _) in enumerate(ranked)}
+    stream: list[int] = []
+    for i in sorted(toks):
+        for t in toks[i]:
+            stream.append(vmap.get(t, tsh.UNK_ID))
+    # a bin exists iff some doc starts in it or spans it; zero-token
+    # docs land in the bin at their stream position.  Reproduce via
+    # the layout rule: iterate docs, track cumulative count.
+    bins: dict[int, dict] = {}
+    cum = 0
+    for i in sorted(toks):
+        n = len(toks[i])
+        b0 = cum // seq_len
+        spans = ((cum + n - 1) // seq_len - b0 + 1) if n > 0 else 1
+        for b in range(b0, b0 + spans):
+            bins.setdefault(b, {"ids": [], "n_docs": 0})
+            bins[b]["n_docs"] += 1
+        cum += n
+    for p, x in enumerate(stream):
+        bins[p // seq_len]["ids"].append(x)
+    for b, rec in bins.items():
+        real = rec["ids"]
+        rec["n_real"] = len(real)
+        rec["padded"] = real + [tsh.PAD_ID] * (seq_len - len(real))
+    return bins
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_corpus, seq_len=st.sampled_from([3, 5, 8]), vocab_size=st.sampled_from([2, 6, 50]))
+def test_pack_sequences_matches_python_model(spark, texts, seq_len, vocab_size):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["seq_id"]: r
+        for r in tsh.pack_sequences(df, vocab_size=vocab_size, seq_len=seq_len).collect()
+    }
+    want = _model_pack(texts, vocab_size, seq_len)
+    assert set(got) == set(want)
+    for b in want:
+        assert list(got[b]["ids"]) == want[b]["padded"], (b, texts)
+        assert got[b]["n_real_tokens"] == want[b]["n_real"]
+        assert got[b]["n_docs"] == want[b]["n_docs"]
