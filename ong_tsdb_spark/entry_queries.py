@@ -2656,13 +2656,16 @@ def dedup_ledger_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_sql() -> str:
+def _recall_vs_brute_sql(ann_sql: str) -> str:
+    """recall@10 of any ANN result set (a query yielding a vec_id
+    column) against the exact brute-force cosine ranking — shared by
+    the LSH and IVF evaluation twins."""
     brute_cos = (
         _DOT_SQL.format(a="embedding", b="qe")
         + f" / ({_norm_sql('embedding')} * {_norm_sql('qe')})"
     )
     return f"""
-    WITH ann AS ({_ann_lsh_sql()}),
+    WITH ann AS ({ann_sql}),
     brute AS (
       SELECT vec_id FROM (
         SELECT vec_id,
@@ -2680,15 +2683,14 @@ def _ann_recall_sql() -> str:
     """
 
 
-@register("emb_ann_recall", _ann_recall_sql())
-def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall@10 of the LSH bucket path
-    against the exact brute-force ranking — the metric every ANN
-    deployment monitors before trading exactness for scan reduction.
-    Both sides are deterministic (literal hyperplanes, sequential
-    cosine folds), so even the EVALUATION has an exact oracle twin.
-    Output is one row (k, n_hits, recall)."""
-    ann = REGISTRY["emb_ann_lsh"].fn(spark, sf_dir).select("vec_id")
+def _ann_recall_sql() -> str:
+    return _recall_vs_brute_sql(_ann_lsh_sql())
+
+
+def _recall_vs_brute(spark: SparkSession, sf_dir: str, ann_name: str) -> DataFrame:
+    """Spark side of :func:`_recall_vs_brute_sql`: join the named ANN
+    registry result against the brute-force top-10 and count hits."""
+    ann = REGISTRY[ann_name].fn(spark, sf_dir).select("vec_id")
     brute = REGISTRY["emb_cosine_topk"].fn(spark, sf_dir).select("vec_id")
     return (
         ann.join(brute, on="vec_id")
@@ -2699,6 +2701,29 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__h").cast("double") / F.lit(10.0)).alias("recall"),
         )
     )
+
+
+@register("emb_ann_recall", _ann_recall_sql())
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the LSH bucket path
+    against the exact brute-force ranking — the metric every ANN
+    deployment monitors before trading exactness for scan reduction.
+    Both sides are deterministic (literal hyperplanes, sequential
+    cosine folds), so even the EVALUATION has an exact oracle twin.
+    Output is one row (k, n_hits, recall)."""
+    return _recall_vs_brute(spark, sf_dir, "emb_ann_lsh")
+
+
+@register("emb_ivf_recall", _recall_vs_brute_sql(_ivf_topk_sql()))
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF (nprobe=2 of 8 lists) ANN path against the
+    exact brute-force ranking — emb_ann_recall's counterpart for the
+    partition-pruned scale path, closing the eval loop on both ANN
+    families.  Deterministic end to end: the integer-exact k-means
+    makes even the probed-lists choice bit-identical cross-engine, so
+    the evaluation itself is value-checked (oracle nests the unrolled
+    IVF twin)."""
+    return _recall_vs_brute(spark, sf_dir, "emb_ivf_topk")
 
 
 def _semantic_dedup_sql(k: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.4) -> str:
@@ -3250,9 +3275,9 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
-    # (multimodal_frame_sample rotated out late-r5 to make head room
-    # for corpus_pack_sequences — the pre-tokenized shard content
-    # check;
+    # (multimodal_frame_sample / text_contamination rotated out
+    # late-r5 to make head room for corpus_pack_sequences — the
+    # pre-tokenized shard content check — and emb_ivf_recall;
     # dedup_exact / text_quality / text_langid rotated out mid-r5 to
     # make head room for dedup_semantic, text_bm25_topk and ts_ewma;
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
@@ -3264,6 +3289,7 @@ _TAIL_ROTATION = [
     "emb_ann_lsh",
     "multimodal_features",
     "multimodal_frame_sample",
+    "text_contamination",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",
