@@ -433,6 +433,7 @@ def sequence_pack_stats(
     id_col: str = "doc_id",
     seq_len: int = 4096,
     chunk_docs: int = 100_000,
+    base_tokens: int = 0,
 ) -> DataFrame:
     """Greedy concat-and-split sequence packing (the standard LLM
     pre-training layout: concatenate documents in a deterministic
@@ -449,7 +450,13 @@ def sequence_pack_stats(
     count — the one inherently sequential quantity — runs through the
     two-pass chunked prefix sum (operators/prefix.py): parallelism is
     doc-id chunks, NOT one task for the whole corpus, and the offset
-    window runs over chunk TOTALS (corpus/chunk_docs rows)."""
+    window runs over chunk TOTALS (corpus/chunk_docs rows).
+
+    ``base_tokens`` shifts the whole layout by an already-packed
+    token count — the INCREMENTAL case: a new batch continues the
+    stream exactly where a previous packing run stopped (possibly
+    mid-sequence), so append-mode shard writers produce the same
+    layout a one-shot run over the concatenated corpus would."""
     from .dedup import ensure_parallelism
     from .prefix import chunked_running_sum
 
@@ -464,11 +471,12 @@ def sequence_pack_stats(
         chunk=F.floor(F.col(id_col) / F.lit(chunk_docs)),
         out_col="__cum",
     )
-    prev = F.col("__cum") - F.col("n_tok")
+    prev = F.col("__cum") - F.col("n_tok") + F.lit(int(base_tokens))
+    end = F.col("__cum") + F.lit(int(base_tokens))
     bin_id = F.floor(prev / F.lit(seq_len)).cast("long")
     spans = F.when(
         F.col("n_tok") > 0,
-        F.floor((F.col("__cum") - 1) / F.lit(seq_len)).cast("long") - bin_id + 1,
+        F.floor((end - 1) / F.lit(seq_len)).cast("long") - bin_id + 1,
     ).otherwise(F.lit(1).cast("long"))
     return cum.select(
         F.col(id_col),

@@ -93,18 +93,23 @@ def vocab_table(
 
 def doc_token_ids(
     df: DataFrame,
-    vocab: DataFrame,
+    vocab: DataFrame | dict[str, int],
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, ids array<int>): every document's token-id sequence.
 
     Tokens are extracted JVM-side (same regex as the packing layout's
-    token counts); the vocabulary — bounded by ``vocab_size`` — is
-    collected once and broadcast as a Python dict, so the id mapping
-    is one Arrow pass with zero shuffle and no regex-dialect drift
-    between the counting and materializing paths."""
-    vmap = {r["token"]: int(r["id"]) for r in vocab.collect()}
+    token counts); the vocabulary — bounded by ``vocab_size``, given
+    as the :func:`vocab_table` DataFrame or a plain token->id dict —
+    is broadcast as a Python dict, so the id mapping is one Arrow
+    pass with zero shuffle and no regex-dialect drift between the
+    counting and materializing paths."""
+    vmap = (
+        dict(vocab)
+        if isinstance(vocab, dict)
+        else {r["token"]: int(r["id"]) for r in vocab.collect()}
+    )
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(vmap)
 
@@ -130,6 +135,9 @@ def pack_sequences(
     seq_len: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | dict[str, int] | None = None,
+    base_tokens: int = 0,
+    seed_prefix: tuple[int, list[int], int] | None = None,
 ) -> DataFrame:
     """Materialize the concat-and-split layout: one row per training
     sequence — ``(seq_id, ids array<int> [padded to seq_len],
@@ -139,11 +147,22 @@ def pack_sequences(
 
     Declarative end to end: layout join + per-(doc, spanned-bin)
     ``slice`` + one groupBy on ``seq_id`` whose ``array_sort`` over
-    (doc_id, slice) structs restores concat order."""
+    (doc_id, slice) structs restores concat order.
+
+    Incremental mode (used by :func:`append_tokenized_shards`):
+    ``vocab`` pins a previously-trained vocabulary (ids must stay
+    stable across batches), ``base_tokens`` continues the stream at
+    an already-packed offset, and ``seed_prefix`` = (bin_id, ids,
+    n_docs) re-seeds the partially-filled boundary sequence so its
+    rewrite is byte-identical to a one-shot run over the
+    concatenated corpus."""
     L = int(seq_len)
-    vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
+    if vocab is None:
+        vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
     ids = doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
-    layout = sequence_pack_stats(df, text_col=text_col, id_col=id_col, seq_len=L)
+    layout = sequence_pack_stats(
+        df, text_col=text_col, id_col=id_col, seq_len=L, base_tokens=base_tokens
+    )
     j = ids.join(layout, on=id_col)
 
     b = j.select(
@@ -169,7 +188,18 @@ def pack_sequences(
         F.slice(
             F.col("ids"), start.cast("int"), F.greatest(end - start + 1, F.lit(0)).cast("int")
         ).alias("part"),
+        F.lit(1).cast("long").alias("__docs"),
     )
+    if seed_prefix is not None:
+        # the boundary sequence's already-stored content re-enters as a
+        # pseudo-slice that sorts before every real doc (id -1) and
+        # carries the stored doc count as its weight
+        pb, pids, pdocs = seed_prefix
+        seed_row = df.sparkSession.createDataFrame(
+            [(int(pb), -1, [int(x) for x in pids], int(pdocs))],
+            f"seq_id long, {id_col} long, part array<int>, __docs long",
+        )
+        sliced = seed_row.unionByName(sliced)
     seqs = sliced.groupBy("seq_id").agg(
         F.flatten(
             F.transform(
@@ -177,7 +207,7 @@ def pack_sequences(
                 lambda s: s["p"],
             )
         ).alias("real"),
-        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__docs").cast("bigint").alias("n_docs"),
     )
     return seqs.select(
         F.col("seq_id").cast("bigint").alias("seq_id"),
@@ -231,29 +261,10 @@ def pack_sequence_stats(
     )
 
 
-def write_tokenized_shards(
-    df: DataFrame,
-    out_dir: str,
-    vocab_size: int = 65_000,
-    seq_len: int = 4096,
-    bins_per_shard: int = 2048,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> int:
-    """Write pre-tokenized fixed-length shards:
-    ``out_dir/shard_id=N/`` parquet whose rows are
-    ``(seq_id, ids binary, n_real_tokens, n_docs)`` in ascending
-    ``seq_id`` order, plus a ``_tokenizer_meta.json`` sidecar (dtype,
-    seq_len, vocab_size, reserved ids) the loader reads to
-    ``np.frombuffer`` each blob.  Returns the number of shards.
-
-    ``uint16`` when the id space fits (vocab_size + reserved <=
-    65536), else ``int32`` — at 4096 tokens that is 8 KiB vs 16 KiB
-    per training sequence."""
+def _blob_writer(seqs: DataFrame, dtype: str, bins_per_shard: int):
+    """(seq_id, ids binary, n_real_tokens, n_docs, shard_id) blobs."""
     import numpy as np
 
-    dtype = "<u2" if int(vocab_size) + FIRST_ID <= 65_536 else "<i4"
-    seqs = pack_sequences(df, vocab_size, seq_len, text_col, id_col)
     with_shard = seqs.withColumn(
         "shard_id", F.expr(f"seq_id div {int(bins_per_shard)}").cast("bigint")
     )
@@ -274,10 +285,82 @@ def write_tokenized_shards(
                 }
             )
 
-    blobs = with_shard.mapInPandas(
+    return with_shard.mapInPandas(
         to_blob,
         "seq_id long, ids binary, n_real_tokens long, n_docs long, shard_id long",
     )
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    tmp = os.path.join(out_dir, "_tokenizer_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "_tokenizer_meta.json"))
+
+
+def _write_vocab(out_dir: str, vocab: DataFrame | dict[str, int]) -> dict[str, int]:
+    """Persist the vocabulary as an id-ordered token list (ids are
+    dense from FIRST_ID, so the list index IS the id); atomic."""
+    vmap = (
+        dict(vocab)
+        if isinstance(vocab, dict)
+        else {r["token"]: int(r["id"]) for r in vocab.collect()}
+    )
+    ids = sorted(vmap.values())
+    if ids != list(range(FIRST_ID, FIRST_ID + len(ids))):
+        raise ValueError(
+            "vocabulary ids must be dense from FIRST_ID "
+            f"({FIRST_ID}..{FIRST_ID + len(ids) - 1}) to persist as an "
+            "id-ordered token list"
+        )
+    ordered = [t for t, _ in sorted(vmap.items(), key=lambda kv: kv[1])]
+    tmp = os.path.join(out_dir, "_vocab.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(ordered, f)
+    os.replace(tmp, os.path.join(out_dir, "_vocab.json"))
+    return vmap
+
+
+def read_vocab(out_dir: str) -> dict[str, int]:
+    with open(os.path.join(out_dir, "_vocab.json")) as f:
+        return {t: FIRST_ID + i for i, t in enumerate(json.load(f))}
+
+
+def write_tokenized_shards(
+    df: DataFrame,
+    out_dir: str,
+    vocab_size: int = 65_000,
+    seq_len: int = 4096,
+    bins_per_shard: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | dict[str, int] | None = None,
+) -> int:
+    """Write pre-tokenized fixed-length shards:
+    ``out_dir/shard_id=N/`` parquet whose rows are
+    ``(seq_id, ids binary, n_real_tokens, n_docs)`` in ascending
+    ``seq_id`` order, plus sidecars ``_tokenizer_meta.json`` (dtype,
+    seq_len, reserved ids, total_tokens) and ``_vocab.json`` (the
+    id-ordered token list) that make the directory self-describing
+    for both the loader (``np.frombuffer``) and incremental appends
+    (:func:`append_tokenized_shards`).  Returns the number of shards.
+
+    ``uint16`` when the id space fits (vocab_size + reserved <=
+    65536), else ``int32`` — at 4096 tokens that is 8 KiB vs 16 KiB
+    per training sequence.  ``vocab`` pins a pre-trained vocabulary
+    instead of training top-``vocab_size`` on this corpus."""
+    dtype = "<u2" if int(vocab_size) + FIRST_ID <= 65_536 else "<i4"
+    if vocab is None:
+        vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
+    vmap = (
+        dict(vocab)
+        if isinstance(vocab, dict)
+        else {r["token"]: int(r["id"]) for r in vocab.collect()}
+    )
+    seqs = pack_sequences(
+        df, vocab_size, seq_len, text_col, id_col, vocab=vmap
+    )
+    blobs = _blob_writer(seqs, dtype, bins_per_shard)
     (
         blobs.repartition(F.col("shard_id"))
         .sortWithinPartitions("shard_id", "seq_id")
@@ -285,21 +368,114 @@ def write_tokenized_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
-    meta = {
-        "dtype": dtype,
-        "seq_len": int(seq_len),
-        "vocab_size": int(vocab_size),
-        "pad_id": PAD_ID,
-        "unk_id": UNK_ID,
-        "first_id": FIRST_ID,
-        "bins_per_shard": int(bins_per_shard),
-    }
-    tmp = os.path.join(out_dir, "_tokenizer_meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, "_tokenizer_meta.json"))
+    # sidecars AFTER the parquet job: mode("overwrite") clears out_dir
+    _write_vocab(out_dir, vmap)
     spark = df.sparkSession
+    totals = spark.read.parquet(out_dir).agg(
+        F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t")
+    ).first()
+    _write_meta(
+        out_dir,
+        {
+            "dtype": dtype,
+            "seq_len": int(seq_len),
+            "vocab_size": int(vocab_size),
+            "pad_id": PAD_ID,
+            "unk_id": UNK_ID,
+            "first_id": FIRST_ID,
+            "bins_per_shard": int(bins_per_shard),
+            "total_tokens": int(totals["t"]),
+        },
+    )
     return spark.read.parquet(out_dir).select("shard_id").distinct().count()
+
+
+def append_tokenized_shards(
+    df_new: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Continue packing a NEW batch of documents into an existing
+    shard directory — the incremental handoff for a streaming/batch
+    ingest pipeline: the stream resumes exactly where the previous
+    run stopped (mid-sequence included), the pinned ``_vocab.json``
+    keeps ids stable, and only the boundary shard plus genuinely new
+    shards are rewritten (dynamic partition overwrite — untouched
+    shard directories are not even listed).
+
+    Equivalence contract (pinned by
+    ``test_append_equals_oneshot``): write(A) then append(B) produces
+    byte-identical blobs to write(A ++ B) under the same vocabulary,
+    provided every new ``doc_id`` sorts after the already-packed ones
+    (the training order is doc_id order; an append IS the statement
+    "these documents come next").  Returns the number of shards
+    written/rewritten by this append."""
+    import numpy as np
+
+    spark = df_new.sparkSession
+    meta = read_tokenizer_meta(out_dir)
+    vmap = read_vocab(out_dir)
+    L = int(meta["seq_len"])
+    base = int(meta["total_tokens"])
+    dtype = meta["dtype"]
+    last_bin, rem = divmod(base, L)
+
+    # the boundary sequence (and any zero-token stragglers parked at
+    # the exact boundary) re-seeds the first rewritten bin
+    seed = None
+    stored = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("seq_id") == last_bin)
+        .select("ids", "n_docs")
+        .collect()
+    )
+    if stored:
+        prefix = list(np.frombuffer(stored[0]["ids"], dtype=dtype)[:rem])
+        seed = (last_bin, [int(x) for x in prefix], int(stored[0]["n_docs"]))
+
+    seqs = pack_sequences(
+        df_new,
+        seq_len=L,
+        text_col=text_col,
+        id_col=id_col,
+        vocab=vmap,
+        base_tokens=base,
+        seed_prefix=seed,
+    )
+    bps = int(meta["bins_per_shard"])
+    blobs = _blob_writer(seqs, dtype, bps)
+    # dynamic overwrite replaces whole shard DIRECTORIES, so the
+    # boundary shard's already-final sequences (seq_id < last_bin in
+    # the same shard) must ride along or they would be dropped.
+    # localCheckpoint materializes them first — both to cut the
+    # read-from-the-path-being-overwritten dependency and to bound the
+    # cost: at most bins_per_shard rows of one shard.
+    keep = (
+        spark.read.parquet(out_dir)
+        .filter(
+            (F.col("shard_id") == last_bin // bps) & (F.col("seq_id") < last_bin)
+        )
+        .select("seq_id", "ids", "n_real_tokens", "n_docs", "shard_id")
+        .localCheckpoint(eager=True)
+    )
+    (
+        keep.unionByName(blobs)
+        .repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "seq_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    from ong_tsdb_spark.operators.text import bpe_token_count
+
+    added = df_new.agg(
+        F.coalesce(F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)).alias("t")
+    ).first()
+    meta["total_tokens"] = base + int(added["t"])
+    _write_meta(out_dir, meta)
+    return blobs.select("shard_id").distinct().count()
 
 
 def read_tokenizer_meta(out_dir: str) -> dict:

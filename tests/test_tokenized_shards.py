@@ -150,6 +150,57 @@ def test_dtype_widens_past_uint16(spark, tmp_path):
     assert len(r["ids"]) == 4 * 4
 
 
+def _read_all(spark, out):
+    return {
+        r["seq_id"]: (r["ids"], r["n_real_tokens"], r["n_docs"], r["shard_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_append_equals_oneshot(spark, tmp_path):
+    """write(A) + append(B) must be byte-identical to write(A ++ B)
+    under a shared vocabulary — including the boundary sequence that
+    B's first tokens complete, its n_docs count, and total_tokens."""
+    a = [(i, " ".join(f"w{j % 6}" for j in range(i % 11 + 1))) for i in range(25)]
+    bt = [(i, " ".join(f"w{j % 6} x{j % 3}" for j in range(i % 7 + 1))) for i in range(25, 45)]
+    dfa, dfb = _docs(spark, a), _docs(spark, bt)
+    dfall = _docs(spark, a + bt)
+    vocab = tsh.vocab_table(dfall, vocab_size=40)
+    vmap = {r["token"]: r["id"] for r in vocab.collect()}
+
+    one = str(tmp_path / "oneshot")
+    inc = str(tmp_path / "incremental")
+    tsh.write_tokenized_shards(dfall, one, vocab_size=40, seq_len=16, bins_per_shard=4, vocab=vmap)
+    tsh.write_tokenized_shards(dfa, inc, vocab_size=40, seq_len=16, bins_per_shard=4, vocab=vmap)
+    n = tsh.append_tokenized_shards(dfb, inc)
+    assert n >= 1
+
+    got, want = _read_all(spark, inc), _read_all(spark, one)
+    assert got == want
+    assert tsh.read_tokenizer_meta(inc)["total_tokens"] == tsh.read_tokenizer_meta(one)["total_tokens"]
+    assert tsh.read_vocab(inc) == tsh.read_vocab(one)
+
+
+def test_append_exact_boundary(spark, tmp_path):
+    """An append landing exactly on a sequence boundary (rem == 0)
+    starts a fresh bin and leaves prior shards untouched."""
+    # 4 docs x 4 tokens = 16 = exactly one seq_len-16 bin ("aa" then
+    # " bb"-style leading-space tokens — letters only, digits would
+    # split into separate \p{N} tokens)
+    a = [(i, "aa bb cc dd") for i in range(4)]
+    b = [(10, "aa bb")]
+    inc = str(tmp_path / "b")
+    tsh.write_tokenized_shards(_docs(spark, a), inc, vocab_size=10, seq_len=16, bins_per_shard=2)
+    before = _read_all(spark, inc)
+    assert set(before) == {0} and before[0][1] == 16
+    tsh.append_tokenized_shards(_docs(spark, b), inc)
+    after = _read_all(spark, inc)
+    assert set(after) == {0, 1}
+    assert after[0] == before[0]  # boundary bin untouched
+    assert after[1][1] == 2 and after[1][2] == 1
+    assert tsh.read_tokenizer_meta(inc)["total_tokens"] == 18
+
+
 # ----------------------------------------------------------------------
 # property: pack_sequences vs a pure-Python model over random corpora
 # ----------------------------------------------------------------------
