@@ -371,9 +371,14 @@ def write_tokenized_shards(
     # sidecars AFTER the parquet job: mode("overwrite") clears out_dir
     _write_vocab(out_dir, vmap)
     spark = df.sparkSession
-    totals = spark.read.parquet(out_dir).agg(
+    written = spark.read.parquet(out_dir)
+    totals = written.agg(
         F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t")
     ).first()
+    boundary = (
+        written.orderBy(F.desc("seq_id")).select("seq_id", "n_docs").first()
+    )
+    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
     _write_meta(
         out_dir,
         {
@@ -385,9 +390,20 @@ def write_tokenized_shards(
             "first_id": FIRST_ID,
             "bins_per_shard": int(bins_per_shard),
             "total_tokens": int(totals["t"]),
+            # the last (possibly partial) sequence's identity and doc
+            # count AS OF this commit — what a crash-replayed append
+            # needs to re-seed correctly even if shard files were
+            # already partially rewritten (see append_tokenized_shards)
+            "boundary": (
+                {"seq_id": int(boundary["seq_id"]), "n_docs": int(boundary["n_docs"])}
+                if boundary is not None
+                else None
+            ),
+            # append batches must continue the doc_id order — enforced
+            "last_doc_id": int(max_doc) if max_doc is not None else None,
         },
     )
-    return spark.read.parquet(out_dir).select("shard_id").distinct().count()
+    return written.select("shard_id").distinct().count()
 
 
 def append_tokenized_shards(
@@ -421,18 +437,38 @@ def append_tokenized_shards(
     dtype = meta["dtype"]
     last_bin, rem = divmod(base, L)
 
+    last_doc = meta.get("last_doc_id")
+    if last_doc is not None:
+        min_new = df_new.agg(F.min(F.col(id_col)).alias("m")).first()["m"]
+        if min_new is not None and int(min_new) <= int(last_doc):
+            raise ValueError(
+                f"append batch doc_id {min_new} does not sort after the "
+                f"already-packed corpus (last_doc_id={last_doc}); the "
+                "training order is doc_id order, so appended batches "
+                "must carry strictly increasing ids"
+            )
+
     # the boundary sequence (and any zero-token stragglers parked at
-    # the exact boundary) re-seeds the first rewritten bin
+    # the exact boundary) re-seeds the first rewritten bin.  The doc
+    # count comes from the META (committed atomically with
+    # total_tokens), NOT the stored row: a crash-replayed append may
+    # find the boundary shard already partially rewritten, where the
+    # stored n_docs would double-count — but the stored blob's first
+    # ``rem`` ids are still the correct prefix either way, because an
+    # append only ever EXTENDS that sequence
     seed = None
-    stored = (
-        spark.read.parquet(out_dir)
-        .filter(F.col("seq_id") == last_bin)
-        .select("ids", "n_docs")
-        .collect()
-    )
-    if stored:
-        prefix = list(np.frombuffer(stored[0]["ids"], dtype=dtype)[:rem])
-        seed = (last_bin, [int(x) for x in prefix], int(stored[0]["n_docs"]))
+    bmeta = meta.get("boundary")
+    if bmeta is not None and int(bmeta["seq_id"]) == last_bin:
+        stored = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("seq_id") == last_bin)
+            .select("ids")
+            .collect()
+        )
+        prefix = (
+            list(np.frombuffer(stored[0]["ids"], dtype=dtype)[:rem]) if stored else []
+        )
+        seed = (last_bin, [int(x) for x in prefix], int(bmeta["n_docs"]))
 
     seqs = pack_sequences(
         df_new,
@@ -471,9 +507,24 @@ def append_tokenized_shards(
     from ong_tsdb_spark.operators.text import bpe_token_count
 
     added = df_new.agg(
-        F.coalesce(F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)).alias("t")
+        F.coalesce(F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)).alias("t"),
+        F.max(F.col(id_col)).alias("m"),
     ).first()
     meta["total_tokens"] = base + int(added["t"])
+    if added["m"] is not None:
+        meta["last_doc_id"] = int(added["m"])
+    new_boundary = (
+        spark.read.parquet(out_dir)
+        .filter(F.col("shard_id") >= last_bin // bps)  # partition-pruned
+        .orderBy(F.desc("seq_id"))
+        .select("seq_id", "n_docs")
+        .first()
+    )
+    if new_boundary is not None:
+        meta["boundary"] = {
+            "seq_id": int(new_boundary["seq_id"]),
+            "n_docs": int(new_boundary["n_docs"]),
+        }
     _write_meta(out_dir, meta)
     return blobs.select("shard_id").distinct().count()
 

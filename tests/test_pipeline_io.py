@@ -120,3 +120,72 @@ def test_streaming_corpus_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {1, 11}  # dup content dropped, new doc landed
+
+
+def test_streaming_corpus_to_shards(spark, tmp_path):
+    """The full incremental pipeline: two JSONL drops stream through
+    gate → scrub → ledger dedup → shard APPEND, and the resulting
+    shard directory is byte-identical to a one-shot write over the
+    documents that survived, under the same pinned vocabulary."""
+    import json as _json
+
+    from ong_tsdb_spark.operators.text import scrub_pii
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+    from ong_tsdb_spark.streaming.corpus import start_corpus_to_shards
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    good_words = ("the be to of and that have with " * 10).split()
+    good = " ".join(good_words)
+    with_email = good + " contact bob@example.com here"
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+        )
+
+    (src / "shard1.jsonl").write_text(
+        doc(1, with_email) + "\n" + doc(2, "x y z") + "\n"
+    )
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    shards = str(tmp_path / "shards")
+
+    # pin the vocabulary up front (production shape): trained on the
+    # expected surviving corpus so both paths share ids
+    survivors = spark.createDataFrame(
+        [(1, with_email), (11, good + " fresh tail words")],
+        "doc_id long, text string",
+    ).select("doc_id", scrub_pii(F.col("text")).alias("text"))
+    vocab = {
+        r["token"]: r["id"]
+        for r in tsh.vocab_table(survivors, vocab_size=64).collect()
+    }
+
+    kw = dict(vocab=vocab, seq_len=32, bins_per_shard=2)
+    q = start_corpus_to_shards(spark, str(src), ledger, out, ckpt, shards, **kw)
+    q.awaitTermination(120)
+    assert tsh.read_tokenizer_meta(shards)["last_doc_id"] == 1
+
+    (src / "shard2.jsonl").write_text(
+        doc(10, with_email) + "\n" + doc(11, good + " fresh tail words") + "\n"
+    )
+    q2 = start_corpus_to_shards(spark, str(src), ledger, out, ckpt, shards, **kw)
+    q2.awaitTermination(120)
+
+    one = str(tmp_path / "oneshot")
+    tsh.write_tokenized_shards(survivors, one, seq_len=32, bins_per_shard=2, vocab=vocab)
+
+    def read_all(path):
+        return {
+            r["seq_id"]: (r["ids"], r["n_real_tokens"], r["n_docs"], r["shard_id"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert read_all(shards) == read_all(one)
+    m_inc, m_one = tsh.read_tokenizer_meta(shards), tsh.read_tokenizer_meta(one)
+    assert m_inc["total_tokens"] == m_one["total_tokens"]
+    assert m_inc["last_doc_id"] == 11
+    # loader order intact across the incremental writes
+    assert [s for s, _, _ in tsh.iter_training_sequences(shards)] == sorted(read_all(shards))
