@@ -371,13 +371,13 @@ def write_tokenized_shards(
     # sidecars AFTER the parquet job: mode("overwrite") clears out_dir
     _write_vocab(out_dir, vmap)
     spark = df.sparkSession
-    written = spark.read.parquet(out_dir)
-    totals = written.agg(
-        F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t")
+    # ONE aggregate over the written shards for every meta field
+    s = spark.read.parquet(out_dir).agg(
+        F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t"),
+        F.max("seq_id").alias("mseq"),
+        F.max_by("n_docs", "seq_id").alias("mdocs"),
+        F.countDistinct("shard_id").alias("nsh"),
     ).first()
-    boundary = (
-        written.orderBy(F.desc("seq_id")).select("seq_id", "n_docs").first()
-    )
     max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
     _write_meta(
         out_dir,
@@ -389,21 +389,21 @@ def write_tokenized_shards(
             "unk_id": UNK_ID,
             "first_id": FIRST_ID,
             "bins_per_shard": int(bins_per_shard),
-            "total_tokens": int(totals["t"]),
+            "total_tokens": int(s["t"]),
             # the last (possibly partial) sequence's identity and doc
             # count AS OF this commit — what a crash-replayed append
             # needs to re-seed correctly even if shard files were
             # already partially rewritten (see append_tokenized_shards)
             "boundary": (
-                {"seq_id": int(boundary["seq_id"]), "n_docs": int(boundary["n_docs"])}
-                if boundary is not None
+                {"seq_id": int(s["mseq"]), "n_docs": int(s["mdocs"])}
+                if s["mseq"] is not None
                 else None
             ),
             # append batches must continue the doc_id order — enforced
             "last_doc_id": int(max_doc) if max_doc is not None else None,
         },
     )
-    return written.select("shard_id").distinct().count()
+    return int(s["nsh"])
 
 
 def append_tokenized_shards(
@@ -429,6 +429,8 @@ def append_tokenized_shards(
     written/rewritten by this append."""
     import numpy as np
 
+    from ong_tsdb_spark.operators.text import bpe_token_count
+
     spark = df_new.sparkSession
     meta = read_tokenizer_meta(out_dir)
     vmap = read_vocab(out_dir)
@@ -437,16 +439,24 @@ def append_tokenized_shards(
     dtype = meta["dtype"]
     last_bin, rem = divmod(base, L)
 
+    # one up-front scan of the batch: order check + token/id extremes
+    stats = df_new.agg(
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+        F.coalesce(
+            F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)
+        ).alias("t"),
+    ).first()
+    if stats["lo"] is None:
+        return 0  # empty batch: nothing to pack, nothing to rewrite
     last_doc = meta.get("last_doc_id")
-    if last_doc is not None:
-        min_new = df_new.agg(F.min(F.col(id_col)).alias("m")).first()["m"]
-        if min_new is not None and int(min_new) <= int(last_doc):
-            raise ValueError(
-                f"append batch doc_id {min_new} does not sort after the "
-                f"already-packed corpus (last_doc_id={last_doc}); the "
-                "training order is doc_id order, so appended batches "
-                "must carry strictly increasing ids"
-            )
+    if last_doc is not None and int(stats["lo"]) <= int(last_doc):
+        raise ValueError(
+            f"append batch doc_id {stats['lo']} does not sort after the "
+            f"already-packed corpus (last_doc_id={last_doc}); the "
+            "training order is doc_id order, so appended batches "
+            "must carry strictly increasing ids"
+        )
 
     # the boundary sequence (and any zero-token stragglers parked at
     # the exact boundary) re-seeds the first rewritten bin.  The doc
@@ -504,29 +514,24 @@ def append_tokenized_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
-    from ong_tsdb_spark.operators.text import bpe_token_count
-
-    added = df_new.agg(
-        F.coalesce(F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)).alias("t"),
-        F.max(F.col(id_col)).alias("m"),
-    ).first()
-    meta["total_tokens"] = base + int(added["t"])
-    if added["m"] is not None:
-        meta["last_doc_id"] = int(added["m"])
-    new_boundary = (
+    meta["total_tokens"] = base + int(stats["t"])
+    meta["last_doc_id"] = int(stats["hi"])
+    nb = (
         spark.read.parquet(out_dir)
         .filter(F.col("shard_id") >= last_bin // bps)  # partition-pruned
-        .orderBy(F.desc("seq_id"))
-        .select("seq_id", "n_docs")
+        .agg(
+            F.max("seq_id").alias("mseq"),
+            F.max_by("n_docs", "seq_id").alias("mdocs"),
+        )
         .first()
     )
-    if new_boundary is not None:
-        meta["boundary"] = {
-            "seq_id": int(new_boundary["seq_id"]),
-            "n_docs": int(new_boundary["n_docs"]),
-        }
+    if nb["mseq"] is not None:
+        meta["boundary"] = {"seq_id": int(nb["mseq"]), "n_docs": int(nb["mdocs"])}
     _write_meta(out_dir, meta)
-    return blobs.select("shard_id").distinct().count()
+    # packing is contiguous, so the rewritten shard range is exactly
+    # [boundary shard before, boundary shard after] — no recompute of
+    # the blob pipeline just to count it
+    return int(nb["mseq"]) // bps - last_bin // bps + 1 if nb["mseq"] is not None else 0
 
 
 def read_tokenizer_meta(out_dir: str) -> dict:
