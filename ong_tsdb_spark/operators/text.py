@@ -458,11 +458,33 @@ def sequence_pack_stats(
     mid-sequence), so append-mode shard writers produce the same
     layout a one-shot run over the concatenated corpus would."""
     from .dedup import ensure_parallelism
-    from .prefix import chunked_running_sum
 
     d = ensure_parallelism(df).select(
         F.col(id_col), bpe_token_count(F.col(text_col)).cast("long").alias("n_tok")
     )
+    return pack_layout_over(d, id_col, seq_len, chunk_docs, base_tokens).select(
+        id_col, "n_tok", "bin_id", "bin_offset", "n_bins_spanned"
+    )
+
+
+def pack_layout_over(
+    d: DataFrame,
+    id_col: str,
+    seq_len: int,
+    chunk_docs: int = 100_000,
+    base_tokens: int = 0,
+    n_tok: Column | None = None,
+) -> DataFrame:
+    """Attach the packing layout columns (n_tok, bin_id, bin_offset,
+    n_bins_spanned) to ANY per-document frame in place — the carrier
+    shape :func:`sequence_pack_stats` shares with the shard
+    materializer, which runs the layout directly over the token-id
+    table (``n_tok = size(ids)``) so no corpus-sized join is ever
+    needed between layout and content."""
+    from .prefix import chunked_running_sum
+
+    if n_tok is not None:
+        d = d.withColumn("n_tok", n_tok.cast("long"))
     cum = chunked_running_sum(
         d,
         key_cols=[],
@@ -478,12 +500,12 @@ def sequence_pack_stats(
         F.col("n_tok") > 0,
         F.floor((end - 1) / F.lit(seq_len)).cast("long") - bin_id + 1,
     ).otherwise(F.lit(1).cast("long"))
-    return cum.select(
-        F.col(id_col),
-        F.col("n_tok").cast("bigint").alias("n_tok"),
-        bin_id.cast("bigint").alias("bin_id"),
-        (prev % F.lit(seq_len)).cast("bigint").alias("bin_offset"),
-        spans.cast("bigint").alias("n_bins_spanned"),
+    return (
+        cum.withColumn("bin_id", bin_id.cast("bigint"))
+        .withColumn("bin_offset", (prev % F.lit(seq_len)).cast("bigint"))
+        .withColumn("n_bins_spanned", spans.cast("bigint"))
+        .withColumn("n_tok", F.col("n_tok").cast("bigint"))
+        .drop("__cum")
     )
 
 

@@ -47,10 +47,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ong_tsdb_spark.operators.text import (
-    BPE_TOKEN_RE,
-    sequence_pack_stats,
-)
+from ong_tsdb_spark.operators.text import BPE_TOKEN_RE
 
 PAD_ID = 0
 UNK_ID = 1
@@ -105,6 +102,8 @@ def doc_token_ids(
     is broadcast as a Python dict, so the id mapping is one Arrow
     pass with zero shuffle and no regex-dialect drift between the
     counting and materializing paths."""
+    from ong_tsdb_spark.operators.dedup import ensure_parallelism
+
     vmap = (
         dict(vocab)
         if isinstance(vocab, dict)
@@ -113,7 +112,9 @@ def doc_token_ids(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(vmap)
 
-    tdf = df.select(F.col(id_col), bpe_tokens(F.col(text_col)).alias("__toks"))
+    tdf = ensure_parallelism(df).select(
+        F.col(id_col), bpe_tokens(F.col(text_col)).alias("__toks")
+    )
 
     def mapper(batches):
         import pandas as pd
@@ -145,9 +146,14 @@ def pack_sequences(
     can have ``n_real_tokens < seq_len``; every sequence is padded to
     exactly ``seq_len`` with ``PAD_ID``.
 
-    Declarative end to end: layout join + per-(doc, spanned-bin)
-    ``slice`` + one groupBy on ``seq_id`` whose ``array_sort`` over
-    (doc_id, slice) structs restores concat order.
+    Declarative end to end, and JOIN-FREE: the packing layout runs
+    directly over the token-id table (``n_tok = size(ids)`` — the
+    mapper emits one id per pretokenizer match, so the counts are the
+    same by construction), then per-(doc, spanned-bin) ``slice`` +
+    one groupBy on ``seq_id`` whose ``array_sort`` over (doc_id,
+    slice) structs restores concat order.  At scale the only
+    corpus-sized movements are the prefix-sum chunk shuffle and the
+    seq_id assembly — no layout⋈content join at all.
 
     Incremental mode (used by :func:`append_tokenized_shards`):
     ``vocab`` pins a previously-trained vocabulary (ids must stay
@@ -156,14 +162,19 @@ def pack_sequences(
     n_docs) re-seeds the partially-filled boundary sequence so its
     rewrite is byte-identical to a one-shot run over the
     concatenated corpus."""
+    from ong_tsdb_spark.operators.text import pack_layout_over
+
     L = int(seq_len)
     if vocab is None:
         vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
     ids = doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
-    layout = sequence_pack_stats(
-        df, text_col=text_col, id_col=id_col, seq_len=L, base_tokens=base_tokens
+    j = pack_layout_over(
+        ids,
+        id_col,
+        L,
+        base_tokens=base_tokens,
+        n_tok=F.size("ids"),
     )
-    j = ids.join(layout, on=id_col)
 
     b = j.select(
         F.col(id_col),

@@ -383,3 +383,18 @@ def test_curation_report_composition_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_shuffle_budget(spark, sf_dir):
+    """corpus_pack_sequences is JOIN-FREE on the corpus side: the
+    layout runs over the token-id table itself, so the only joins in
+    the plan are the prefix sum's BROADCAST of chunk-total offsets and
+    the vocabulary broadcast — never a shuffled corpus join — and the
+    corpus-sized exchanges are bounded (parallelism repartition,
+    prefix-sum chunk window, seq_id assembly + the vocab agg pair)."""
+    df = entry_queries.queries()["corpus_pack_sequences"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
