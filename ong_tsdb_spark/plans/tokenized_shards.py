@@ -162,12 +162,21 @@ def pack_sequences(
     n_docs) re-seeds the partially-filled boundary sequence so its
     rewrite is byte-identical to a one-shot run over the
     concatenated corpus."""
+    from ong_tsdb_spark.operators.dedup import materialize_for_self_join
     from ong_tsdb_spark.operators.text import pack_layout_over
 
     L = int(seq_len)
     if vocab is None:
         vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
-    ids = doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
+    # materialize the id table ONCE: the chunked prefix sum consumes
+    # its input twice (within-chunk window + chunk totals), and
+    # Catalyst gives two consumers no ReusedExchange — without this
+    # the Arrow tokenize/id-map pass runs twice (measured 2.84 s vs
+    # 1.61 s at sf0.1).  Same pattern and storage contract as the
+    # dedup pair-generator indexes.
+    ids = materialize_for_self_join(
+        doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
+    )
     j = pack_layout_over(
         ids,
         id_col,
