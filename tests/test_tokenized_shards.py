@@ -278,3 +278,40 @@ def test_pack_sequences_matches_python_model(spark, texts, seq_len, vocab_size):
         assert list(got[b]["ids"]) == want[b]["padded"], (b, texts)
         assert got[b]["n_real_tokens"] == want[b]["n_real"]
         assert got[b]["n_docs"] == want[b]["n_docs"]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=8),
+    split=st.integers(min_value=1, max_value=7),
+    seq_len=st.sampled_from([4, 7]),
+)
+def test_append_equivalence_property(spark, tmp_path_factory, texts, split, seq_len):
+    """write(A)+append(B) == write(A++B) over random corpora and split
+    points (byte equality of every stored sequence + meta), under a
+    shared vocabulary."""
+    split = min(split, len(texts) - 1)
+    rows = list(enumerate(texts))
+    dfall = spark.createDataFrame(rows, "doc_id long, text string")
+    vmap = {
+        r["token"]: r["id"] for r in tsh.vocab_table(dfall, vocab_size=20).collect()
+    }
+    base = tmp_path_factory.mktemp("prop")
+    one, inc = str(base / "one"), str(base / "inc")
+    kw = dict(seq_len=seq_len, bins_per_shard=2, vocab=vmap)
+    tsh.write_tokenized_shards(dfall, one, **kw)
+    tsh.write_tokenized_shards(
+        spark.createDataFrame(rows[:split], "doc_id long, text string"), inc, **kw
+    )
+    tsh.append_tokenized_shards(
+        spark.createDataFrame(rows[split:], "doc_id long, text string"), inc
+    )
+    assert _read_all(spark, inc) == _read_all(spark, one)
+    mi, mo = tsh.read_tokenizer_meta(inc), tsh.read_tokenizer_meta(one)
+    for k in ("total_tokens", "boundary", "last_doc_id"):
+        assert mi[k] == mo[k], k
