@@ -3169,7 +3169,7 @@ _PACK_VOCAB = 256
 _PACK_SEQ_SQL = f"""
     WITH tk AS (
       SELECT doc_id,
-             regexp_extract_all(text, '{text.BPE_TOKEN_RE.replace("'", "''")}') AS toks
+             regexp_extract_all(text, '{_bpe_re_sql()}') AS toks
       FROM documents),
     tf AS (
       SELECT u AS token, CAST(count(*) AS BIGINT) AS tf

@@ -365,11 +365,18 @@ def write_tokenized_shards(
     for both the loader (``np.frombuffer``) and incremental appends
     (:func:`append_tokenized_shards`).  Returns the number of shards.
 
-    ``uint16`` when the id space fits (vocab_size + reserved <=
-    65536), else ``int32`` — at 4096 tokens that is 8 KiB vs 16 KiB
-    per training sequence.  ``vocab`` pins a pre-trained vocabulary
-    instead of training top-``vocab_size`` on this corpus."""
-    dtype = "<u2" if int(vocab_size) + FIRST_ID <= 65_536 else "<i4"
+    ``uint16`` when the id space fits (max id < 65536), else
+    ``int32`` — at 4096 tokens that is 8 KiB vs 16 KiB per training
+    sequence.  ``vocab`` pins a pre-trained vocabulary instead of
+    training top-``vocab_size`` on this corpus; the blob dtype and the
+    recorded vocab size always follow the ACTUAL vocabulary, so a
+    supplied vocab larger than the default cannot silently overflow
+    uint16.
+
+    Paths are local-filesystem (or any mounted store): the sidecar
+    and marker files use plain ``open``/``os.replace``, unlike the
+    parquet writes — route ``out_dir`` through a mount (fuse-s3 etc.)
+    for object stores."""
     if vocab is None:
         vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
     vmap = (
@@ -377,6 +384,30 @@ def write_tokenized_shards(
         if isinstance(vocab, dict)
         else {r["token"]: int(r["id"]) for r in vocab.collect()}
     )
+    # dtype from the REAL id space (ids are dense from FIRST_ID)
+    max_id = max(vmap.values(), default=FIRST_ID - 1)
+    dtype = "<u2" if max_id < 65_536 else "<i4"
+    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    if max_doc is None:
+        # empty corpus: a valid, appendable-to directory with no rows
+        os.makedirs(out_dir, exist_ok=True)
+        _write_vocab(out_dir, vmap)
+        _write_meta(
+            out_dir,
+            {
+                "dtype": dtype,
+                "seq_len": int(seq_len),
+                "vocab_size": len(vmap),
+                "pad_id": PAD_ID,
+                "unk_id": UNK_ID,
+                "first_id": FIRST_ID,
+                "bins_per_shard": int(bins_per_shard),
+                "total_tokens": 0,
+                "boundary": None,
+                "last_doc_id": None,
+            },
+        )
+        return 0
     seqs = pack_sequences(
         df, vocab_size, seq_len, text_col, id_col, vocab=vmap
     )
@@ -398,13 +429,12 @@ def write_tokenized_shards(
         F.max_by("n_docs", "seq_id").alias("mdocs"),
         F.countDistinct("shard_id").alias("nsh"),
     ).first()
-    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
     _write_meta(
         out_dir,
         {
             "dtype": dtype,
             "seq_len": int(seq_len),
-            "vocab_size": int(vocab_size),
+            "vocab_size": len(vmap),
             "pad_id": PAD_ID,
             "unk_id": UNK_ID,
             "first_id": FIRST_ID,
@@ -449,27 +479,30 @@ def append_tokenized_shards(
     written/rewritten by this append."""
     import numpy as np
 
-    from ong_tsdb_spark.operators.text import bpe_token_count
-
     spark = df_new.sparkSession
     meta = read_tokenizer_meta(out_dir)
     vmap = read_vocab(out_dir)
     L = int(meta["seq_len"])
     base = int(meta["total_tokens"])
     dtype = meta["dtype"]
+    bps = int(meta["bins_per_shard"])
     last_bin, rem = divmod(base, L)
 
-    # one up-front scan of the batch: order check + token/id extremes
+    # one up-front scan of the batch: id extremes only — NO
+    # tokenization here (the pack pipeline tokenizes once; the token
+    # total is recovered from the written sequences below)
     stats = df_new.agg(
-        F.min(F.col(id_col)).alias("lo"),
-        F.max(F.col(id_col)).alias("hi"),
-        F.coalesce(
-            F.sum(bpe_token_count(F.col(text_col)).cast("long")), F.lit(0)
-        ).alias("t"),
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     ).first()
     if stats["lo"] is None:
         return 0  # empty batch: nothing to pack, nothing to rewrite
     last_doc = meta.get("last_doc_id")
+    if last_doc is not None and int(stats["hi"]) <= int(last_doc):
+        # an at-least-once caller replaying a batch whose append
+        # already committed its meta: every id is already packed —
+        # idempotent no-op, NOT an error (raising here would wedge a
+        # restarted stream forever on the same batch)
+        return 0
     if last_doc is not None and int(stats["lo"]) <= int(last_doc):
         raise ValueError(
             f"append batch doc_id {stats['lo']} does not sort after the "
@@ -491,7 +524,11 @@ def append_tokenized_shards(
     if bmeta is not None and int(bmeta["seq_id"]) == last_bin:
         stored = (
             spark.read.parquet(out_dir)
-            .filter(F.col("seq_id") == last_bin)
+            # shard_id filter first: partition-pruned to ONE directory
+            .filter(
+                (F.col("shard_id") == last_bin // bps)
+                & (F.col("seq_id") == last_bin)
+            )
             .select("ids")
             .collect()
         )
@@ -509,24 +546,28 @@ def append_tokenized_shards(
         base_tokens=base,
         seed_prefix=seed,
     )
-    bps = int(meta["bins_per_shard"])
     blobs = _blob_writer(seqs, dtype, bps)
     # dynamic overwrite replaces whole shard DIRECTORIES, so the
     # boundary shard's already-final sequences (seq_id < last_bin in
     # the same shard) must ride along or they would be dropped.
     # localCheckpoint materializes them first — both to cut the
     # read-from-the-path-being-overwritten dependency and to bound the
-    # cost: at most bins_per_shard rows of one shard.
-    keep = (
-        spark.read.parquet(out_dir)
-        .filter(
-            (F.col("shard_id") == last_bin // bps) & (F.col("seq_id") < last_bin)
+    # cost: at most bins_per_shard rows of one shard.  A directory
+    # with no rows yet (empty initial write) has nothing to keep —
+    # and no parquet files to infer a schema from.
+    if meta.get("boundary") is not None:
+        keep = (
+            spark.read.parquet(out_dir)
+            .filter(
+                (F.col("shard_id") == last_bin // bps)
+                & (F.col("seq_id") < last_bin)
+            )
+            .select("seq_id", "ids", "n_real_tokens", "n_docs", "shard_id")
+            .localCheckpoint(eager=True)
         )
-        .select("seq_id", "ids", "n_real_tokens", "n_docs", "shard_id")
-        .localCheckpoint(eager=True)
-    )
+        blobs = keep.unionByName(blobs)
     (
-        keep.unionByName(blobs)
+        blobs
         .repartition(F.col("shard_id"))
         .sortWithinPartitions("shard_id", "seq_id")
         .write.mode("overwrite")
@@ -534,17 +575,26 @@ def append_tokenized_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
-    meta["total_tokens"] = base + int(stats["t"])
-    meta["last_doc_id"] = int(stats["hi"])
+    # one partition-pruned aggregate over the rewritten range recovers
+    # every meta field: tokens in bins >= last_bin (the rem-token
+    # prefix rides the boundary bin, so total = tokens-before-boundary
+    # + this sum), the new boundary sequence and its doc count —
+    # no re-tokenization of the batch anywhere
     nb = (
         spark.read.parquet(out_dir)
-        .filter(F.col("shard_id") >= last_bin // bps)  # partition-pruned
+        .filter(
+            (F.col("shard_id") >= last_bin // bps)
+            & (F.col("seq_id") >= last_bin)
+        )
         .agg(
+            F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t"),
             F.max("seq_id").alias("mseq"),
             F.max_by("n_docs", "seq_id").alias("mdocs"),
         )
         .first()
     )
+    meta["total_tokens"] = (base - rem) + int(nb["t"])
+    meta["last_doc_id"] = int(stats["hi"])
     if nb["mseq"] is not None:
         meta["boundary"] = {"seq_id": int(nb["mseq"]), "n_docs": int(nb["mdocs"])}
     _write_meta(out_dir, meta)

@@ -64,79 +64,63 @@ def start_corpus_to_shards(
     work out of the box.
 
     Crash safety: a ``_shards_batch_N`` marker commits each shard
-    append.  On replay, a batch whose DOC output committed but whose
-    marker is missing re-appends from the COMMITTED output (not a
-    recompute); the append itself is replay-tolerant because the
-    layout is deterministic given (meta.total_tokens, docs) and the
-    boundary doc count rides the atomically-committed meta.
+    append.  The ledger protocol itself runs inside
+    :func:`start_ledger_dedup` (ONE implementation — this function
+    only supplies the ``on_batch_committed`` callback); on replay of
+    a committed batch whose marker never landed, the append re-runs
+    from the COMMITTED output (not a recompute), and
+    ``append_tokenized_shards`` itself treats a batch whose ids are
+    already recorded as a no-op, so the
+    crash-after-meta-before-marker window is also safe.
 
     Ordering contract: source ``doc_id`` must be strictly increasing
     across the stream (enforced by append — the training order IS
-    doc_id order)."""
+    doc_id order).  ``shards_path`` is a LOCAL (or mounted)
+    filesystem path: the sidecar/marker files use plain ``open``,
+    unlike the ledger paths which go through the Hadoop FS API."""
     import os as _os
 
     from ..plans import tokenized_shards as _tsh
-    from .dedup import FINGERPRINT_COL, dedup_batch_against_ledger
-    from .dedup import _fs as _ledger_fs
+    from .dedup import start_ledger_dedup
 
     stream = spark.readStream.schema(schema or DOCUMENTS_SCHEMA).json(src_path)
     cleaned = stream.filter(gopher_pass_expr(F.col(text_col))).withColumn(
         text_col, scrub_pii(F.col(text_col))
     )
 
-    def _append_docs(docs_df) -> None:
-        if not docs_df.take(1):
-            return
-        if _os.path.exists(_os.path.join(shards_path, "_tokenizer_meta.json")):
-            _tsh.append_tokenized_shards(
-                docs_df, shards_path, text_col=text_col, id_col=id_col
-            )
-        else:
-            _tsh.write_tokenized_shards(
-                docs_df,
-                shards_path,
-                vocab_size=vocab_size,
-                seq_len=seq_len,
-                bins_per_shard=bins_per_shard,
-                text_col=text_col,
-                id_col=id_col,
-                vocab=vocab,
-            )
-
-    def process(batch_df, batch_id: int) -> None:
-        out_dir = f"{out_path}/batch={batch_id}"
+    def on_committed(docs_df, batch_id: int) -> None:
+        _os.makedirs(shards_path, exist_ok=True)
         marker = _os.path.join(shards_path, f"_shards_batch_{batch_id}")
-        if _ledger_fs(spark, out_path).exists(f"{out_dir}/_SUCCESS"):
-            # replay of a committed batch: ledger partition is
-            # idempotent; the shard append re-runs from the COMMITTED
-            # output only if its marker never landed
-            spark.read.parquet(out_dir).select(
-                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
-            ).distinct().write.mode("overwrite").parquet(
-                f"{ledger_path}/batch={batch_id}"
-            )
-            if not _os.path.exists(marker):
-                _append_docs(spark.read.parquet(out_dir))
-                open(marker, "w").close()
+        if _os.path.exists(marker):
             return
-
-        fresh = dedup_batch_against_ledger(
-            spark, batch_df, ledger_path, text_col, exclude_batch=batch_id
-        ).localCheckpoint(eager=True)
-        docs_only = fresh.drop(FINGERPRINT_COL)
-        docs_only.write.mode("overwrite").parquet(out_dir)
-        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
-            f"{ledger_path}/batch={batch_id}"
-        )
-        _append_docs(docs_only)
+        if docs_df.take(1):
+            if _os.path.exists(_os.path.join(shards_path, "_tokenizer_meta.json")):
+                _tsh.append_tokenized_shards(
+                    docs_df, shards_path, text_col=text_col, id_col=id_col
+                )
+            else:
+                _tsh.write_tokenized_shards(
+                    docs_df,
+                    shards_path,
+                    vocab_size=vocab_size,
+                    seq_len=seq_len,
+                    bins_per_shard=bins_per_shard,
+                    text_col=text_col,
+                    id_col=id_col,
+                    vocab=vocab,
+                )
         open(marker, "w").close()
 
-    writer = cleaned.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_path
+    return start_ledger_dedup(
+        spark,
+        cleaned,
+        ledger_path=ledger_path,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        text_col=text_col,
+        trigger_available_now=trigger_available_now,
+        on_batch_committed=on_committed,
     )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def start_corpus_ingest(

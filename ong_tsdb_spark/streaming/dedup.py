@@ -179,6 +179,7 @@ def start_ledger_dedup(
     checkpoint_path: str,
     text_col: str = "text",
     trigger_available_now: bool = True,
+    on_batch_committed=None,
 ):
     """Unbounded-horizon streaming dedup with the digest ledger in
     Parquet.  Each micro-batch: anti-join against the ledger → write
@@ -192,7 +193,15 @@ def start_ledger_dedup(
     ledger batches and rewrites exactly its own two directories —
     plain appends here would duplicate documents on every replay.
     Readers see one partition column (``batch``) on both outputs;
-    :func:`compact_ledger` folds the ledger batches down."""
+    :func:`compact_ledger` folds the ledger batches down.
+
+    ``on_batch_committed(docs_df, batch_id)``, if given, runs after a
+    batch's document output and ledger partition are both durable —
+    on the ORIGINAL run and again on every replay of that batch (with
+    the committed output re-read, not recomputed), so the callback
+    must be idempotent per batch_id.  This is the extension point the
+    shard-append pipeline (streaming/corpus.py) hangs off, keeping
+    the crash-safety-critical ledger protocol in exactly one place."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # A COMMITTED output directory means this is a replay whose
@@ -212,6 +221,8 @@ def start_ledger_dedup(
             ).distinct().write.mode("overwrite").parquet(
                 f"{ledger_path}/batch={batch_id}"
             )
+            if on_batch_committed is not None:
+                on_batch_committed(spark.read.parquet(out_dir), batch_id)
             return
 
         fresh = dedup_batch_against_ledger(
@@ -220,10 +231,13 @@ def start_ledger_dedup(
         # localCheckpoint: the anti-join must be evaluated BEFORE the
         # ledger write below changes what a lazy plan would read
         fresh = fresh.localCheckpoint(eager=True)
-        fresh.drop(FINGERPRINT_COL).write.mode("overwrite").parquet(out_dir)
+        docs_only = fresh.drop(FINGERPRINT_COL)
+        docs_only.write.mode("overwrite").parquet(out_dir)
         fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
             f"{ledger_path}/batch={batch_id}"
         )
+        if on_batch_committed is not None:
+            on_batch_committed(docs_only, batch_id)
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path

@@ -189,3 +189,35 @@ def test_streaming_corpus_to_shards(spark, tmp_path):
     assert m_inc["last_doc_id"] == 11
     # loader order intact across the incremental writes
     assert [s for s, _, _ in tsh.iter_training_sequences(shards)] == sorted(read_all(shards))
+
+
+def test_streaming_to_shards_all_filtered_first_batch(spark, tmp_path):
+    """A first drop whose documents ALL fail the quality gate must not
+    wedge the stream (the batch marker lands even though no shard
+    directory content exists yet); the next drop bootstraps shards."""
+    import json as _json
+
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+    from ong_tsdb_spark.streaming.corpus import start_corpus_to_shards
+
+    src = tmp_path / "drop"
+    src.mkdir()
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+        )
+
+    (src / "junk.jsonl").write_text(doc(1, "x y z") + "\n")  # gated out
+    args = [str(src), str(tmp_path / "l"), str(tmp_path / "o"), str(tmp_path / "c"), str(tmp_path / "s")]
+    q = start_corpus_to_shards(spark, *args, seq_len=16, bins_per_shard=2)
+    q.awaitTermination(120)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "s" / "_tokenizer_meta.json"))
+
+    good = " ".join(("the be to of and that have with " * 10).split())
+    (src / "good.jsonl").write_text(doc(2, good) + "\n")
+    q2 = start_corpus_to_shards(spark, *args, seq_len=16, bins_per_shard=2)
+    q2.awaitTermination(120)
+    assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["last_doc_id"] == 2

@@ -140,14 +140,57 @@ def test_iter_training_sequences_order(spark, tmp_path):
 
 
 def test_dtype_widens_past_uint16(spark, tmp_path):
-    """vocab_size past the uint16 ceiling switches blobs to int32."""
+    """An ACTUAL id space past the uint16 ceiling switches blobs to
+    int32 — the dtype follows the supplied vocabulary, not the
+    vocab_size parameter (a 70k pre-trained vocab with the default
+    vocab_size must not silently overflow uint16)."""
+    big_vocab = {f"t{i}": tsh.FIRST_ID + i for i in range(70_000)}
     df = _docs(spark, [(0, "a b c d")])
     out = str(tmp_path / "wide")
-    tsh.write_tokenized_shards(df, out, vocab_size=70_000, seq_len=4)
+    tsh.write_tokenized_shards(df, out, seq_len=4, vocab=big_vocab)
     meta = tsh.read_tokenizer_meta(out)
-    assert meta["dtype"] == "<i4"
+    assert meta["dtype"] == "<i4" and meta["vocab_size"] == 70_000
     r = spark.read.parquet(out).collect()[0]
     assert len(r["ids"]) == 4 * 4
+    # and a small trained vocab with a large configured bound stays u2
+    out2 = str(tmp_path / "narrow")
+    tsh.write_tokenized_shards(df, out2, vocab_size=70_000, seq_len=4)
+    assert tsh.read_tokenizer_meta(out2)["dtype"] == "<u2"
+
+
+def test_append_replay_is_noop(spark, tmp_path):
+    """Re-appending a batch whose ids are already recorded (the
+    at-least-once replay after a crash past the meta commit) is an
+    idempotent no-op, not a wedge-the-stream ValueError; a genuinely
+    interleaved batch still raises."""
+    a = [(i, "aa bb cc") for i in range(4)]
+    b = [(10, "dd ee"), (11, "ff")]
+    out = str(tmp_path / "r")
+    tsh.write_tokenized_shards(_docs(spark, a), out, vocab_size=10, seq_len=8)
+    assert tsh.append_tokenized_shards(_docs(spark, b), out) >= 1
+    before = _read_all(spark, out)
+    meta_before = tsh.read_tokenizer_meta(out)
+    assert tsh.append_tokenized_shards(_docs(spark, b), out) == 0  # replay
+    assert _read_all(spark, out) == before
+    assert tsh.read_tokenizer_meta(out) == meta_before
+    with pytest.raises(ValueError, match="sort after"):
+        tsh.append_tokenized_shards(_docs(spark, [(11, "x"), (12, "y")]), out)
+
+
+def test_write_empty_then_append(spark, tmp_path):
+    """Writing an EMPTY corpus produces a valid, appendable directory
+    (total_tokens 0, no boundary) instead of crashing on the
+    read-back; a later append bootstraps the content."""
+    out = str(tmp_path / "e")
+    empty = _docs(spark, []) if False else spark.createDataFrame(
+        [], "doc_id long, text string"
+    )
+    vocab = {"aa": 2, " bb": 3}
+    assert tsh.write_tokenized_shards(empty, out, seq_len=4, vocab=vocab) == 0
+    meta = tsh.read_tokenizer_meta(out)
+    assert meta["total_tokens"] == 0 and meta["boundary"] is None
+    assert tsh.append_tokenized_shards(_docs(spark, [(0, "aa bb")]), out) == 1
+    assert tsh.read_tokenizer_meta(out)["total_tokens"] == 2
 
 
 def _read_all(spark, out):
