@@ -12,6 +12,10 @@ re-expressed for the Spark engine:
                                        --older-than-ts EPOCH_S
     python -m ong_tsdb_spark serve   --base DIR [--host H] [--port P]
                                      [--admin-key K]
+    python -m ong_tsdb_spark curate  --src DROPDIR --ledger DIR
+                                     --clean DIR --checkpoint DIR
+                                     --shards DIR [--seq-len N]
+                                     [--vocab-size V] [--bins-per-shard B]
 
 (repair has no Spark analog — Parquet footers make truncation
 detection native; compact rewrites salvage what a rewrite can.)
@@ -76,7 +80,54 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--port", type=int, default=5000)
     pw.add_argument("--admin-key", default=None)
 
+    pu = sub.add_parser(
+        "curate",
+        help="drain a JSONL drop dir through gate -> scrub -> ledger "
+        "dedup -> pre-tokenized training shards (AvailableNow: "
+        "process the backlog, then exit — cron-able)",
+    )
+    pu.add_argument("--src", required=True, help="JSONL drop directory")
+    pu.add_argument("--ledger", required=True, help="digest ledger directory")
+    pu.add_argument("--clean", required=True, help="clean-corpus output directory")
+    pu.add_argument("--checkpoint", required=True, help="stream checkpoint directory")
+    pu.add_argument("--shards", required=True, help="tokenized shard directory")
+    pu.add_argument("--seq-len", type=int, default=4096)
+    pu.add_argument("--vocab-size", type=int, default=65_000)
+    pu.add_argument("--bins-per-shard", type=int, default=2048)
+
     args = p.parse_args(argv)
+    if args.cmd == "curate":
+        from pyspark.sql import SparkSession
+
+        from .plans.tokenized_shards import read_tokenizer_meta
+        from .streaming.corpus import start_corpus_to_shards
+
+        spark = (
+            SparkSession.builder.appName("ong_tsdb_spark-curate")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        q = start_corpus_to_shards(
+            spark,
+            args.src,
+            ledger_path=args.ledger,
+            out_path=args.clean,
+            checkpoint_path=args.checkpoint,
+            shards_path=args.shards,
+            vocab_size=args.vocab_size,
+            seq_len=args.seq_len,
+            bins_per_shard=args.bins_per_shard,
+        )
+        q.awaitTermination()
+        try:
+            meta = read_tokenizer_meta(args.shards)
+            print(
+                f"shards at {args.shards}: total_tokens={meta['total_tokens']} "
+                f"last_doc_id={meta['last_doc_id']} seq_len={meta['seq_len']}"
+            )
+        except FileNotFoundError:
+            print("no documents survived curation yet; shard dir not bootstrapped")
+        return 0
     if args.cmd == "serve":
         from pyspark.sql import SparkSession
 

@@ -221,3 +221,37 @@ def test_streaming_to_shards_all_filtered_first_batch(spark, tmp_path):
     q2 = start_corpus_to_shards(spark, *args, seq_len=16, bins_per_shard=2)
     q2.awaitTermination(120)
     assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["last_doc_id"] == 2
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """`python -m ong_tsdb_spark curate` drains the drop directory into
+    shards and reports the committed totals."""
+    import json as _json
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    good = " ".join(("the be to of and that have with " * 10).split())
+    (src / "a.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 1, "text": good, "lang": "en", "source": "s", "n_chars": len(good)}
+        )
+        + "\n"
+    )
+    rc = main(
+        [
+            "curate",
+            "--src", str(src),
+            "--ledger", str(tmp_path / "l"),
+            "--clean", str(tmp_path / "o"),
+            "--checkpoint", str(tmp_path / "c"),
+            "--shards", str(tmp_path / "s"),
+            "--seq-len", "32",
+            "--bins-per-shard", "2",
+        ]
+    )
+    assert rc == 0
+    assert "total_tokens=" in capsys.readouterr().out
+    assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["last_doc_id"] == 1
