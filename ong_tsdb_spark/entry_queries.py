@@ -3271,6 +3271,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything pushed to the tail below has a fully green (rows+schema+
 # hash) driver row in CORRECTNESS_r04.json AND is pinned locally by
 # tests/test_entry.py, which always runs all entries.
+#
+# ROUND-6 TODO: swap again — move this round's tail back into the head
+# and rotate an equal-sized subset of r5-green head entries out, so the
+# r5+r6 windows again cover the whole registry and no entry goes more
+# than one round without a driver row.  Keep head <= 50
+# (test_registry_window_invariants enforces it).
 # ======================================================================
 
 _TAIL_ROTATION = [
