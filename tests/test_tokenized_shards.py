@@ -358,3 +358,35 @@ def test_append_equivalence_property(spark, tmp_path_factory, texts, split, seq_
     mi, mo = tsh.read_tokenizer_meta(inc), tsh.read_tokenizer_meta(one)
     for k in ("total_tokens", "boundary", "last_doc_id"):
         assert mi[k] == mo[k], k
+
+
+def test_append_crash_before_meta_replay_converges(spark, tmp_path):
+    """The hard replay window: an append crashes AFTER rewriting shard
+    files but BEFORE committing the meta.  The replayed append (same
+    batch, old meta) must converge to exactly the committed state a
+    crash-free run produces — the seed prefix read from the
+    partially-new boundary blob is still correct because appends only
+    EXTEND that sequence, and the seed doc count rides the old meta."""
+    import json as _json
+    import os
+
+    a = [(i, "aa bb cc") for i in range(5)]      # 15 tokens, seq_len 8 -> mid-bin boundary
+    b = [(10, "dd ee ff gg"), (11, "aa")]
+    out = str(tmp_path / "cr")
+    tsh.write_tokenized_shards(_docs(spark, a), out, vocab_size=10, seq_len=8, bins_per_shard=2)
+    meta_before = tsh.read_tokenizer_meta(out)
+
+    # crash-free run, to capture the expected committed state
+    tsh.append_tokenized_shards(_docs(spark, b), out)
+    want_rows = _read_all(spark, out)
+    want_meta = tsh.read_tokenizer_meta(out)
+
+    # simulate the crash: shard files are the NEW ones (already the
+    # case on disk), but the meta rolls back to its pre-append value
+    with open(os.path.join(out, "_tokenizer_meta.json"), "w") as f:
+        _json.dump(meta_before, f)
+
+    # replay the same batch against the stale meta
+    tsh.append_tokenized_shards(_docs(spark, b), out)
+    assert _read_all(spark, out) == want_rows
+    assert tsh.read_tokenizer_meta(out) == want_meta
