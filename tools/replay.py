@@ -1,0 +1,94 @@
+"""Full-registry oracle replay — the repo-local twin of the driver's
+correctness gate, runnable from anywhere:
+
+    python tools/replay.py [--sf-dir /root/testdata/sf0.01] [--only NAME ...]
+
+Runs EVERY ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, compares
+column names and exact values (after sorting columns by name and rows
+by repr — the same canonicalization ``tests/test_entry.py`` pins), and
+prints one line per entry plus a final tally.  Exit code 0 iff every
+entry is exact.
+
+Unlike the pytest harness this uses a DEFAULT SparkSession (no
+timezone pin, default shuffle partitions) — the configuration the
+driver itself runs, which has caught executor-sys.path and
+session-default bugs the tuned test session masked."""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted([tuple(_canon(r[i]) for i in order) for r in rows], key=repr)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--master", default="local[16]")
+    ap.add_argument("--only", nargs="*", default=None, help="subset of entry names")
+    args = ap.parse_args(argv)
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = args.only or list(qs)
+    bad = []
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            scols, srows = sdf.columns, sdf.collect()
+            rel = con.sql(oracles[name])
+            ocols, orows = rel.columns, rel.fetchall()
+            ok = sorted(scols) == sorted(ocols) and _rows_canon(
+                scols, srows
+            ) == _rows_canon(ocols, orows)
+            status = "OK" if ok else "MISMATCH"
+        except Exception as e:  # pragma: no cover - diagnostic path
+            status = f"ERROR {type(e).__name__}: {e}"[:160]
+        if status != "OK":
+            bad.append(name)
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
+              flush=True)
+    print(f"\nRESULT: {len(names) - len(bad)}/{len(names)} exact; failures: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
