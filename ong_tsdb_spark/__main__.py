@@ -95,7 +95,28 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--vocab-size", type=int, default=65_000)
     pu.add_argument("--bins-per-shard", type=int, default=2048)
 
+    pvs = sub.add_parser(
+        "verify-shards",
+        help="X1-style integrity check for a tokenized shard directory",
+    )
+    pvs.add_argument("--shards", required=True)
+
     args = p.parse_args(argv)
+    if args.cmd == "verify-shards":
+        from pyspark.sql import SparkSession
+
+        from .plans.tokenized_shards import verify_shards
+
+        spark = (
+            SparkSession.builder.appName("ong_tsdb_spark-verify-shards")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        rep = verify_shards(spark, args.shards)
+        for k, v in rep.items():
+            print(f"{k}={v}")
+        return 0 if rep["ok"] else 1
+
     if args.cmd == "curate":
         from pyspark.sql import SparkSession
 

@@ -609,6 +609,74 @@ def read_tokenizer_meta(out_dir: str) -> dict:
         return json.load(f)
 
 
+def verify_shards(spark, out_dir: str) -> dict:
+    """X1-style integrity check for a tokenized shard directory — the
+    maintenance counterpart of ``plans.maintenance.verify_sensor`` for
+    the training-shard format.  ONE aggregate over the shards proves:
+
+    * sequence ids are contiguous ``0..max`` (count == max+1 — a hole
+      means a lost shard rewrite),
+    * every blob is exactly ``seq_len * itemsize`` bytes,
+    * real-token counts are within ``[0, seq_len]`` and their sum
+      equals the meta's committed ``total_tokens``,
+    * every row sits in its ``seq_id div bins_per_shard`` shard.
+
+    Returns the stats dict with an ``ok`` flag; raises nothing — a
+    missing/empty directory reports ``n_sequences = 0`` and is ok iff
+    the meta also says zero tokens."""
+    import numpy as np
+
+    meta = read_tokenizer_meta(out_dir)
+    L = int(meta["seq_len"])
+    bps = int(meta["bins_per_shard"])
+    blob_len = L * np.dtype(meta["dtype"]).itemsize
+    if meta.get("boundary") is None:
+        return {
+            "n_sequences": 0,
+            "ok": int(meta["total_tokens"]) == 0,
+            "total_tokens": int(meta["total_tokens"]),
+        }
+    s = (
+        spark.read.parquet(out_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.max("seq_id").alias("mseq"),
+            F.countDistinct("seq_id").alias("nseq"),
+            F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("tok"),
+            F.sum((F.length("ids") != blob_len).cast("long")).alias("bad_blob"),
+            F.sum(
+                (
+                    (F.col("n_real_tokens") < 0) | (F.col("n_real_tokens") > L)
+                ).cast("long")
+            ).alias("bad_real"),
+            F.sum(
+                (F.col("shard_id") != F.expr(f"seq_id div {bps}")).cast("long")
+            ).alias("bad_shard"),
+        )
+        .first()
+    )
+    out = {
+        "n_sequences": int(s["n"]),
+        "max_seq_id": int(s["mseq"]),
+        "total_tokens": int(s["tok"]),
+        "duplicate_seq": int(s["n"]) - int(s["nseq"]),
+        "holes": int(s["mseq"]) + 1 - int(s["nseq"]),
+        "bad_blob_len": int(s["bad_blob"]),
+        "bad_real_count": int(s["bad_real"]),
+        "bad_shard_assign": int(s["bad_shard"]),
+        "meta_total_tokens": int(meta["total_tokens"]),
+    }
+    out["ok"] = (
+        out["duplicate_seq"] == 0
+        and out["holes"] == 0
+        and out["bad_blob_len"] == 0
+        and out["bad_real_count"] == 0
+        and out["bad_shard_assign"] == 0
+        and out["total_tokens"] == out["meta_total_tokens"]
+    )
+    return out
+
+
 def iter_training_sequences(out_dir: str):
     """LOADER-side consumption — no Spark: yield ``(seq_id, ids
     np.ndarray[seq_len], n_real_tokens)`` in exact training order by

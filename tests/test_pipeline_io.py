@@ -255,3 +255,15 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert rc == 0
     assert "total_tokens=" in capsys.readouterr().out
     assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["last_doc_id"] == 1
+
+
+def test_cli_verify_shards(spark, tmp_path):
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+
+    out = str(tmp_path / "s")
+    tsh.write_tokenized_shards(
+        spark.createDataFrame([(0, "aa bb")], "doc_id long, text string"),
+        out, seq_len=4, vocab={"aa": 2, " bb": 3},
+    )
+    assert main(["verify-shards", "--shards", out]) == 0

@@ -390,3 +390,39 @@ def test_append_crash_before_meta_replay_converges(spark, tmp_path):
     tsh.append_tokenized_shards(_docs(spark, b), out)
     assert _read_all(spark, out) == want_rows
     assert tsh.read_tokenizer_meta(out) == want_meta
+
+
+def test_verify_shards(spark, tmp_path):
+    """verify_shards passes a healthy directory (including after an
+    append), reports zero sequences on an empty one, and flags a
+    corrupted meta total."""
+    import json as _json
+    import os
+
+    out = str(tmp_path / "v")
+    vocab = {"aa": 2, " bb": 3, " cc": 4}
+    tsh.write_tokenized_shards(
+        _docs(spark, [(i, "aa bb cc") for i in range(6)]),
+        out, seq_len=8, bins_per_shard=2, vocab=vocab,
+    )
+    rep = tsh.verify_shards(spark, out)
+    assert rep["ok"] and rep["holes"] == 0 and rep["total_tokens"] == 18
+
+    tsh.append_tokenized_shards(_docs(spark, [(10, "aa bb")]), out)
+    assert tsh.verify_shards(spark, out)["ok"]
+
+    # corrupt the committed total -> flagged, with everything else fine
+    meta = tsh.read_tokenizer_meta(out)
+    meta["total_tokens"] += 5
+    with open(os.path.join(out, "_tokenizer_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    rep = tsh.verify_shards(spark, out)
+    assert not rep["ok"] and rep["bad_blob_len"] == 0
+
+    empty = str(tmp_path / "ve")
+    tsh.write_tokenized_shards(
+        spark.createDataFrame([], "doc_id long, text string"), empty,
+        seq_len=8, vocab=vocab,
+    )
+    rep = tsh.verify_shards(spark, empty)
+    assert rep["ok"] and rep["n_sequences"] == 0
