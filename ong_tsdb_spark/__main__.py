@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--seq-len", type=int, default=4096)
     pu.add_argument("--vocab-size", type=int, default=65_000)
     pu.add_argument("--bins-per-shard", type=int, default=2048)
+    pu.add_argument(
+        "--vocab-file",
+        default=None,
+        help="pre-trained vocabulary JSON: either an id-ordered token "
+        "list or a token->id map.  Strongly recommended for "
+        "production — without it the vocabulary is trained on "
+        "whatever the FIRST micro-batch contains and pinned forever",
+    )
 
     pvs = sub.add_parser(
         "verify-shards",
@@ -128,6 +136,19 @@ def main(argv: list[str] | None = None) -> int:
             .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate()
         )
+        vocab = None
+        if args.vocab_file:
+            import json as _json
+
+            from .plans.tokenized_shards import FIRST_ID
+
+            with open(args.vocab_file) as f:
+                raw = _json.load(f)
+            vocab = (
+                {t: FIRST_ID + i for i, t in enumerate(raw)}
+                if isinstance(raw, list)
+                else {t: int(i) for t, i in raw.items()}
+            )
         q = start_corpus_to_shards(
             spark,
             args.src,
@@ -135,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
             out_path=args.clean,
             checkpoint_path=args.checkpoint,
             shards_path=args.shards,
+            vocab=vocab,
             vocab_size=args.vocab_size,
             seq_len=args.seq_len,
             bins_per_shard=args.bins_per_shard,

@@ -377,6 +377,14 @@ def write_tokenized_shards(
     and marker files use plain ``open``/``os.replace``, unlike the
     parquet writes — route ``out_dir`` through a mount (fuse-s3 etc.)
     for object stores."""
+    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    if max_doc is None and vocab is None:
+        raise ValueError(
+            "cannot train a vocabulary on an empty corpus — pass a "
+            "pre-trained vocab= to bootstrap an empty shard directory "
+            "(an empty trained vocab would map every later-appended "
+            "token to UNK forever)"
+        )
     if vocab is None:
         vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
     vmap = (
@@ -387,9 +395,14 @@ def write_tokenized_shards(
     # dtype from the REAL id space (ids are dense from FIRST_ID)
     max_id = max(vmap.values(), default=FIRST_ID - 1)
     dtype = "<u2" if max_id < 65_536 else "<i4"
-    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
     if max_doc is None:
-        # empty corpus: a valid, appendable-to directory with no rows
+        # empty corpus: a valid, appendable-to directory with no rows —
+        # with the same overwrite semantics as the non-empty path
+        # (pre-existing shard data is cleared, not silently orphaned
+        # under zeroed meta)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
         _write_vocab(out_dir, vmap)
         _write_meta(
@@ -499,9 +512,24 @@ def append_tokenized_shards(
     last_doc = meta.get("last_doc_id")
     if last_doc is not None and int(stats["hi"]) <= int(last_doc):
         # an at-least-once caller replaying a batch whose append
-        # already committed its meta: every id is already packed —
+        # already committed its meta: every id is <= the recorded
+        # last, so the batch is treated as already packed — an
         # idempotent no-op, NOT an error (raising here would wedge a
-        # restarted stream forever on the same batch)
+        # restarted stream forever on the same batch).  NOTE a batch
+        # that is NOT a replay but happens to carry only ids <= the
+        # recorded last is an ordering-contract violation either way
+        # (those positions in the training stream have already been
+        # written); warn loudly so a misordered producer is visible.
+        import warnings
+
+        warnings.warn(
+            f"append batch ids [{stats['lo']}, {stats['hi']}] are all <= "
+            f"the recorded last_doc_id={last_doc}; treating as an "
+            "at-least-once replay (no-op).  If this batch was NOT a "
+            "replay, its documents violate the doc_id ordering "
+            "contract and are NOT packed.",
+            stacklevel=2,
+        )
         return 0
     if last_doc is not None and int(stats["lo"]) <= int(last_doc):
         raise ValueError(
@@ -622,11 +650,17 @@ def verify_shards(spark, out_dir: str) -> dict:
     * every row sits in its ``seq_id div bins_per_shard`` shard.
 
     Returns the stats dict with an ``ok`` flag; raises nothing — a
-    missing/empty directory reports ``n_sequences = 0`` and is ok iff
-    the meta also says zero tokens."""
+    missing directory/meta reports ``ok=False`` with an ``error``
+    field, an empty directory reports ``n_sequences = 0`` and is ok
+    iff the meta also says zero tokens, and a directory whose meta
+    claims content but whose shard files are gone (the lost-rewrite
+    case) reports ``ok=False`` instead of crashing."""
     import numpy as np
 
-    meta = read_tokenizer_meta(out_dir)
+    try:
+        meta = read_tokenizer_meta(out_dir)
+    except (FileNotFoundError, ValueError) as e:
+        return {"n_sequences": 0, "ok": False, "error": f"meta unreadable: {e}"}
     L = int(meta["seq_len"])
     bps = int(meta["bins_per_shard"])
     blob_len = L * np.dtype(meta["dtype"]).itemsize
@@ -636,8 +670,17 @@ def verify_shards(spark, out_dir: str) -> dict:
             "ok": int(meta["total_tokens"]) == 0,
             "total_tokens": int(meta["total_tokens"]),
         }
+    try:
+        read = spark.read.parquet(out_dir)
+    except Exception as e:  # AnalysisException: shard data lost entirely
+        return {
+            "n_sequences": 0,
+            "ok": False,
+            "meta_total_tokens": int(meta["total_tokens"]),
+            "error": f"meta claims content but shard data is unreadable: {e}"[:300],
+        }
     s = (
-        spark.read.parquet(out_dir)
+        read
         .agg(
             F.count("*").alias("n"),
             F.max("seq_id").alias("mseq"),
@@ -655,6 +698,13 @@ def verify_shards(spark, out_dir: str) -> dict:
         )
         .first()
     )
+    if s["mseq"] is None:  # zero-row files under a content-claiming meta
+        return {
+            "n_sequences": 0,
+            "ok": False,
+            "meta_total_tokens": int(meta["total_tokens"]),
+            "error": "meta claims content but shard files hold zero rows",
+        }
     out = {
         "n_sequences": int(s["n"]),
         "max_seq_id": int(s["mseq"]),

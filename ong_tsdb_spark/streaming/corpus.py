@@ -81,7 +81,6 @@ def start_corpus_to_shards(
     import os as _os
 
     from ..plans import tokenized_shards as _tsh
-    from .dedup import start_ledger_dedup
 
     stream = spark.readStream.schema(schema or DOCUMENTS_SCHEMA).json(src_path)
     cleaned = stream.filter(gopher_pass_expr(F.col(text_col))).withColumn(

@@ -10,18 +10,13 @@ tolerate.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from ong_tsdb_spark.compare import TABLES, canon_rows
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
 
@@ -34,18 +29,7 @@ def duck():
     return con
 
 
-def _canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
-def _rows_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+_rows_canon = canon_rows  # THE shared definition (ong_tsdb_spark.compare)
 
 
 QUERY_NAMES = sorted(entry_mod.queries().keys())

@@ -182,9 +182,7 @@ def test_write_empty_then_append(spark, tmp_path):
     (total_tokens 0, no boundary) instead of crashing on the
     read-back; a later append bootstraps the content."""
     out = str(tmp_path / "e")
-    empty = _docs(spark, []) if False else spark.createDataFrame(
-        [], "doc_id long, text string"
-    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
     vocab = {"aa": 2, " bb": 3}
     assert tsh.write_tokenized_shards(empty, out, seq_len=4, vocab=vocab) == 0
     meta = tsh.read_tokenizer_meta(out)
@@ -426,3 +424,47 @@ def test_verify_shards(spark, tmp_path):
     )
     rep = tsh.verify_shards(spark, empty)
     assert rep["ok"] and rep["n_sequences"] == 0
+
+
+def test_empty_write_guardrails(spark, tmp_path):
+    """An empty corpus with no pinned vocab must raise (an empty
+    TRAINED vocab would UNK every later append forever), and an empty
+    overwrite of a non-empty directory clears the old shard data like
+    any other overwrite."""
+    import glob
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "g")
+    with pytest.raises(ValueError, match="empty corpus"):
+        tsh.write_tokenized_shards(empty, out, seq_len=4)
+
+    vocab = {"aa": 2, " bb": 3}
+    tsh.write_tokenized_shards(
+        _docs(spark, [(0, "aa bb")]), out, seq_len=4, vocab=vocab
+    )
+    assert glob.glob(out + "/shard_id=*")
+    tsh.write_tokenized_shards(empty, out, seq_len=4, vocab=vocab)
+    assert not glob.glob(out + "/shard_id=*")  # stale shards cleared
+    assert tsh.read_tokenizer_meta(out)["total_tokens"] == 0
+    assert tsh.verify_shards(spark, out)["ok"]
+
+
+def test_verify_shards_lost_data(spark, tmp_path):
+    """A meta that claims content whose shard files are gone reports
+    ok=False instead of crashing (the lost-rewrite case); a missing
+    meta likewise."""
+    import glob
+    import shutil
+
+    out = str(tmp_path / "lost")
+    tsh.write_tokenized_shards(
+        _docs(spark, [(0, "aa bb cc dd")]), out, seq_len=4,
+        vocab={"aa": 2, " bb": 3, " cc": 4, " dd": 5},
+    )
+    for d in glob.glob(out + "/shard_id=*"):
+        shutil.rmtree(d)
+    rep = tsh.verify_shards(spark, out)
+    assert not rep["ok"] and "error" in rep
+
+    rep = tsh.verify_shards(spark, str(tmp_path / "never_existed"))
+    assert not rep["ok"] and "error" in rep

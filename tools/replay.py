@@ -18,7 +18,6 @@ session-default bugs the tuned test session masked."""
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -26,21 +25,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _canon(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
-
-
-def _rows_canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted([tuple(_canon(r[i]) for i in order) for r in rows], key=repr)
+from ong_tsdb_spark.compare import TABLES, canon_rows as _rows_canon  # noqa: E402
 
 
 def main(argv=None) -> int:
