@@ -267,3 +267,41 @@ def test_cli_verify_shards(spark, tmp_path):
         out, seq_len=4, vocab={"aa": 2, " bb": 3},
     )
     assert main(["verify-shards", "--shards", out]) == 0
+
+
+def test_cli_curate_vocab_file(spark, tmp_path):
+    """--vocab-file pins a pre-trained vocabulary (list form) so the
+    shard ids do not depend on the first batch's token distribution."""
+    import json as _json
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    good = " ".join(("the be to of and that have with " * 10).split())
+    (src / "a.jsonl").write_text(
+        _json.dumps(
+            {"doc_id": 1, "text": good, "lang": "en", "source": "s", "n_chars": len(good)}
+        )
+        + "\n"
+    )
+    vf = tmp_path / "vocab.json"
+    vf.write_text(_json.dumps(["the", " be", " to", " of"]))
+    rc = main(
+        [
+            "curate",
+            "--src", str(src),
+            "--ledger", str(tmp_path / "l"),
+            "--clean", str(tmp_path / "o"),
+            "--checkpoint", str(tmp_path / "c"),
+            "--shards", str(tmp_path / "s"),
+            "--seq-len", "32",
+            "--vocab-file", str(vf),
+        ]
+    )
+    assert rc == 0
+    assert tsh.read_vocab(str(tmp_path / "s")) == {
+        "the": 2, " be": 3, " to": 4, " of": 5
+    }
+    assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["vocab_size"] == 4
