@@ -3230,6 +3230,51 @@ _PACK_SEQ_SQL = f"""
     """
 
 
+_DUP_SPAN_SQL = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wv AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                  list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647) AS w
+           FROM toks),
+    ht AS (SELECT doc_id, n_tokens,
+                 CASE WHEN len(w) >= 4
+                      THEN list_transform(range(1, len(w)-2),
+                             i -> list_reduce(list_prepend(0::BIGINT, w[i:i+3]),
+                                              (acc, x) -> (acc * 1000003 + x) % 2147483647))
+                      ELSE [] END AS hashes
+          FROM wv),
+    pos AS (SELECT doc_id, unnest(hashes) AS h, unnest(range(len(hashes))) AS pos
+            FROM ht),
+    freq AS (SELECT h, count(*) AS c FROM pos GROUP BY h),
+    dup AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (h) WHERE c >= 2),
+    led AS (SELECT doc_id, pos,
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+            FROM dup),
+    cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+                   CAST(sum(least(4, coalesce(np - pos, 4))) AS BIGINT) AS dup_cover_tokens
+            FROM led GROUP BY doc_id)
+    SELECT ht.doc_id, ht.n_tokens,
+           CAST(len(ht.hashes) AS BIGINT) AS n_windows,
+           CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(cov.dup_cover_tokens, 0) AS BIGINT) AS dup_cover_tokens,
+           CAST(coalesce(cov.dup_cover_tokens, 0) AS DOUBLE)
+             / CAST(ht.n_tokens AS DOUBLE) AS dup_frac
+    FROM ht LEFT JOIN cov USING (doc_id)
+    """
+
+
+@register("text_dup_spans", _DUP_SPAN_SQL)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document (exact substring dedup,
+    Lee et al. 2022): fraction of tokens covered by a 4-token window
+    whose Rabin-Karp hash repeats anywhere in the corpus — overlaps
+    union-merged exactly (operators/text.dup_span_stats).  The
+    suffix-array pass of the paper as a fingerprint inverted index:
+    one corpus-sized shuffle on the span hash, per-doc lead/agg, all
+    integer arithmetic plus one final division."""
+    docs = load(spark, sf_dir, "documents")
+    return text.dup_span_stats(docs, k=4)
+
+
 @register("corpus_pack_sequences", _PACK_SEQ_SQL)
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-tokenized training sequences, value-checked by CONTENT: the
@@ -3296,6 +3341,7 @@ _TAIL_ROTATION = [
     "multimodal_features",
     "multimodal_frame_sample",
     "text_contamination",
+    "dedup_winnow",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",

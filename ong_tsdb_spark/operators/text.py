@@ -97,6 +97,98 @@ def rolling_hash_table(
     )
 
 
+def dup_span_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """Duplicated-SPAN coverage per document (the metric behind exact
+    substring deduplication, Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of each document's tokens covered by some k-token window
+    whose Rabin-Karp hash occurs >= 2 times ANYWHERE in the corpus
+    (cross-doc or within-doc).  The suffix-array pass of the paper
+    re-expressed Spark-first: the fingerprint index replaces the
+    suffix array — hash-equal spans stand in for byte-equal spans
+    (mod-2^31-1 collisions are possible but deterministic, so both
+    engines agree row-for-row).
+
+    Returns (doc_id, n_tokens, n_windows, n_dup_windows,
+    dup_cover_tokens, dup_frac) — ``dup_cover_tokens`` is the exact
+    length of the UNION of the duplicated k-windows (overlaps merged
+    via the sorted-gap rule: each duplicated position contributes
+    min(k, next_dup_pos - pos)), so a run of overlapping duplicated
+    windows counts its tokens once.
+
+    Scale shape: one window count over the span-hash key (the only
+    corpus-sized shuffle), then per-doc lead/aggregate on the id key;
+    the hash table is materialized once for its two consumers (the
+    dedup._shingles_of / pack-pipeline rule — Catalyst reuses nothing
+    across consumers)."""
+    from pyspark.sql import Window
+
+    from .dedup import ensure_parallelism, materialize_for_self_join
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    wv = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % F.lit(ROLL_MOD),
+        ).alias("__wv"),
+    )
+    cnt = F.size(F.col("__wv"))
+    idx = F.when(cnt >= k, F.sequence(F.lit(1), cnt - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    ht = materialize_for_self_join(
+        wv.select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice(F.col("__wv"), i, k),
+                    F.lit(0).cast("long"),
+                    lambda acc, w: (acc * F.lit(ROLL_BASE) + w) % F.lit(ROLL_MOD),
+                ),
+            ).alias("hashes"),
+        )
+    )
+    pos = ht.select(
+        F.col(id_col), F.posexplode(F.col("hashes")).alias("pos", "h")
+    )
+    freq = F.count("*").over(Window.partitionBy("h"))
+    dup = pos.withColumn("__c", freq).filter(F.col("__c") >= 2)
+    nxt = F.lead("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+    per_doc = (
+        dup.withColumn("__next", nxt)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_windows"),
+            F.sum(
+                F.least(F.lit(k).cast("long"), F.coalesce(F.col("__next") - F.col("pos"), F.lit(k)).cast("long"))
+            ).cast("bigint").alias("dup_cover_tokens"),
+        )
+    )
+    return (
+        ht.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.size("hashes").cast("bigint").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce(F.col("dup_cover_tokens"), F.lit(0)).cast("bigint").alias("dup_cover_tokens"),
+            (
+                F.coalesce(F.col("dup_cover_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -1982,3 +1982,26 @@ def test_compact_ledger_never_overwrites_in_place(spark, tmp_path):
         for r in spark.read.parquet(ledger).select(sd.FINGERPRINT_COL).distinct().collect()
     )
     assert got == ["a", "b", "c"]
+
+
+def test_dup_span_stats_planted(spark):
+    """Hand-checkable duplicated-span coverage: a shared 4-token span
+    covers exactly 4 tokens in each doc carrying it; a fully
+    self-repeating doc reaches dup_frac 1.0 with overlapping windows
+    union-merged (9 consecutive dup windows over 12 tokens count 12
+    covered tokens, not 36); a unique doc reports zero."""
+    rows = [
+        (0, "a b c d e f"),            # shares [a b c d] with doc 1 and 3
+        (1, "a b c d x y"),
+        (2, "q r s t"),                # all windows unique
+        (3, "a b c d a b c d a b c d"),  # every window duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.dup_span_stats(df, k=4).collect()}
+    assert out[0]["n_tokens"] == 6 and out[0]["n_windows"] == 3
+    assert out[0]["n_dup_windows"] == 1 and out[0]["dup_cover_tokens"] == 4
+    assert out[0]["dup_frac"] == 4 / 6
+    assert out[1]["dup_cover_tokens"] == 4
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[3]["n_windows"] == 9 and out[3]["n_dup_windows"] == 9
+    assert out[3]["dup_cover_tokens"] == 12 and out[3]["dup_frac"] == 1.0
