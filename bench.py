@@ -75,6 +75,7 @@ HEADLINE = [
     "text_fertility",
     "corpus_delta_stats",
     "corpus_pack_sequences",
+    "text_dup_spans",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -119,6 +120,7 @@ SCALE_FAMILIES = [
     "text_fertility",
     "corpus_delta_stats",
     "corpus_pack_sequences",
+    "text_dup_spans",
 ]
 
 
