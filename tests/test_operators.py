@@ -2005,3 +2005,56 @@ def test_dup_span_stats_planted(spark):
     assert out[2]["n_dup_windows"] == 0 and out[2]["dup_frac"] == 0.0
     assert out[3]["n_windows"] == 9 and out[3]["n_dup_windows"] == 9
     assert out[3]["dup_cover_tokens"] == 12 and out[3]["dup_frac"] == 1.0
+
+
+def test_dup_span_stats_matches_python_model(spark):
+    """dup_span_stats vs an exact Python twin over a randomized corpus
+    shape: same md5-derived Rabin-Karp hashes, same >= 2 frequency
+    rule, same sorted-gap interval union."""
+    import hashlib
+    import random
+
+    M, B, K = 2_147_483_647, 1_000_003, 4
+    rng = random.Random(42)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        for _ in range(30)
+    ]
+
+    def wval(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % M
+
+    def hashes_of(text: str) -> list[int]:
+        toks = text.split(" ")
+        vals = [wval(t) for t in toks]
+        if len(vals) < K:
+            return []
+        out = []
+        for i in range(len(vals) - K + 1):
+            acc = 0
+            for w in vals[i : i + K]:
+                acc = (acc * B + w) % M
+            out.append(acc)
+        return out
+
+    hs = {i: hashes_of(t) for i, t in enumerate(texts)}
+    freq: dict[int, int] = {}
+    for h in hs.values():
+        for x in h:
+            freq[x] = freq.get(x, 0) + 1
+    want = {}
+    for i, t in enumerate(texts):
+        dup = [p for p, x in enumerate(hs[i]) if freq[x] >= 2]
+        cover = sum(
+            min(K, dup[j + 1] - dup[j]) if j + 1 < len(dup) else K
+            for j in range(len(dup))
+        )
+        want[i] = (len(t.split(" ")), len(hs[i]), len(dup), cover)
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["dup_cover_tokens"])
+        for r in text.dup_span_stats(df, k=K).collect()
+    }
+    assert got == want
