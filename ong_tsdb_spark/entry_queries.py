@@ -3326,9 +3326,10 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAIL_ROTATION = [
     # green driver rows in r4; local superset gate still covers them
-    # (multimodal_frame_sample / text_contamination rotated out
-    # late-r5 to make head room for corpus_pack_sequences — the
-    # pre-tokenized shard content check — and emb_ivf_recall;
+    # (multimodal_frame_sample / text_contamination / dedup_winnow
+    # rotated out late-r5 to make head room for corpus_pack_sequences
+    # — the pre-tokenized shard content check — emb_ivf_recall and
+    # text_dup_spans;
     # dedup_exact / text_quality / text_langid rotated out mid-r5 to
     # make head room for dedup_semantic, text_bm25_topk and ts_ewma;
     # dedup_ngram_jaccard / dedup_minhash_lsh / emb_cosine_topk for
