@@ -733,7 +733,14 @@ def iter_training_sequences(out_dir: str):
     scanning shard directories ascending and each file's rows in
     written order (the writer sorts within partitions, so file order
     IS training order).  This is the complete handoff: a training
-    process needs only pyarrow + numpy and this function."""
+    process needs only pyarrow + numpy and this function.
+
+    Concurrency: reads a SNAPSHOT of whatever files exist — do not
+    iterate while an append is rewriting the boundary shard (the
+    loader normally consumes a directory the ingest side has finished
+    with; for live tailing, stop at ``meta['boundary']['seq_id'] - 1``
+    of a meta read BEFORE the scan, which is always fully
+    committed)."""
     import glob
 
     import numpy as np
