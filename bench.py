@@ -76,6 +76,7 @@ HEADLINE = [
     "corpus_delta_stats",
     "corpus_pack_sequences",
     "text_dup_spans",
+    "text_c4_quality",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

@@ -3230,6 +3230,51 @@ _PACK_SEQ_SQL = f"""
     """
 
 
+_C4_SQL = (
+    """
+    WITH f AS (
+      SELECT doc_id, text, lower(text) AS lo,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(trim(l), '[.!?"]$')
+                              AND len(string_split(trim(l), ' ')) >= 5) AS kept
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             CAST(coalesce(len(regexp_extract_all(
+                    array_to_string(kept, chr(10)), '[.!?]')), 0)
+                  AS BIGINT) AS n_sentences,
+             contains(text, '{') AS has_brace,
+             ("""
+    + " OR ".join(
+        f"contains(lo, '{p}')" for p in text.C4_POLICY_PHRASES
+    )
+    + """) AS has_policy
+      FROM f)
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_brace, has_policy,
+           (n_sentences >= 3 AND NOT has_brace AND NOT has_policy) AS c4_pass
+    FROM g
+    """
+)
+
+
+@register("text_c4_quality", _C4_SQL)
+def text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) per document —
+    line-level terminal-punctuation/5-word filter, the >= 3-sentence
+    page rule on the RETAINED lines, and the brace / boilerplate-phrase
+    drops (operators/text.c4_quality).  Pure map-side line/array
+    expressions; the span-level dedup that completes C4 is
+    dedup_passage_stats.  NOTE the synthetic corpus has no newlines or
+    terminal punctuation, so every row fails the sentence rule here —
+    the operator's semantics are pinned by the hand-built fixtures in
+    tests/test_operators.py."""
+    docs = load(spark, sf_dir, "documents")
+    return text.c4_quality(docs)
+
+
 _DUP_SPAN_SQL = """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     wv AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -3343,6 +3388,7 @@ _TAIL_ROTATION = [
     "multimodal_frame_sample",
     "text_contamination",
     "dedup_winnow",
+    "text_rolling_fingerprint",
     "text_quality",
     "text_langid",
     "dedup_ngram_jaccard",

@@ -97,6 +97,63 @@ def rolling_hash_table(
     )
 
 
+#: boilerplate phrases whose presence drops a page under the C4 rules
+#: (Raffel et al. 2020 §2.2) — the oracle SQL embeds the same list
+C4_POLICY_PHRASES = [
+    "lorem ipsum",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+]
+
+
+def c4_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) per document — the named rule-set next to
+    :func:`gopher_quality`:
+
+    * line filter: keep only lines ending in terminal punctuation
+      (``. ! ? "``) with at least 5 words,
+    * page keeps only if the RETAINED lines carry >= 3 sentences
+      (terminal-mark count),
+    * drop any page containing ``{`` (code), "lorem ipsum", or a
+      policy/boilerplate phrase (case-insensitive).
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_brace,
+    has_policy, c4_pass).  Pure Catalyst line/array expressions —
+    map-side, integer counts, no shuffle; the three-sentence-SPAN
+    dedup that completes C4 is :func:`~..dedup.passage_dup_stats`."""
+    lines = F.split(F.col(text_col), "\n")
+    keep_line = lambda l: (  # noqa: E731
+        F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), " ")) >= 5)
+    )
+    kept = F.filter(lines, keep_line)
+    kept_text = F.array_join(kept, "\n")
+    lower = F.lower(F.col(text_col))
+    has_policy = None
+    for p in C4_POLICY_PHRASES:
+        c = lower.contains(p)
+        has_policy = c if has_policy is None else (has_policy | c)
+    n_sent = F.size(F.regexp_extract_all(kept_text, F.lit("[.!?]"), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        has_policy.alias("has_policy"),
+        (
+            (n_sent >= 3)
+            & ~F.col(text_col).contains("{")
+            & ~has_policy
+        ).alias("c4_pass"),
+    )
+
+
 def dup_span_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:

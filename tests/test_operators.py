@@ -2058,3 +2058,63 @@ def test_dup_span_stats_matches_python_model(spark):
         for r in text.dup_span_stats(df, k=K).collect()
     }
     assert got == want
+
+
+def test_c4_quality_fixture(spark):
+    """C4 rules on hand-built pages: line filtering (terminal punct +
+    5 words), the 3-sentence page rule over RETAINED lines only, and
+    the brace / boilerplate drops."""
+    good = (
+        "this page has a first real sentence.\n"
+        "short line.\n"                             # < 5 words -> dropped
+        "another proper sentence follows right here!\n"
+        "a third full sentence closes the page?"
+    )
+    unpunct = "lines with five good words\nbut none end with punctuation"
+    braced = good + "\nfunction() { return 1; }"
+    policy = good + "\nplease read our privacy policy."
+    rows = [(0, good), (1, unpunct), (2, braced), (3, policy)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.c4_quality(df).collect()}
+
+    assert out[0]["n_lines"] == 4 and out[0]["n_kept_lines"] == 3
+    assert out[0]["n_sentences"] == 3 and out[0]["c4_pass"]
+    assert out[1]["n_kept_lines"] == 0 and out[1]["n_sentences"] == 0
+    assert not out[1]["c4_pass"]
+    assert out[2]["has_brace"] and not out[2]["c4_pass"]
+    assert out[3]["has_policy"] and not out[3]["c4_pass"]
+
+
+def test_c4_quality_oracle_on_fixture(spark, tmp_path):
+    """The synthetic corpus has no newlines/punctuation, so the driver
+    row can't exercise the line-filter lambda; run the DuckDB twin on
+    the NON-degenerate fixture corpus and require exact equality."""
+    import duckdb
+
+    from ong_tsdb_spark import entry_queries as eq
+    from ong_tsdb_spark.compare import canon_rows
+
+    good = (
+        "this page has a first real sentence.\n"
+        "short line.\n"
+        "another proper sentence follows right here!\n"
+        "a third full sentence closes the page?"
+    )
+    rows = [
+        (0, good),
+        (1, "lines with five good words\nbut none end with punctuation"),
+        (2, good + "\nfunction() { return 1; }"),
+        (3, good + "\nplease read our privacy policy."),
+        (4, 'a quoted ending with five words"'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'")
+    sdf = text.c4_quality(df)
+    srows = canon_rows(sdf.columns, sdf.collect())
+    rel = con.sql(eq.REGISTRY["text_c4_quality"].sql)
+    orows = canon_rows(rel.columns, rel.fetchall())
+    assert srows == orows
