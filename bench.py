@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "text_dup_spans",
     "text_c4_quality",
+    "text_classifier_quality",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

@@ -3338,6 +3338,43 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_sql() -> str:
+    w = text.classifier_weights()
+    n = len(w)
+    wl = ",".join(str(int(x)) for x in w)
+    return f"""
+    WITH w AS (SELECT [{wl}]::BIGINT[] AS wl),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks,
+                  tok -> wl[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {n} AS INT) + 1]))
+               AS BIGINT) AS score
+      FROM t, w)
+    SELECT doc_id, n_tokens, score,
+           CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_weight,
+           score > 0 AS clf_pass
+    FROM s
+    """
+
+
+@register("text_classifier_quality", _clf_sql())
+def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/text.classifier_quality):
+    a hashed bag-of-words LINEAR classifier scored over every document
+    — the execution shape of fastText-style quality/toxicity filters
+    and the FineWeb-Edu educational-value model.  The deterministic
+    integer weight vector stands in for trained coefficients; it rides
+    the plan as a broadcast literal and scoring is a pure column
+    expression over the token array (no explode, no shuffle, no
+    Python) — at 100 TB the cost is exactly the corpus scan.  Integer
+    score (order-free sum) + one correctly-rounded division, so the
+    row set is bit-identical cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    return text.classifier_quality(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3370,6 +3407,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 _TAIL_ROTATION = [
+    # r4-green entries rotated out mid/late-r5 to make head room for the
+    # round's model-filtering / PQ / DSIR / BPE-trainer / RAG-chunking
+    # additions (each was fully green in CORRECTNESS_r04.json, so the
+    # every-other-round driver-evidence property is preserved):
+    "ts_upsert_last_wins",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences

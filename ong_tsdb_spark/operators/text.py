@@ -964,3 +964,83 @@ def fertility_by_lang(
             "fertility"
         ),
     )
+
+
+# ======================================================================
+# model-based quality filtering (hashed linear classifier)
+# ======================================================================
+
+#: Hashed-feature width of the linear quality classifier.  256 keeps
+#: the weight vector a comfortable in-plan literal (and a readable SQL
+#: list) while still spreading the corpus vocabulary thinly enough
+#: that the score behaves like a real bag-of-words model.
+CLF_BUCKETS = 256
+
+
+def classifier_weights(n_buckets: int = CLF_BUCKETS) -> list[int]:
+    """Deterministic integer stand-in for a trained linear model's
+    coefficients: ``w[b] = ((b * 2654435761 + 12345) mod 1001) - 500``
+    (Knuth's multiplicative constant), integers in [-500, 500].
+
+    A production pipeline would put fastText / logistic-regression
+    weights here (FineWeb-Edu-style model filtering); the weights being
+    synthetic changes nothing about the execution shape, which is the
+    part that matters at 100 TB — the model rides along as a broadcast
+    literal and scoring is map-side.  Integer weights keep the score
+    exact in any engine and any evaluation order."""
+    return [((b * 2654435761 + 12345) % 1001) - 500 for b in range(n_buckets)]
+
+
+def hash_bucket(tok: Column, n_buckets: int) -> Column:
+    """Token -> feature bucket via the repo's cross-engine integer
+    hash: the first 8 hex chars of md5 as a bigint (Spark
+    ``conv(hex, 16, 10)`` == DuckDB ``('0x' || substr)::BIGINT``),
+    mod the bucket count.  Always non-negative (the 32-bit value is
+    positive in a 64-bit signed int)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % F.lit(
+        n_buckets
+    )
+
+
+def classifier_quality(
+    df: DataFrame,
+    weights: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a (hashed bag-of-words, linear) quality classifier to
+    every document — the model-based filtering stage of an LLM data
+    pipeline (the shape of fastText quality/toxicity filters and the
+    FineWeb-Edu educational-value classifier).
+
+    Per document: each whitespace token hashes to one of
+    ``len(weights)`` feature buckets; ``score`` is the integer sum of
+    the bucket weights over the token sequence, ``mean_weight`` the
+    per-token average, and ``clf_pass`` the thresholded verdict
+    (score > 0).
+
+    Scale shape: the weight vector travels as a plan literal (a real
+    model's coefficients would be broadcast the same way), and the
+    whole computation is a pure column expression over the token array
+    — no explode, no shuffle, no Python; corpus cost is exactly the
+    Parquet scan.  Integer arithmetic end to end, so the result is
+    bit-identical cross-engine (the sum is order-free; the single
+    double division for ``mean_weight`` is correctly rounded from
+    exact integer inputs)."""
+    w = weights if weights is not None else classifier_weights()
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    toks = tokens(F.col(text_col))
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (hash_bucket(t, len(w)) + F.lit(1)).cast("int")),
+    )
+    n = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        score.cast("bigint").alias("score"),
+        (score.cast("double") / n.cast("double")).alias("mean_weight"),
+        (score > F.lit(0)).alias("clf_pass"),
+    )

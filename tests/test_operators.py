@@ -2118,3 +2118,30 @@ def test_c4_quality_oracle_on_fixture(spark, tmp_path):
     rel = con.sql(eq.REGISTRY["text_c4_quality"].sql)
     orows = canon_rows(rel.columns, rel.fetchall())
     assert srows == orows
+
+
+def test_classifier_quality_python_twin(spark):
+    """The hashed linear classifier against an independent pure-Python
+    model (hashlib.md5 + int weights) — exact equality, including the
+    empty-token edge (split('') == ['']) and the pass verdict."""
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "the the the"),
+        (3, ""),
+        (4, "zebra quux " * 20 + "end"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.classifier_quality(df).collect()}
+
+    w = text.classifier_weights()
+    for doc_id, t in docs:
+        toks = t.split(" ")
+        score = sum(
+            w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % len(w)]
+            for tok in toks
+        )
+        r = out[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["score"] == score
+        assert r["mean_weight"] == score / len(toks)
+        assert r["clf_pass"] == (score > 0)
