@@ -78,6 +78,7 @@ HEADLINE = [
     "text_dup_spans",
     "text_c4_quality",
     "text_classifier_quality",
+    "corpus_dsir_weights",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

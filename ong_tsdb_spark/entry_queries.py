@@ -3375,6 +3375,50 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.classifier_quality(docs)
 
 
+def _dsir_sql() -> str:
+    n = text.DSIR_BUCKETS
+    bucket = "('0x' || substr(md5(tok), 1, 8))::BIGINT % {n}".format(n=n)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    e AS (
+      SELECT {bucket} AS b, CAST(lang = 'en' AS INT) AS is_t
+      FROM (SELECT lang, unnest(toks) AS tok FROM t)),
+    c AS (SELECT b, count(*) AS raw, sum(is_t) AS tgt FROM e GROUP BY b),
+    fullb AS (
+      SELECT r.b, coalesce(c.raw, 0) AS raw, coalesce(c.tgt, 0) AS tgt
+      FROM (SELECT unnest(range(0, {n})) AS b) r LEFT JOIN c USING (b)),
+    w AS (SELECT list((tgt + 1)::DOUBLE / (raw + 1)::DOUBLE ORDER BY b) AS wl FROM fullb),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_reduce(list_transform(toks,
+                  tok -> wl[CAST({bucket} AS INT) + 1]),
+                  (a, x) -> a + x) AS imp_sum,
+             (lang = 'en') AS is_target
+      FROM t, w)
+    SELECT doc_id, n_tokens, imp_sum,
+           imp_sum / CAST(n_tokens AS DOUBLE) AS imp_mean,
+           is_target
+    FROM s
+    """
+
+
+@register("corpus_dsir_weights", _dsir_sql())
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with lang='en' as the
+    target domain (operators/text.dsir_importance): hashed-unigram
+    raw/target distributions from ONE map-side-combined token
+    aggregate, then a per-document likelihood-ratio score as a pure
+    column expression with the 64-weight model as a plan literal.  The
+    data-selection stage that tilts a 100-TB crawl toward a target
+    domain — corpus cost is one aggregate plus the scan.  Rational
+    add-one ratios instead of the paper's log-ratios keep every
+    operation correctly rounded (bit-identical cross-engine; deviation
+    documented in the operator)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.dsir_importance(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3412,6 +3456,7 @@ _TAIL_ROTATION = [
     # additions (each was fully green in CORRECTNESS_r04.json, so the
     # every-other-round driver-evidence property is preserved):
     "ts_upsert_last_wins",
+    "corpus_clean_pipeline",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences

@@ -1044,3 +1044,102 @@ def classifier_quality(
         (score.cast("double") / n.cast("double")).alias("mean_weight"),
         (score > F.lit(0)).alias("clf_pass"),
     )
+
+
+# ======================================================================
+# DSIR importance weights (Xie et al. 2023, "Data Selection via
+# Importance Resampling")
+# ======================================================================
+
+#: Hashed-feature width of the DSIR importance model.  64 buckets keep
+#: the two count vectors a driver-side scalar (and the oracle's weight
+#: list readable) while leaving enough resolution for the ratio
+#: features to separate domains on the synthetic corpus.
+DSIR_BUCKETS = 64
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> tuple[list[int], list[int]]:
+    """(raw, target) token counts per hashed unigram bucket — the two
+    n-gram distributions DSIR compares.  One explode + ONE aggregate
+    whose hash partial-combine collapses the token stream map-side, so
+    the shuffle carries ``n_mappers x n_buckets`` rows regardless of
+    corpus size; the driver holds 2 x n_buckets bigints (the "model",
+    like the IVF trainer's k x dim centroid table).  Buckets absent
+    from the corpus count 0 (the dense vectors keep oracle indexing
+    aligned)."""
+    from .dedup import ensure_parallelism
+
+    ex = ensure_parallelism(df).select(
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        target_pred.cast("int").alias("is_t"),
+    ).filter(F.col("tok").isNotNull())
+    rows = (
+        ex.groupBy(hash_bucket(F.col("tok"), n_buckets).alias("b"))
+        .agg(F.count("*").alias("raw"), F.sum("is_t").alias("tgt"))
+        .collect()
+    )
+    raw, tgt = [0] * n_buckets, [0] * n_buckets
+    for r in rows:
+        raw[int(r["b"])] = int(r["raw"])
+        tgt[int(r["b"])] = int(r["tgt"])
+    return raw, tgt
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance weights for target-domain resampling
+    (DSIR): estimate hashed-unigram distributions over the whole corpus
+    (raw) and over the target-domain subset, then score every document
+    by its tokens' target/raw likelihood ratios.  The downstream
+    pipeline samples documents with probability proportional to the
+    weight, tilting the corpus toward the target domain.
+
+    One documented deviation from the paper: per-token features are
+    the RATIONAL add-one ratios ``(tgt_b + 1) / (raw_b + 1)`` summed
+    per document (an arithmetic-mean surrogate), not the paper's
+    summed log-ratios (a geometric mean).  ``log`` is not required to
+    be correctly rounded by IEEE 754, so two libms can disagree in the
+    last ulp and break value-exact cross-engine checks (same policy as
+    bm25_scores); the additive form uses only correctly-rounded
+    +,*,/ in a fixed left-to-right fold, bit-identical in any IEEE
+    engine.
+
+    Scale shape: phase 1 is one token-stream aggregate (map-side
+    partial combine; shuffle bounded by mappers x buckets) whose
+    2 x n_buckets result rides the driver; phase 2 is a pure column
+    expression with the weight vector as a plan literal — per-doc cost
+    is the scan plus one md5 per token, no joins, no per-doc shuffle.
+
+    Returns (id, n_tokens, imp_sum, imp_mean, is_target)."""
+    if target_pred is None:
+        target_pred = F.col("lang") == F.lit("en")
+    raw, tgt = dsir_bucket_counts(df, target_pred, n_buckets, text_col)
+    # each weight is one exact-int division — correctly rounded, so the
+    # Python float here equals the SQL double the oracle computes
+    w = [(t + 1) / (r + 1) for t, r in zip(tgt, raw)]
+    warr = F.array(*[F.lit(float(x)).cast("double") for x in w])
+    toks = tokens(F.col(text_col))
+    imp = F.aggregate(
+        toks,
+        F.lit(0.0).cast("double"),
+        lambda acc, t: acc
+        + F.element_at(warr, (hash_bucket(t, n_buckets) + F.lit(1)).cast("int")),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        imp.alias("imp_sum"),
+        (imp / n.cast("double")).alias("imp_mean"),
+        target_pred.alias("is_target"),
+    )

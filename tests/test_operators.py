@@ -2145,3 +2145,50 @@ def test_classifier_quality_python_twin(spark):
         assert r["score"] == score
         assert r["mean_weight"] == score / len(toks)
         assert r["clf_pass"] == (score > 0)
+
+
+def test_dsir_importance_python_twin_and_ranking(spark):
+    """DSIR importance on a planted two-domain corpus: exact equality
+    with an independent Python model (hashlib buckets, add-one ratio
+    weights, left-to-right float fold), and the semantic property —
+    documents made of target-domain vocabulary score higher than
+    off-domain documents."""
+    docs = [
+        (1, "alpha beta alpha gamma", "en"),
+        (2, "alpha beta beta", "en"),
+        (3, "uno dos tres quatro", "es"),
+        (4, "alpha beta gamma", "es"),  # target-vocab doc outside the domain
+        (5, "uno uno dos", "es"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in text.dsir_importance(df).collect()}
+
+    nb = text.DSIR_BUCKETS
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nb
+
+    raw, tgt = [0] * nb, [0] * nb
+    for _, t, lang in docs:
+        for tok in t.split(" "):
+            raw[bucket(tok)] += 1
+            if lang == "en":
+                tgt[bucket(tok)] += 1
+    w = [(t + 1) / (r + 1) for t, r in zip(tgt, raw)]
+
+    for doc_id, t, lang in docs:
+        toks = t.split(" ")
+        imp = 0.0
+        for tok in toks:
+            imp += w[bucket(tok)]
+        r = out[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["imp_sum"] == imp
+        assert r["imp_mean"] == imp / len(toks)
+        assert r["is_target"] == (lang == "en")
+
+    # the ranking property DSIR exists for: target-vocab docs (even the
+    # one labeled outside the domain) outscore off-domain-vocab docs
+    assert out[4]["imp_mean"] > out[3]["imp_mean"]
+    assert out[4]["imp_mean"] > out[5]["imp_mean"]
+    assert out[1]["imp_mean"] > out[3]["imp_mean"]
