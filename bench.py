@@ -79,6 +79,7 @@ HEADLINE = [
     "text_c4_quality",
     "text_classifier_quality",
     "corpus_dsir_weights",
+    "emb_pq_adc_topk",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -124,6 +125,7 @@ SCALE_FAMILIES = [
     "corpus_delta_stats",
     "corpus_pack_sequences",
     "text_dup_spans",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -1811,50 +1811,57 @@ def _ivf_l2_sql(a: str, b: str, dim: int) -> str:
     )
 
 
-def _ivf_train_sql(k: int, iters: int, dim: int) -> tuple[str, str]:
+def _ivf_train_sql(
+    k: int, iters: int, dim: int, suffix: str = "", vec_expr: str = "embedding"
+) -> tuple[str, str]:
     """The unrolled integer-exact Lloyd's chain as a CTE fragment
-    (shared by the IVF top-k and semantic-dedup oracles).  Returns
+    (shared by the IVF top-k, semantic-dedup and PQ oracles).  Returns
     ``(ctes, last)`` where ``ctes`` defines q0 (quantized vectors)
     through the final centroid CTE ``last``.  Every training step is
     bigint arithmetic (quantize by 2^20 is rounding-free for float32,
     sums are exact in any order, centroid = floored mean via the
     truncated-mod floor-division identity), so both engines converge
-    to BIT-IDENTICAL centroids and cluster assignments."""
+    to BIT-IDENTICAL centroids and cluster assignments.
+
+    ``suffix`` namespaces every CTE (so several chains — one per PQ
+    subspace — compose in one statement); ``vec_expr`` selects the
+    trained vector (e.g. a list slice for a PQ subspace)."""
     scale = similarity.IVF_QUANT_SCALE
+    sx = suffix
     ctes = [
-        f"""q0 AS (
+        f"""q0{sx} AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
+             list_transform({vec_expr}, x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
       FROM embeddings),
-    c0 AS (
+    c0{sx} AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
-      FROM (SELECT vec_id, qv FROM q0 ORDER BY vec_id LIMIT {k}))"""
+      FROM (SELECT vec_id, qv FROM q0{sx} ORDER BY vec_id LIMIT {k}))"""
     ]
-    prev = "c0"
+    prev = f"c0{sx}"
     for it in range(1, iters + 1):
         ctes.append(
-            f"""a{it} AS (
+            f"""a{it}{sx} AS (
       SELECT vec_id, qv, cid FROM (
         SELECT q.vec_id, q.qv, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
-        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1),
-    s{it} AS (
+        FROM q0{sx} q CROSS JOIN {prev} c) WHERE rn = 1),
+    s{it}{sx} AS (
       SELECT cid, pos, SUM(qv[pos]) AS s, COUNT(*) AS n
-      FROM a{it}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
+      FROM a{it}{sx}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
       GROUP BY cid, pos),
-    n{it} AS (
+    n{it}{sx} AS (
       SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cv
-      FROM s{it} GROUP BY cid),
-    c{it} AS (
+      FROM s{it}{sx} GROUP BY cid),
+    c{it}{sx} AS (
       SELECT c.cid, COALESCE(u.cv, c.cv) AS cv
-      FROM {prev} c LEFT JOIN n{it} u USING (cid))"""
+      FROM {prev} c LEFT JOIN n{it}{sx} u USING (cid))"""
         )
-        prev = f"c{it}"
+        prev = f"c{it}{sx}"
     return ",".join(ctes), prev
 
 
-def _ivf_af_sql(prev: str, dim: int) -> str:
+def _ivf_af_sql(prev: str, dim: int, suffix: str = "") -> str:
     """Final exact assignment CTE body: every vector to its nearest
     trained centroid (lowest-index tie-break, like np.argmin)."""
     return f"""
@@ -1862,7 +1869,7 @@ def _ivf_af_sql(prev: str, dim: int) -> str:
         SELECT q.vec_id, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
-        FROM q0 q CROSS JOIN {prev} c) WHERE rn = 1"""
+        FROM q0{suffix} q CROSS JOIN {prev} c) WHERE rn = 1"""
 
 
 def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, topk: int = 10) -> str:
@@ -3419,6 +3426,66 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dsir_importance(docs)
 
 
+def _pq_sql(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, topk: int = 10
+) -> str:
+    """DuckDB twin of the PQ/ADC pipeline: m independent unrolled
+    Lloyd's chains (one per subspace slice of the embedding), exact
+    per-subspace code assignment, the asymmetric distance table from
+    the trained codebooks and the quantized query, and the final
+    integer ADC sum — bit-identical because every step is bigint
+    arithmetic (see _ivf_train_sql)."""
+    sub = dim // m
+    chains, afs, dts = [], [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes, prev = _ivf_train_sql(
+            k, iters, sub, suffix=f"_p{s}", vec_expr=f"embedding[{lo}:{hi}]"
+        )
+        chains.append(ctes)
+        afs.append(f"af_p{s} AS ({_ivf_af_sql(prev, sub, suffix=f'_p{s}')})")
+        dts.append(
+            f"""dt_p{s} AS (
+      SELECT c.cid, {_ivf_l2_sql("qq.qv", "c.cv", sub)} AS d
+      FROM {prev} c CROSS JOIN (SELECT qv FROM q0_p{s} WHERE vec_id = 0) qq)"""
+        )
+    joins = " ".join(
+        f"JOIN af_p{s} a{s} ON a{s}.vec_id = a0.vec_id" for s in range(1, m)
+    )
+    dt_joins = " ".join(f"JOIN dt_p{s} d{s} ON d{s}.cid = a{s}.cid" for s in range(m))
+    adc = " + ".join(f"d{s}.d" for s in range(m))
+    return f"""
+    WITH {",".join(chains)},
+    {",".join(afs)},
+    {",".join(dts)}
+    SELECT vec_id, adc_dist, rank FROM (
+      SELECT vec_id, adc_dist,
+             CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+      FROM (
+        SELECT a0.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+        FROM af_p0 a0 {joins} {dt_joins}
+        WHERE a0.vec_id <> 0)
+    ) WHERE rank <= {topk}
+    """
+
+
+@register("emb_pq_adc_topk", _pq_sql())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance top-k (Jegou et al.
+    2011; operators/similarity.train_pq_codebooks_exact / pq_adc_topk):
+    4 integer-exact sub-codebooks compress each 64-dim vector to 4
+    codes; search is m table lookups + integer adds per row with the
+    distance table as plan literals, then TakeOrderedAndProject.  The
+    memory side of billion-scale ANN — 256 B/vector becomes 4 B, no
+    float math in the scan — and fully value-checked: training,
+    encoding and ADC are bigint arithmetic end to end, so the DuckDB
+    twin (4 unrolled Lloyd's chains) matches rows+schema+hash."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks_exact(emb, m=4, k=8, iters=2)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.pq_adc_topk(emb, books, qvec, topk=10, exclude_ids=[0])
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3457,6 +3524,7 @@ _TAIL_ROTATION = [
     # every-other-round driver-evidence property is preserved):
     "ts_upsert_last_wins",
     "corpus_clean_pipeline",
+    "text_bpe_tokens",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences

@@ -895,3 +895,259 @@ def centroid_distances(
             ),
         )
     )
+
+
+# ======================================================================
+# product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search")
+# ======================================================================
+
+#: number of PQ subquantizers — 4 x 16-dim subspaces for the 64-dim
+#: test embeddings; at production dims (1k+) m scales up so each code
+#: stays one byte (k <= 256).
+PQ_M = 4
+
+
+def train_pq_codebooks_exact(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_arrow: bool = True,
+    fused: bool = True,
+) -> list[list[list[int]]]:
+    """Train the m per-subspace codebooks of a product quantizer with
+    the INTEGER-EXACT Lloyd's step on each dim/m-wide vector slice
+    (2^20-quantized bigint arithmetic, so the codebooks are
+    bit-identical across engines and partitionings, which is what lets
+    the whole PQ pipeline be value-checked against a DuckDB twin).
+
+    ``fused=True`` (default) trains all m subspaces in ONE pass per
+    iteration: a single Arrow assignment computes every subspace's
+    code, and a single groupBy on the joint code tuple (<= k^m combo
+    rows carrying full-dim sums) replaces m per-subspace aggregates;
+    the per-subspace marginals are folded driver-side in exact Python
+    ints.  Identical output to ``fused=False`` (m independent
+    train_ivf_centroids_exact runs — the reference path, pinned by
+    test) at m*(iters+1) -> 3 Spark jobs.  The combo table is k^m rows
+    max — fine for (k=8, m=4); for big k*m fall back to fused=False.
+
+    PQ is the memory side of billion-scale ANN: m codes of log2(k)
+    bits replace the float vector (64 x f32 = 256 B -> 4 B here), so a
+    100-TB embedding corpus compresses to a RAM-resident code table
+    while search cost drops to table lookups (see pq_adc_topk).
+
+    Distributed shape: per subspace, training shuffles k x (sub_dim+1)
+    cells per iteration independent of corpus size; the driver holds
+    m x k x sub_dim bigints.  The m trainings scan the corpus each —
+    at scale you'd cache the sliced projection once; the trainer
+    persists its own quantized input per call."""
+    dim = _infer_dim(df, vec_col)
+    if dim is None or dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    if not fused:
+        return [
+            train_ivf_centroids_exact(
+                df.select(
+                    F.col(id_col),
+                    F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+                ),
+                k=k,
+                iters=iters,
+                vec_col=vec_col,
+                id_col=id_col,
+                use_arrow=use_arrow,
+            )
+            for s in range(m)
+        ]
+    # fused path: identical math, 3 jobs total instead of m * (iters+1).
+    qdf = (
+        df.select(F.col(id_col), ivf_quantize_expr(F.col(vec_col)).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+        .filter(~F.exists(F.col("qv"), lambda x: x.isNull()))
+    )
+    init = qdf.orderBy(F.col(id_col)).limit(k).collect()
+    if not init:
+        return [[] for _ in range(m)]
+    k = len(init)
+    books = [
+        [[int(v) for v in r["qv"][s * sub : (s + 1) * sub]] for r in init]
+        for s in range(m)
+    ]
+    qdf = qdf.persist()
+    try:
+        for _ in range(iters):
+            assigned = _assign_pq_arrow(qdf, books, sub)
+            # ONE combo aggregate replaces m per-subspace aggregates:
+            # group on the m code columns jointly (<= k^m combo rows,
+            # each carrying the full dim sums + count), then fold the
+            # per-subspace marginals driver-side in exact Python ints —
+            # bit-identical to training each subspace separately.
+            combos = assigned.groupBy(*[f"__c{s}" for s in range(m)]).agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+            ).collect()
+            sums = [
+                [[0] * sub for _ in range(k)] for _ in range(m)
+            ]
+            ns = [[0] * k for _ in range(m)]
+            for r in combos:
+                cnt = int(r["n"])
+                for s in range(m):
+                    j = int(r[f"__c{s}"])
+                    ns[s][j] += cnt
+                    row = sums[s][j]
+                    for i in range(sub):
+                        row[i] += int(r[f"s{s * sub + i}"])
+            books = [
+                [
+                    [x // ns[s][j] for x in sums[s][j]]
+                    if ns[s][j]
+                    else books[s][j]
+                    for j in range(k)
+                ]
+                for s in range(m)
+            ]
+    finally:
+        qdf.unpersist()
+    return books
+
+
+def _assign_pq_arrow(qdf: DataFrame, books: list[list[list[int]]], sub: int) -> DataFrame:
+    """Arrow fast path assigning ALL m subspace codes in one pass —
+    per batch, m small int64 matmuls (same exact arithmetic and
+    lowest-index tie-break as _assign_exact_arrow, which remains the
+    single-codebook reference).  NULL vectors — or vectors containing
+    a null element — get NULL codes in every subspace (same float64
+    NaN-probe masking as _assign_exact_arrow)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    norms = [(C * C).sum(axis=1) for C in mats]
+    dim = len(books) * sub
+
+    def block(it):
+        for pdf in it:
+            out = pdf.copy()
+            if len(pdf) == 0:
+                for s in range(len(mats)):
+                    out[f"__c{s}"] = pd.Series([], dtype="Int32")
+                yield out
+                continue
+            M = np.array(
+                [
+                    np.asarray(v, dtype="float64")
+                    if v is not None
+                    else np.full(dim, np.nan)
+                    for v in pdf["qv"]
+                ]
+            )
+            mask = ~np.isnan(M).any(axis=1)
+            for s, (C, cn) in enumerate(zip(mats, norms)):
+                assign = pd.array([pd.NA] * len(pdf), dtype="Int32")
+                if mask.any():
+                    V = M[mask][:, s * sub : (s + 1) * sub].astype(np.int64)
+                    D = cn[None, :] - 2 * (V @ C.T)
+                    assign[mask] = np.argmin(D, axis=1).astype("int32")
+                out[f"__c{s}"] = assign
+            yield out
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(qdf.schema.fields)
+        + [StructField(f"__c{s}", IntegerType()) for s in range(len(books))]
+    )
+    return qdf.mapInPandas(block, out_schema)
+
+
+def pq_encode_exact(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Attach the m PQ codes (``pq_code_0..m-1``): per subspace, the
+    integer-exact squared-L2 argmin over that subspace's codebook
+    (lowest-index tie-break, matching np.argmin and the oracle's
+    row_number order).  Map-side, zero shuffle; NULL vectors (or
+    vectors with a null element) get NULL codes like ivf_assign_exact.
+
+    Arrow by default — one int64 matmul per subspace per batch; the
+    Catalyst fold path (m*k zip_with folds per row) remains as the
+    no-Arrow reference and the parity test pins them equal."""
+    sub = len(books[0][0])
+    if use_arrow:
+        qdf = df.withColumn("qv", ivf_quantize_expr(F.col(vec_col)))
+        out = _assign_pq_arrow(qdf, books, sub).drop("qv")
+        for s in range(len(books)):
+            out = out.withColumnRenamed(f"__c{s}", f"pq_code_{s}")
+        return out
+    clean = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    out = df
+    for s, book in enumerate(books):
+        qsub = ivf_quantize_expr(F.slice(F.col(vec_col), s * sub + 1, sub))
+        out = out.withColumn(
+            f"pq_code_{s}", F.when(clean, _nearest_centroid_l2(qsub, book))
+        )
+    return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    query_vec: list[float],
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact while
+    corpus vectors are represented by their PQ codes.  The m x k
+    distance table (query subvector -> every codebook entry, integer
+    squared L2 on exact Python ints) is computed driver-side and rides
+    the plan as literals; per row the approximate distance is m table
+    lookups + (m-1) integer adds, then TakeOrderedAndProject keeps the
+    global top-k without a full sort.
+
+    This is the serving shape of PQ at scale: the scan reads only the
+    code columns (4 B/vector instead of 256 B), distance evaluation
+    does no float math at all, and the only cross-partition traffic is
+    the per-task top-k heap merge.  Integer arithmetic end to end —
+    bit-identical cross-engine, ties broken by id for a total order.
+
+    Returns (id, adc_dist, rank), ascending distance."""
+    m, sub = len(books), len(books[0][0])
+    qq = ivf_quantize_py(query_vec)
+    tables = [
+        [
+            sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
+            for c in book
+        ]
+        for s, book in enumerate(books)
+    ]
+    enc = pq_encode_exact(df, books, vec_col)
+    adc = None
+    for s in range(m):
+        t = F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
+            (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
+        )
+        adc = t if adc is None else adc + t
+    scored = enc.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col(id_col),
+        F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -2192,3 +2192,66 @@ def test_dsir_importance_python_twin_and_ranking(spark):
     assert out[4]["imp_mean"] > out[3]["imp_mean"]
     assert out[4]["imp_mean"] > out[5]["imp_mean"]
     assert out[1]["imp_mean"] > out[3]["imp_mean"]
+
+
+def test_pq_fused_training_matches_reference(spark):
+    """The fused one-aggregate-per-iteration PQ trainer must be
+    BIT-IDENTICAL to m independent integer-exact Lloyd's runs (the
+    reference path) — same seeds, same assignments, same floored
+    means."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fused = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2, fused=True)
+    ref = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2, fused=False)
+    assert fused == ref
+
+
+def test_pq_encode_arrow_matches_catalyst_and_nulls(spark):
+    """Arrow and Catalyst PQ encoders agree code-for-code, and a NULL
+    vector / null-element vector gets NULL codes on both paths."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    rows.append((98, None))
+    rows.append((99, [0.1] * 7 + [None]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.filter(F.col("vec_id") < 90)
+    books = similarity.train_pq_codebooks_exact(clean, m=2, k=3, iters=1)
+    cols = ["vec_id", "pq_code_0", "pq_code_1"]
+    a = {
+        r["vec_id"]: (r["pq_code_0"], r["pq_code_1"])
+        for r in similarity.pq_encode_exact(df, books, use_arrow=True).select(*cols).collect()
+    }
+    c = {
+        r["vec_id"]: (r["pq_code_0"], r["pq_code_1"])
+        for r in similarity.pq_encode_exact(df, books, use_arrow=False).select(*cols).collect()
+    }
+    assert a == c
+    assert a[98] == (None, None)
+    assert a[99] == (None, None)
+
+
+def test_pq_adc_planted_duplicates_rank_first(spark):
+    """ADC distance of an exact duplicate of the query is 0 in every
+    subspace, so planted copies must occupy the top ranks."""
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base), (1, list(base)), (2, list(base))]
+    rows += [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2)
+    # query AS STORED (float32) — quantizing the unrounded Python
+    # double would differ from the corpus copies by a few grid cells
+    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.pq_adc_topk(df, books, qvec, topk=5, exclude_ids=[0]).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["vec_id"] == 1 and by_rank[1]["adc_dist"] == 0
+    assert by_rank[2]["vec_id"] == 2 and by_rank[2]["adc_dist"] == 0
