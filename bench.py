@@ -80,6 +80,7 @@ HEADLINE = [
     "text_classifier_quality",
     "corpus_dsir_weights",
     "emb_pq_adc_topk",
+    "text_bpe_pairs",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

@@ -3486,6 +3486,33 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, books, qvec, topk=10, exclude_ids=[0])
 
 
+_BPE_PAIRS_SQL = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, length(wd)), i -> wd[i:i+1])) AS pair
+          FROM w WHERE length(wd) >= 2),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt, rank FROM (
+      SELECT pair, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+      FROM c
+    ) WHERE rank <= 20
+    """
+
+
+@register("text_bpe_pairs", _BPE_PAIRS_SQL)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair statistics (Sennrich et al. 2016;
+    operators/text.bpe_pair_counts): corpus-wide adjacent-character
+    pair frequencies, top-20 — the argmax table each merge round of
+    plans/bpe.train_bpe_merges consumes (this row set is the round-0
+    state, so a green row value-checks the trainer's counting step).
+    Pairs come from map-side substring windows (no per-char explode)
+    and hash-combine before the shuffle, which therefore carries
+    alphabet^2-bounded rows, never the corpus token stream."""
+    docs = load(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3525,6 +3552,7 @@ _TAIL_ROTATION = [
     "ts_upsert_last_wins",
     "corpus_clean_pipeline",
     "text_bpe_tokens",
+    "dedup_clusters",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences

@@ -1143,3 +1143,44 @@ def dsir_importance(
         (imp / n.cast("double")).alias("imp_mean"),
         target_pred.alias("is_target"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", topk: int = 20
+) -> DataFrame:
+    """Corpus-wide adjacent-character pair frequencies — the counting
+    step of BPE tokenizer training (Sennrich et al. 2016): the pair
+    chosen for each merge is the argmax of exactly this table at that
+    round's symbol state (this operator reports the round-0 state;
+    plans/bpe.train_bpe_merges iterates it).
+
+    Scale shape: pairs are generated map-side from the word strings
+    (substring windows — no per-char explode), and the count aggregate
+    hash-combines map-side, so the shuffle carries
+    ``mappers x |distinct pairs|`` rows (alphabet^2-bounded), never
+    the corpus token stream.  Top-k ranked (count desc, pair asc) for
+    a total order.
+
+    Returns (pair, cnt, rank)."""
+    from .dedup import ensure_parallelism
+
+    words = (
+        ensure_parallelism(df)
+        .select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w").isNotNull() & (F.length("w") >= 2))
+    )
+    pairs = words.select(
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    counts = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("cnt"))
+    order = [F.col("cnt").desc(), F.col("pair").asc()]
+    top = counts.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "pair", "cnt", "rank"
+    )
