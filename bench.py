@@ -81,6 +81,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "emb_pq_adc_topk",
     "text_bpe_pairs",
+    "doc_chunk_stats",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%

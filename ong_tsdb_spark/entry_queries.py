@@ -3513,6 +3513,35 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_pair_counts(docs)
 
 
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+                 1 + (greatest(len(toks) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S} AS n
+          FROM t),
+    e AS (SELECT doc_id, toks, unnest(range(0, n)) AS ci FROM b)
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(len(toks[ci*{_CHUNK_S}+1 : ci*{_CHUNK_S}+{_CHUNK_W}]) AS BIGINT) AS n_words,
+           md5(array_to_string(toks[ci*{_CHUNK_S}+1 : ci*{_CHUNK_S}+{_CHUNK_W}], ' ')) AS chunk_hash
+    FROM e
+    """
+
+
+@register("doc_chunk_stats", _CHUNK_SQL)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG chunking (operators/text.chunk_table):
+    64-word windows advancing by 48 (16-word overlap), last window
+    short — one row per chunk with its content-address hash, the
+    table a retrieval pipeline embeds and indexes.  Map-side generate
+    + slice, zero shuffle; value-checked chunk-for-chunk (the md5
+    content hash pins window boundaries AND word order against the
+    DuckDB twin)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.chunk_table(docs, chunk_words=_CHUNK_W, stride=_CHUNK_S)
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3553,6 +3582,7 @@ _TAIL_ROTATION = [
     "corpus_clean_pipeline",
     "text_bpe_tokens",
     "dedup_clusters",
+    "dedup_passage_stats",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences

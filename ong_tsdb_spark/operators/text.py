@@ -1184,3 +1184,51 @@ def bpe_pair_counts(
     return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "pair", "cnt", "rank"
     )
+
+
+def chunk_table(
+    df: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/RAG
+    materialization step: fixed-size word windows (``chunk_words``)
+    advancing by ``stride`` (overlap = chunk_words - stride), the last
+    window short if the document runs out.  Every document yields
+    ``1 + ceil(max(len - chunk_words, 0) / stride)`` chunks, so the
+    tail is always covered and a sub-window document yields exactly
+    one chunk.
+
+    Returns one row per chunk: (id, chunk_idx, n_words, chunk_hash) —
+    the hash (md5 of the space-joined window) is the chunk's content
+    address for downstream embedding/dedup stages.
+
+    Scale shape: pure generate + column expressions — the fan-out is
+    map-side (explode of a per-doc index sequence, ~len/stride rows
+    per doc), there is no shuffle at all, and the token array is
+    sliced per chunk without re-tokenizing.  Integer arithmetic and
+    md5 only — bit-identical cross-engine."""
+    toks = tokens(F.col(text_col))
+    n = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(F.size(toks) - F.lit(chunk_words), F.lit(0))
+             + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+    ).cast("int")
+    base = df.select(F.col(id_col), toks.alias("__t"), n.alias("__n"))
+    ex = base.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode_outer(F.sequence(F.lit(0), F.col("__n") - 1)).alias("ci"),
+    ).filter(F.col("ci").isNotNull())
+    ch = F.slice(F.col("__t"), F.col("ci") * stride + F.lit(1), F.lit(chunk_words))
+    return ex.select(
+        F.col(id_col),
+        F.col("ci").cast("bigint").alias("chunk_idx"),
+        F.size(ch).cast("bigint").alias("n_words"),
+        F.md5(F.array_join(ch, " ")).alias("chunk_hash"),
+    )

@@ -2255,3 +2255,34 @@ def test_pq_adc_planted_duplicates_rank_first(spark):
     by_rank = {r["rank"]: r for r in out}
     assert by_rank[1]["vec_id"] == 1 and by_rank[1]["adc_dist"] == 0
     assert by_rank[2]["vec_id"] == 2 and by_rank[2]["adc_dist"] == 0
+
+
+def test_chunk_table_windows_and_coverage(spark):
+    """Chunk boundaries against hand-computed windows: overlap, short
+    tail, sub-window doc, and content hashes from an independent
+    Python model."""
+    w9 = " ".join(f"t{i}" for i in range(9))     # 9 words, W=4 S=3 -> 3 chunks
+    w4 = " ".join(f"u{i}" for i in range(4))     # exactly one window
+    w5 = " ".join(f"v{i}" for i in range(5))     # one full + one short tail
+    df = spark.createDataFrame(
+        [(1, w9), (2, w4), (3, w5), (4, "solo")], "doc_id long, text string"
+    )
+    out = text.chunk_table(df, chunk_words=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_hash"]) for r in out}
+
+    def h(words):
+        return hashlib.md5(" ".join(words).encode()).hexdigest()
+
+    toks9, toks5 = w9.split(" "), w5.split(" ")
+    want = {
+        (1, 0): (4, h(toks9[0:4])),
+        (1, 1): (4, h(toks9[3:7])),
+        (1, 2): (3, h(toks9[6:9])),   # short tail
+        (2, 0): (4, h(w4.split(" "))),
+        (3, 0): (4, h(toks5[0:4])),
+        (3, 1): (2, h(toks5[3:5])),
+        (4, 0): (1, h(["solo"])),
+    }
+    assert got == want
+    # every word of doc 1 is inside at least one chunk (tail covered)
+    assert sum(n for (d, _), (n, _) in want.items() if d == 1) >= 9
