@@ -3542,6 +3542,19 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_table(docs, chunk_words=_CHUNK_W, stride=_CHUNK_S)
 
 
+@register("emb_pq_recall", _recall_vs_brute_sql(_pq_sql()))
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the PQ/ADC path against the exact brute-force
+    cosine ranking — the third ANN family's quality metric, closing
+    the eval loop for LSH (emb_ann_recall), IVF (emb_ivf_recall) and
+    PQ.  ADC ranks by compressed integer L2 while brute ranks by
+    cosine, so this measures the real deployment question: how much
+    ranking quality the 64x memory compression costs.  Deterministic
+    end to end (integer-exact codebooks), so the evaluation itself is
+    value-checked against an oracle nesting the four Lloyd's chains."""
+    return _recall_vs_brute(spark, sf_dir, "emb_pq_adc_topk")
+
+
 # ======================================================================
 # driver sample rotation: the correctness driver checks the FIRST 50
 # registry entries (dict order).  Round-5 rotation policy (VERDICT r4
@@ -3583,6 +3596,7 @@ _TAIL_ROTATION = [
     "text_bpe_tokens",
     "dedup_clusters",
     "dedup_passage_stats",
+    "text_gopher_quality",
     # green driver rows in r4; local superset gate still covers them
     # (multimodal_frame_sample / text_contamination / dedup_winnow
     # rotated out late-r5 to make head room for corpus_pack_sequences
