@@ -128,6 +128,10 @@ SCALE_FAMILIES = [
     "corpus_pack_sequences",
     "text_dup_spans",
     "emb_pq_adc_topk",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
 ]
 
 

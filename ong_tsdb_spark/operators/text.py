@@ -1002,6 +1002,26 @@ def hash_bucket(tok: Column, n_buckets: int) -> Column:
     )
 
 
+def classifier_score_expr(text: Column, weights: list[int] | None = None) -> Column:
+    """Integer classifier score as a reusable column expression (the
+    heart of :func:`classifier_quality`) — composable into batch
+    selects and streaming gates alike."""
+    w = weights if weights is not None else classifier_weights()
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (hash_bucket(t, len(w)) + F.lit(1)).cast("int")),
+    )
+
+
+def classifier_pass_expr(text: Column, weights: list[int] | None = None) -> Column:
+    """Thresholded model verdict (score > 0) — the streaming-gate
+    form of the quality classifier."""
+    return classifier_score_expr(text, weights) > F.lit(0)
+
+
 def classifier_quality(
     df: DataFrame,
     weights: list[int] | None = None,
@@ -1027,16 +1047,8 @@ def classifier_quality(
     bit-identical cross-engine (the sum is order-free; the single
     double division for ``mean_weight`` is correctly rounded from
     exact integer inputs)."""
-    w = weights if weights is not None else classifier_weights()
-    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    toks = tokens(F.col(text_col))
-    score = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(warr, (hash_bucket(t, len(w)) + F.lit(1)).cast("int")),
-    )
-    n = F.size(toks).cast("long")
+    score = classifier_score_expr(F.col(text_col), weights)
+    n = F.size(tokens(F.col(text_col))).cast("long")
     return df.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),

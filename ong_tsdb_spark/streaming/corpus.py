@@ -3,7 +3,9 @@ batch cleaning pipeline.
 
 JSONL shards land in a drop directory; each run (or each micro-batch
 of a long-lived query) reads only the NEW shards, gates them on the
-Gopher quality rules, scrubs PII, dedups against the persistent
+configured quality rule-set (Gopher rules by default; the hashed
+linear classifier or any custom boolean column via ``quality_gate`` —
+see :func:`gate_expr`), scrubs PII, dedups against the persistent
 digest ledger, and appends the survivors to the clean corpus — the
 cron-style "process the backlog then stop" pattern via
 ``Trigger.AvailableNow``, restart-safe through the checkpoint + the
@@ -21,13 +23,36 @@ scrub masks ARE duplicates of each other downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.text import gopher_pass_expr, scrub_pii
+from ..operators.text import classifier_pass_expr, gopher_pass_expr, scrub_pii
 from ..sources.jsonl import DOCUMENTS_SCHEMA
 from .dedup import start_ledger_dedup
+
+
+def gate_expr(quality_gate, text_col: str) -> Column:
+    """Resolve the pipeline's quality gate: ``"gopher"`` (rule-based,
+    the default), ``"classifier"`` (the hashed linear model —
+    model-based filtering in the stream at zero extra state), both
+    (``"gopher+classifier"``, conjunction), or any custom boolean
+    Column.  All three named gates are pure column expressions, so
+    the streaming plan stays stateless map-side work regardless of
+    choice."""
+    if isinstance(quality_gate, Column):
+        return quality_gate
+    t = F.col(text_col)
+    if quality_gate == "gopher":
+        return gopher_pass_expr(t)
+    if quality_gate == "classifier":
+        return classifier_pass_expr(t)
+    if quality_gate == "gopher+classifier":
+        return gopher_pass_expr(t) & classifier_pass_expr(t)
+    raise ValueError(
+        f"unknown quality_gate {quality_gate!r}: expected 'gopher', "
+        "'classifier', 'gopher+classifier' or a boolean Column"
+    )
 
 
 def start_corpus_to_shards(
@@ -45,10 +70,12 @@ def start_corpus_to_shards(
     seq_len: int = 4096,
     bins_per_shard: int = 2048,
     trigger_available_now: bool = True,
+    quality_gate="gopher",
 ):
     """The END-TO-END incremental pipeline: JSONL drop directory →
-    Gopher gate → PII scrub → persistent-ledger dedup → pre-tokenized
-    fixed-length shards, one micro-batch at a time.
+    quality gate (see :func:`gate_expr`; Gopher rules by default) →
+    PII scrub → persistent-ledger dedup → pre-tokenized fixed-length
+    shards, one micro-batch at a time.
 
     Each batch runs the ledger protocol exactly as
     :func:`start_corpus_ingest` (idempotent per-batch directories),
@@ -83,7 +110,7 @@ def start_corpus_to_shards(
     from ..plans import tokenized_shards as _tsh
 
     stream = spark.readStream.schema(schema or DOCUMENTS_SCHEMA).json(src_path)
-    cleaned = stream.filter(gopher_pass_expr(F.col(text_col))).withColumn(
+    cleaned = stream.filter(gate_expr(quality_gate, text_col)).withColumn(
         text_col, scrub_pii(F.col(text_col))
     )
 
@@ -131,13 +158,14 @@ def start_corpus_ingest(
     schema: StructType | None = None,
     text_col: str = "text",
     trigger_available_now: bool = True,
+    quality_gate="gopher",
 ):
     """Start the incremental ingest query over a JSONL drop directory.
     Returns the StreamingQuery (``awaitTermination()`` it; with the
     default AvailableNow trigger it stops after draining the
     backlog)."""
     stream = spark.readStream.schema(schema or DOCUMENTS_SCHEMA).json(src_path)
-    cleaned = stream.filter(gopher_pass_expr(F.col(text_col))).withColumn(
+    cleaned = stream.filter(gate_expr(quality_gate, text_col)).withColumn(
         text_col, scrub_pii(F.col(text_col))
     )
     return start_ledger_dedup(

@@ -305,3 +305,55 @@ def test_cli_curate_vocab_file(spark, tmp_path):
         "the": 2, " be": 3, " to": 4, " of": 5
     }
     assert tsh.read_tokenizer_meta(str(tmp_path / "s"))["vocab_size"] == 4
+
+
+def test_streaming_classifier_gate(spark, tmp_path):
+    """quality_gate='classifier' routes the stream through the hashed
+    linear model instead of the Gopher rules: a doc built from
+    positive-weight tokens passes, one from negative-weight tokens is
+    gated out — chosen via the model itself so the test is robust to
+    the weight table."""
+    import hashlib
+    import json as _json
+
+    from ong_tsdb_spark.operators import text as text_ops
+    from ong_tsdb_spark.streaming.corpus import gate_expr, start_corpus_ingest
+
+    w = text_ops.classifier_weights()
+
+    def weight(tok):
+        return w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % len(w)]
+
+    # find one clearly positive and one clearly negative token
+    pos = next(t for t in (f"tok{i}" for i in range(1000)) if weight(t) > 100)
+    neg = next(t for t in (f"tok{i}" for i in range(1000)) if weight(t) < -100)
+
+    src = tmp_path / "drop"
+    src.mkdir()
+
+    def doc(i, text):
+        return _json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s",
+             "n_chars": len(text)}
+        )
+
+    (src / "s1.jsonl").write_text(
+        doc(1, (pos + " ") * 30 + pos) + "\n" + doc(2, (neg + " ") * 30 + neg) + "\n"
+    )
+    q = start_corpus_ingest(
+        spark, str(src), str(tmp_path / "ledger"), str(tmp_path / "clean"),
+        str(tmp_path / "ckpt"), quality_gate="classifier",
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean")).collect()}
+    assert got == {1}
+
+    # unknown gate names fail loudly; custom Column passes through
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gate_expr("nope", "text")
+    from pyspark.sql import functions as _F
+
+    c = gate_expr(_F.length("text") > 5, "text")
+    assert c is not None
