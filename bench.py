@@ -82,6 +82,7 @@ HEADLINE = [
     "emb_pq_adc_topk",
     "text_bpe_pairs",
     "doc_chunk_stats",
+    "events_funnel",
 ]
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
@@ -132,6 +133,7 @@ SCALE_FAMILIES = [
     "corpus_dsir_weights",
     "text_bpe_pairs",
     "doc_chunk_stats",
+    "events_funnel",
 ]
 
 

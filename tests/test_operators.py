@@ -2286,3 +2286,53 @@ def test_chunk_table_windows_and_coverage(spark):
     assert got == want
     # every word of doc 1 is inside at least one chunk (tail covered)
     assert sum(n for (d, _), (n, _) in want.items() if d == 1) >= 9
+
+
+def test_events_funnel_strict_ordering(spark, tmp_path):
+    """Funnel semantics on a hand-built event log: a click BEFORE (or
+    simultaneous with) the first view doesn't convert, nor does a
+    purchase not strictly after the first qualifying click — and the
+    Spark result matches the DuckDB oracle on the same fixture."""
+    import datetime as _dt
+
+    import duckdb
+
+    from ong_tsdb_spark import entry_queries as eq
+    from ong_tsdb_spark.compare import canon_rows
+
+    def ts(sec):
+        return _dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, ts(1), 1, "view", 0.0, "{}"),
+        (2, ts(2), 1, "click", 0.0, "{}"),
+        (3, ts(3), 1, "purchase", 0.0, "{}"),   # full funnel
+        (4, ts(1), 2, "click", 0.0, "{}"),
+        (5, ts(2), 2, "view", 0.0, "{}"),        # click before view
+        (6, ts(1), 3, "view", 0.0, "{}"),
+        (7, ts(1), 3, "click", 0.0, "{}"),       # simultaneous
+        (8, ts(1), 4, "view", 0.0, "{}"),
+        (9, ts(2), 4, "click", 0.0, "{}"),
+        (10, ts(2), 4, "purchase", 0.0, "{}"),   # purchase not after click
+        (11, ts(1), 5, "purchase", 0.0, "{}"),   # no view at all
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = eq.REGISTRY["events_funnel"].fn(spark, str(tmp_path))
+    got = {r["stage"]: r["n_users"] for r in out.collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    rel = con.sql(eq.REGISTRY["events_funnel"].sql)
+    assert canon_rows(out.columns, out.collect()) == canon_rows(
+        rel.columns, rel.fetchall()
+    )
