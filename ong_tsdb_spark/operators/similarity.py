@@ -1151,3 +1151,81 @@ def pq_adc_topk(
         F.col("adc_dist").cast("bigint").alias("adc_dist"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def write_pq_index(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the PQ index: (id, pq_code_0..m-1) ONLY — the float
+    vectors are deliberately NOT stored, because the whole point of PQ
+    at 100 TB is that the serving scan touches m small ints per vector
+    (4 B here) instead of the embedding (256 B).  Codebooks ride a
+    JSON sidecar (atomic rename), so a search session needs no
+    training pass and no corpus re-encode."""
+    import json
+    import os
+
+    enc = pq_encode_exact(df, books, vec_col)
+    code_cols = [f"pq_code_{s}" for s in range(len(books))]
+    enc.select(F.col(id_col), *code_cols).write.mode("overwrite").parquet(path)
+    tmp = os.path.join(path, "_pq_codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump([[[int(x) for x in c] for c in b] for b in books], f)
+    os.replace(tmp, os.path.join(path, "_pq_codebooks.json"))
+
+
+def read_pq_codebooks(path: str) -> list[list[list[int]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_codebooks.json")) as f:
+        return [[[int(x) for x in c] for c in b] for b in json.load(f)]
+
+
+def pq_adc_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: reads ONLY the code
+    columns (the plan's ReadSchema is m ints + the id — pinned by
+    test), builds the query's distance table driver-side from the
+    sidecar codebooks, and ranks by plan-literal lookups.  Identical
+    ranking to :func:`pq_adc_topk` on the same codebooks (the codes
+    are deterministic), without the training or encode cost."""
+    books = read_pq_codebooks(path)
+    m, sub = len(books), len(books[0][0])
+    qq = ivf_quantize_py(query_vec)
+    tables = [
+        [
+            sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
+            for c in book
+        ]
+        for s, book in enumerate(books)
+    ]
+    df = spark.read.parquet(path)
+    adc = None
+    for s in range(m):
+        t = F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
+            (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
+        )
+        adc = t if adc is None else adc + t
+    scored = df.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col(id_col),
+        F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

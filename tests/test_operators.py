@@ -2336,3 +2336,33 @@ def test_events_funnel_strict_ordering(spark, tmp_path):
     assert canon_rows(out.columns, out.collect()) == canon_rows(
         rel.columns, rel.fetchall()
     )
+
+
+def test_pq_index_persistence(spark, tmp_path):
+    """Persisted PQ index: same ranking as the live pipeline on the
+    same codebooks, codebooks survive the sidecar round-trip, and the
+    serving scan's ReadSchema carries ONLY the id + code columns — the
+    memory-compression contract (no embedding column in the plan)."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2)
+    path = str(tmp_path / "pq_index")
+    similarity.write_pq_index(df, books, path)
+    assert similarity.read_pq_codebooks(path) == books
+
+    q = [float(x) for x in df.filter(F.col("vec_id") == 3).first()["embedding"]]
+    live = similarity.pq_adc_topk(df, books, q, topk=5, exclude_ids=[3]).collect()
+    persisted = similarity.pq_adc_topk_persisted(
+        spark, path, q, topk=5, exclude_ids=[3]
+    )
+    got = persisted.collect()
+    assert [(r["vec_id"], r["adc_dist"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["adc_dist"], r["rank"]) for r in live
+    ]
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+    assert "pq_code_0" in plan
