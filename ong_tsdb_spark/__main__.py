@@ -102,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
         "production — without it the vocabulary is trained on "
         "whatever the FIRST micro-batch contains and pinned forever",
     )
+    pu.add_argument(
+        "--gate",
+        default="gopher",
+        choices=["gopher", "classifier", "gopher+classifier"],
+        help="quality gate for incoming documents (streaming/corpus."
+        "gate_expr): rule-based Gopher filters, the hashed linear "
+        "classifier, or their conjunction",
+    )
 
     pvs = sub.add_parser(
         "verify-shards",
@@ -109,7 +117,55 @@ def main(argv: list[str] | None = None) -> int:
     )
     pvs.add_argument("--shards", required=True)
 
+    pai = sub.add_parser(
+        "build-ann-index",
+        help="train + persist an ANN index over an embedding parquet "
+        "(ivf: cluster-partitioned rows; pq: codes-only table)",
+    )
+    pai.add_argument("--src", required=True, help="parquet with (vec_id, embedding)")
+    pai.add_argument("--dst", required=True, help="index output directory")
+    pai.add_argument("--kind", default="ivf", choices=["ivf", "pq"])
+    pai.add_argument("--k", type=int, default=8, help="clusters (ivf) / codes per subspace (pq)")
+    pai.add_argument("--m", type=int, default=4, help="pq subspaces")
+    pai.add_argument("--iters", type=int, default=2)
+    pai.add_argument("--vec-col", default="embedding")
+    pai.add_argument("--id-col", default="vec_id")
+
     args = p.parse_args(argv)
+    if args.cmd == "build-ann-index":
+        from pyspark.sql import SparkSession
+
+        from .operators import similarity
+
+        spark = (
+            SparkSession.builder.appName("ong_tsdb_spark-build-ann-index")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        df = spark.read.parquet(args.src)
+        if args.kind == "pq":
+            books = similarity.train_pq_codebooks_exact(
+                df, m=args.m, k=args.k, iters=args.iters,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            similarity.write_pq_index(
+                df, books, args.dst, vec_col=args.vec_col, id_col=args.id_col
+            )
+            print(
+                f"pq index at {args.dst}: m={args.m} k={args.k} "
+                f"(codes-only table + codebook sidecar)"
+            )
+        else:
+            cents = similarity.train_ivf_centroids(
+                df, k=args.k, iters=args.iters, vec_col=args.vec_col
+            )
+            similarity.write_ivf_index(df, cents, args.dst, vec_col=args.vec_col)
+            print(
+                f"ivf index at {args.dst}: k={args.k} "
+                f"(ivf_cluster-partitioned rows + centroid sidecar)"
+            )
+        return 0
+
     if args.cmd == "verify-shards":
         from pyspark.sql import SparkSession
 
@@ -160,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
             vocab_size=args.vocab_size,
             seq_len=args.seq_len,
             bins_per_shard=args.bins_per_shard,
+            quality_gate=args.gate,
         )
         q.awaitTermination()
         try:

@@ -357,3 +357,74 @@ def test_streaming_classifier_gate(spark, tmp_path):
 
     c = gate_expr(_F.length("text") > 5, "text")
     assert c is not None
+
+
+def test_cli_build_ann_index(spark, tmp_path, capsys):
+    """`build-ann-index` trains and persists both index kinds from an
+    embedding parquet; the pq index is searchable and codes-only."""
+    import random
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.operators import similarity
+
+    rng = random.Random(9)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "emb.parquet")
+    df.write.parquet(src)
+
+    pq_dst = str(tmp_path / "pq")
+    rc = main(["build-ann-index", "--src", src, "--dst", pq_dst,
+               "--kind", "pq", "--k", "4", "--m", "4"])
+    assert rc == 0 and "pq index" in capsys.readouterr().out
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.pq_adc_topk_persisted(spark, pq_dst, q, topk=3,
+                                           exclude_ids=[0]).collect()
+    assert len(got) == 3
+    assert "embedding" not in spark.read.parquet(pq_dst).columns
+
+    ivf_dst = str(tmp_path / "ivf")
+    rc = main(["build-ann-index", "--src", src, "--dst", ivf_dst,
+               "--kind", "ivf", "--k", "4"])
+    assert rc == 0 and "ivf index" in capsys.readouterr().out
+    got = similarity.ivf_topk_persisted(spark, ivf_dst, q, k=3,
+                                        exclude_ids=[0]).collect()
+    assert len(got) == 3
+
+
+def test_cli_curate_gate_flag(spark, tmp_path, capsys):
+    """`curate --gate classifier` applies the model gate: a corpus of
+    negative-weight tokens yields no surviving documents."""
+    import hashlib
+    import json as _json
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.operators import text as text_ops
+
+    w = text_ops.classifier_weights()
+
+    def weight(tok):
+        return w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % len(w)]
+
+    neg = next(t for t in (f"tok{i}" for i in range(1000)) if weight(t) < -100)
+    src = tmp_path / "drop"
+    src.mkdir()
+    bad = (neg + " ") * 30 + neg
+    (src / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": bad, "lang": "en", "source": "s",
+                     "n_chars": len(bad)}) + "\n"
+    )
+    rc = main(
+        ["curate",
+         "--src", str(src),
+         "--ledger", str(tmp_path / "l"),
+         "--clean", str(tmp_path / "o"),
+         "--checkpoint", str(tmp_path / "c"),
+         "--shards", str(tmp_path / "s"),
+         "--seq-len", "32", "--bins-per-shard", "2",
+         "--gate", "classifier"]
+    )
+    assert rc == 0
+    assert "not bootstrapped" in capsys.readouterr().out
