@@ -1,0 +1,124 @@
+"""Hypothesis property tests for the round-5-continuation operators:
+random corpora checked against independent pure-Python models (the
+same twin-model discipline as the pack/gap-fill property suites)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ong_tsdb_spark.operators import text
+from ong_tsdb_spark.plans import bpe
+
+# words over a tiny alphabet so duplicate pairs/buckets are common;
+# texts are single-space joined (the corpus convention)
+_word = st.text(alphabet="abz$.", min_size=1, max_size=5)
+_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=6)
+
+_SLOW = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _bucket(tok: str, n: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(texts=_corpus)
+def test_classifier_quality_property(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.classifier_quality(df).collect()}
+    w = text.classifier_weights()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        score = sum(w[_bucket(tok, len(w))] for tok in toks)
+        assert got[i]["score"] == score
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["mean_weight"] == score / len(toks)
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(texts=_corpus, chunk_words=st.sampled_from([2, 3, 5]), stride=st.sampled_from([1, 2, 3]))
+def test_chunk_table_property(spark, texts, chunk_words, stride):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = text.chunk_table(df, chunk_words=chunk_words, stride=stride).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_hash"]) for r in rows}
+    want = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        extra = max(len(toks) - chunk_words, 0)
+        n = 1 + -(-extra // stride)  # ceil
+        for ci in range(n):
+            win = toks[ci * stride : ci * stride + chunk_words]
+            want[(i, ci)] = (
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest(),
+            )
+    assert got == want
+    # coverage invariant: the last chunk reaches the final token
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        last_ci = max(ci for (d, ci) in want if d == i)
+        assert last_ci * stride + want[(i, last_ci)][0] == len(toks)
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(texts=_corpus, n_merges=st.sampled_from([1, 3, 6]))
+def test_bpe_trainer_property(spark, texts, n_merges):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = bpe.train_bpe_merges(df, n_merges=n_merges)
+    # independent model (duplicated here rather than imported from
+    # test_bpe so each file stands alone)
+    words = [list(w) for t in texts for w in t.split(" ") if len(w) >= 1]
+    want = []
+    for _ in range(n_merges):
+        cnt: dict[str, int] = {}
+        for syms in words:
+            for j in range(len(syms) - 1):
+                p = syms[j] + " " + syms[j + 1]
+                cnt[p] = cnt.get(p, 0) + 1
+        if not cnt:
+            break
+        pair, n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        a, b = pair.split(" ")
+        want.append((a, b))
+        words = [bpe.merge_word_py(s, a, b) for s in words]
+    assert got == want
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(texts=_corpus)
+def test_dsir_importance_property(spark, texts):
+    rows = [(i, t, "en" if i % 2 == 0 else "es") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in text.dsir_importance(df).collect()}
+    nb = text.DSIR_BUCKETS
+    raw, tgt = [0] * nb, [0] * nb
+    for _, t, lang in rows:
+        for tok in t.split(" "):
+            b = _bucket(tok, nb)
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    w = [(t + 1) / (r + 1) for t, r in zip(tgt, raw)]
+    for i, t, lang in rows:
+        toks = t.split(" ")
+        imp = 0.0
+        for tok in toks:
+            imp += w[_bucket(tok, nb)]
+        assert got[i]["imp_sum"] == imp
+        assert got[i]["imp_mean"] == imp / len(toks)
