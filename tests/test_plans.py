@@ -398,3 +398,41 @@ def test_pack_sequences_shuffle_budget(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 5, plan
+
+
+def test_map_side_operators_have_no_exchange(spark, sf_dir):
+    """The session's map-side operators must stay shuffle-free: model
+    scoring, DSIR scoring (its count phase is a separate build-time
+    job; the RETURNED plan is pure projection) and chunk generation.
+    A refactor that sneaks in a repartition/aggregation here turns a
+    scan-bound 100 TB pass into a corpus shuffle."""
+    for q in ["text_classifier_quality", "corpus_dsir_weights", "doc_chunk_stats"]:
+        plan = _executed_plan(entry_queries.queries()[q](spark, sf_dir))
+        assert "Exchange" not in plan, f"{q}: expected a shuffle-free plan:\n{plan}"
+
+
+def test_bpe_pairs_single_aggregation_exchange(spark, sf_dir):
+    """Pair counting: one hash-aggregate exchange on the pair key
+    (plus the parallelism repartition and the k-row rank window) —
+    never a corpus-row shuffle beyond the count."""
+    plan = _executed_plan(entry_queries.queries()["text_bpe_pairs"](spark, sf_dir))
+    # repartition-up + count agg + TakeOrdered/window on <= 20 rows
+    assert plan.count("Exchange") <= 3, plan
+    assert "TakeOrderedAndProject" in plan or "rownum" not in plan
+
+
+def test_pq_adc_scan_is_code_lookup_only(spark, sf_dir):
+    """The ADC query's final job: encode + literal table lookups +
+    TakeOrderedAndProject — the top-k must NOT sort the corpus."""
+    plan = _executed_plan(entry_queries.queries()["emb_pq_adc_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_events_funnel_user_keyed_shuffles_only(spark, sf_dir):
+    """Funnel chaining: aggregates and joins are keyed by user_id
+    exclusively — no event-keyed or global exchange."""
+    plan = _executed_plan(entry_queries.queries()["events_funnel"](spark, sf_dir))
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
+        assert m.group(1).startswith("user_id"), plan
