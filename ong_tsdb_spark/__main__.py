@@ -124,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pai.add_argument("--src", required=True, help="parquet with (vec_id, embedding)")
     pai.add_argument("--dst", required=True, help="index output directory")
-    pai.add_argument("--kind", default="ivf", choices=["ivf", "pq"])
+    pai.add_argument("--kind", default="ivf", choices=["ivf", "pq", "ivfpq"])
     pai.add_argument("--k", type=int, default=8, help="clusters (ivf) / codes per subspace (pq)")
     pai.add_argument("--m", type=int, default=4, help="pq subspaces")
     pai.add_argument("--iters", type=int, default=2)
@@ -143,6 +143,24 @@ def main(argv: list[str] | None = None) -> int:
             .getOrCreate()
         )
         df = spark.read.parquet(args.src)
+        if args.kind == "ivfpq":
+            cents = similarity.train_ivf_centroids_exact(
+                df, k=args.k, iters=args.iters,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            books = similarity.train_pq_codebooks_exact(
+                df, m=args.m, k=args.k, iters=args.iters,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            similarity.write_ivfpq_index(
+                df, cents, books, args.dst,
+                vec_col=args.vec_col, id_col=args.id_col,
+            )
+            print(
+                f"ivfpq index at {args.dst}: k={args.k} m={args.m} "
+                f"(cluster-partitioned codes-only table + meta sidecar)"
+            )
+            return 0
         if args.kind == "pq":
             books = similarity.train_pq_codebooks_exact(
                 df, m=args.m, k=args.k, iters=args.iters,

@@ -1229,3 +1229,109 @@ def pq_adc_topk_persisted(
         F.col("adc_dist").cast("bigint").alias("adc_dist"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    centroids: list[list[int]],
+    books: list[list[list[int]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF-PQ index — the canonical billion-scale ANN
+    layout (FAISS IndexIVFPQ): rows carry ONLY (id, pq codes),
+    Parquet-partitioned by the integer-exact coarse cluster.  A query
+    therefore gets BOTH scale levers in one plan: partition pruning
+    cuts the scan to ~nprobe/k of the corpus, and the pruned scan
+    reads m bytes of codes per vector instead of the embedding.
+    Coarse centroids + codebooks ride one JSON sidecar (atomic
+    rename); the corpus embedding column is not stored at all."""
+    import json
+    import os
+
+    enc = pq_encode_exact(ivf_assign_exact(df, centroids, vec_col), books, vec_col)
+    code_cols = [f"pq_code_{s}" for s in range(len(books))]
+    (
+        enc.select(F.col(id_col), F.col("ivf_cluster"), *code_cols)
+        .repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+    tmp = os.path.join(path, "_ivfpq_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "centroids": [[int(x) for x in c] for c in centroids],
+                "books": [[[int(x) for x in c] for c in b] for b in books],
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
+
+
+def read_ivfpq_meta(path: str) -> tuple[list[list[int]], list[list[list[int]]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    return (
+        [[int(x) for x in c] for c in meta["centroids"]],
+        [[[int(x) for x in c] for c in b] for b in meta["books"]],
+    )
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    query_vec: list[float],
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: probe the nprobe
+    nearest coarse lists by integer L2 driver-side (exact Python
+    ints, same tie-break as training), prune their partitions at the
+    source, then rank the surviving codes by plan-literal distance
+    tables.  The executed plan must show BOTH PartitionFilters on
+    ivf_cluster AND a ReadSchema without any embedding column —
+    pinned by test."""
+    centroids, books = read_ivfpq_meta(path)
+    m, sub = len(books), len(books[0][0])
+    qq = ivf_quantize_py(query_vec)
+
+    def sqdist(c: list[int]) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(qq, c))
+
+    probe = sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
+        :nprobe
+    ]
+    tables = [
+        [
+            sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
+            for c in book
+        ]
+        for s, book in enumerate(books)
+    ]
+    df = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    adc = None
+    for s in range(m):
+        t = F.element_at(
+            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
+            (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
+        )
+        adc = t if adc is None else adc + t
+    scored = df.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(topk)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        F.col(id_col),
+        F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

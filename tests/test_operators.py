@@ -2366,3 +2366,52 @@ def test_pq_index_persistence(spark, tmp_path):
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "embedding" not in plan
     assert "pq_code_0" in plan
+
+
+def test_ivfpq_index_both_scale_levers(spark, tmp_path):
+    """IVF-PQ: the persisted index search must (a) return the same
+    ranking as the equivalent in-memory pipeline restricted to the
+    probed lists, (b) prune ivf_cluster partitions at the source, and
+    (c) read no embedding column — partition pruning AND code-only
+    scans in ONE executed plan."""
+    rng = np.random.RandomState(11)
+    centers = np.eye(4, 16) * 8
+    vecs = np.vstack(
+        [centers[i % 4] + rng.randn(16) * 0.1 for i in range(80)]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.train_ivf_centroids_exact(df, k=4, iters=2)
+    books = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(df, cents, books, path)
+    rc, rb = similarity.read_ivfpq_meta(path)
+    assert rc == cents and rb == books
+
+    q = [float(x) for x in vecs[1]]
+    got_df = similarity.ivfpq_topk_persisted(
+        spark, path, q, topk=5, nprobe=2, exclude_ids=[1]
+    )
+    got = got_df.collect()
+    assert len(got) == 5
+
+    # reference: in-memory assignment + ADC restricted to the same lists
+    qq = similarity.ivf_quantize_py(q)
+    probe = sorted(
+        range(len(cents)),
+        key=lambda j: (sum((a - b) * (a - b) for a, b in zip(qq, cents[j])), j),
+    )[:2]
+    assigned = similarity.ivf_assign_exact(df, cents)
+    cand = assigned.filter(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
+    want = similarity.pq_adc_topk(cand, books, q, topk=5, exclude_ids=[1]).collect()
+    assert [(r["vec_id"], r["adc_dist"], r["rank"]) for r in got] == [
+        (r["vec_id"], r["adc_dist"], r["rank"]) for r in want
+    ]
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+    assert "embedding" not in plan
+    assert "pq_code_0" in plan

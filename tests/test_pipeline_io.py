@@ -428,3 +428,26 @@ def test_cli_curate_gate_flag(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "not bootstrapped" in capsys.readouterr().out
+
+
+def test_cli_build_ivfpq_index(spark, tmp_path, capsys):
+    import random
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.operators import similarity
+
+    rng = random.Random(13)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "emb2.parquet")
+    df.write.parquet(src)
+    dst = str(tmp_path / "ivfpq")
+    rc = main(["build-ann-index", "--src", src, "--dst", dst,
+               "--kind", "ivfpq", "--k", "4", "--m", "4"])
+    assert rc == 0 and "ivfpq index" in capsys.readouterr().out
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.ivfpq_topk_persisted(spark, dst, q, topk=3, nprobe=2,
+                                          exclude_ids=[0]).collect()
+    assert len(got) == 3
