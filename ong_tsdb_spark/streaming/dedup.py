@@ -1,6 +1,6 @@
 """Streaming deduplication for at-least-once document sources.
 
-Two tiers, matching the two real deployment shapes:
+Three tiers, matching the real deployment shapes:
 
 * :func:`content_dedup_stream` — IN-MEMORY bounded state via
   ``dropDuplicatesWithinWatermark``: duplicates arriving within the
@@ -17,7 +17,15 @@ Two tiers, matching the two real deployment shapes:
   it scales with *distinct corpus content* and is shared by every
   executor via an equi-join instead of per-partition memory.
 
-Scale shape: both tiers key on the md5 content digest computed
+* :func:`start_near_ledger_dedup` — the same unbounded ledger
+  protocol with MinHash BAND KEYS as the state: documents that are
+  merely similar (edited boilerplate, templated pages) to anything in
+  the ingest history are dropped, not just byte-identical ones.  Keys
+  are computed map-side per row (array folds, no explode/shuffle)
+  with the SAME hash family as the batch MinHash, so a ledger
+  bootstrapped from a batch job and a streaming continuation agree.
+
+Scale shape: all tiers key on small digests computed
 map-side; the ledger join is digest ⋈ digest (left_anti), so shuffle
 volume is digests only.  The ledger append is idempotent for
 correctness (replayed batches re-emit nothing: their digests are
@@ -125,6 +133,19 @@ def dedup_batch_against_ledger(
     Exposed separately so the logic is unit-testable without a
     streaming query and reusable for backfill jobs."""
     fp = content_fingerprint(batch_df, text_col)
+    ledger = _read_ledger(spark, ledger_path, exclude_batch)
+    fresh = _representatives(fp)
+    if ledger is not None:
+        fresh = fresh.join(ledger, on=FINGERPRINT_COL, how="left_anti")
+    return fresh
+
+
+def _read_ledger(
+    spark: SparkSession, ledger_path: str, exclude_batch: int | None
+) -> DataFrame | None:
+    """The ledger's key column, or None when no ledger exists yet —
+    shared by the exact (content-digest) and near-dup (band-key)
+    tiers so the bootstrap/corruption semantics cannot diverge."""
     try:
         raw = spark.read.parquet(ledger_path)
         if exclude_batch is not None and "batch" in raw.columns:
@@ -133,7 +154,7 @@ def dedup_batch_against_ledger(
             # against itself, emits nothing, and overwrites its
             # output directory with an empty result
             raw = raw.filter(F.col("batch") != exclude_batch)
-        ledger = raw.select(FINGERPRINT_COL)
+        return raw.select(FINGERPRINT_COL)
     except AnalysisException as ex:
         # path-not-found = first batch ever.  UNABLE_TO_INFER_SCHEMA
         # means no committed parquet files — but that is only benign
@@ -144,31 +165,32 @@ def dedup_batch_against_ledger(
         # instead of silently disabling dedup.
         msg = str(ex)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            ledger = None
-        elif "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg:
             if _has_data_files(_fs(spark, ledger_path), ledger_path):
                 raise
-            ledger = None  # truly empty (possibly empty batch subdirs)
-        else:
-            raise
+            return None  # truly empty (possibly empty batch subdirs)
+        raise
+
+
+def _representatives(fp: DataFrame) -> DataFrame:
+    """One content-deterministic representative row per digest:
+    min_by over the ORDERABLE columns (a bare min(struct) would fail
+    analysis on map-typed payload columns, which need no ordering to
+    ride along) — the same batch yields the same row under any
+    partitioning or rerun."""
     data_cols = [c for c in fp.columns if c != FINGERPRINT_COL]
-    # content-deterministic representative per digest: min_by over the
-    # ORDERABLE columns (a bare min(struct) would fail analysis on
-    # map-typed payload columns, which need no ordering to ride along)
     orderable = [c for c in data_cols if _is_orderable(fp.schema[c].dataType)]
     row = F.struct(*[F.col(c) for c in data_cols])
     if orderable:
         agg = F.min_by(row, F.struct(*[F.col(c) for c in orderable]))
     else:  # no orderable payload at all: any single representative
         agg = F.min_by(row, F.col(FINGERPRINT_COL))
-    fresh = (
+    return (
         fp.groupBy(FINGERPRINT_COL)
         .agg(agg.alias("__row"))
         .select(FINGERPRINT_COL, *[F.col(f"__row.{c}").alias(c) for c in data_cols])
     )
-    if ledger is not None:
-        fresh = fresh.join(ledger, on=FINGERPRINT_COL, how="left_anti")
-    return fresh
 
 
 def start_ledger_dedup(
@@ -180,11 +202,26 @@ def start_ledger_dedup(
     text_col: str = "text",
     trigger_available_now: bool = True,
     on_batch_committed=None,
+    select_batch=None,
+    keys_of=None,
 ):
     """Unbounded-horizon streaming dedup with the digest ledger in
     Parquet.  Each micro-batch: anti-join against the ledger → write
     surviving documents under ``out_path/batch=N`` → write their
     digests under ``ledger_path/batch=N``.
+
+    The PROTOCOL (per-batch idempotent directories, replay
+    short-circuit, crash windows) is tier-agnostic; the exact-digest
+    tier is the default and :func:`start_near_ledger_dedup` plugs in
+    band keys via the two hooks:
+
+    * ``select_batch(spark, batch_df, ledger_path, text_col,
+      exclude_batch) -> DataFrame`` — the surviving documents of a
+      batch (no key column);
+    * ``keys_of(docs_df, text_col) -> DataFrame`` — the ledger keys
+      (column ``__fp``) those documents contribute.  MUST be a pure
+      deterministic function of the documents: the replay path
+      re-derives keys from the COMMITTED output with it.
 
     Restart-safe BECAUSE both writes are per-batch-directory
     OVERWRITES, i.e. idempotent: foreachBatch is at-least-once, and a
@@ -202,6 +239,19 @@ def start_ledger_dedup(
     must be idempotent per batch_id.  This is the extension point the
     shard-append pipeline (streaming/corpus.py) hangs off, keeping
     the crash-safety-critical ledger protocol in exactly one place."""
+    if select_batch is None:
+
+        def select_batch(spark, batch_df, ledger_path, text_col, exclude_batch):
+            return dedup_batch_against_ledger(
+                spark, batch_df, ledger_path, text_col, exclude_batch
+            ).drop(FINGERPRINT_COL)
+
+    if keys_of is None:
+
+        def keys_of(docs_df, text_col):
+            return docs_df.select(
+                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
+            ).distinct()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # A COMMITTED output directory means this is a replay whose
@@ -214,26 +264,23 @@ def start_ledger_dedup(
         # works on object-store URIs, not just local paths.
         out_dir = f"{out_path}/batch={batch_id}"
         if _fs(spark, out_path).exists(f"{out_dir}/_SUCCESS"):
-            # re-derive the digests from the committed output, NOT a
+            # re-derive the keys from the committed output, NOT a
             # recomputation: they are the batch's true contribution
-            spark.read.parquet(out_dir).select(
-                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
-            ).distinct().write.mode("overwrite").parquet(
-                f"{ledger_path}/batch={batch_id}"
-            )
+            keys_of(spark.read.parquet(out_dir), text_col).write.mode(
+                "overwrite"
+            ).parquet(f"{ledger_path}/batch={batch_id}")
             if on_batch_committed is not None:
                 on_batch_committed(spark.read.parquet(out_dir), batch_id)
             return
 
-        fresh = dedup_batch_against_ledger(
-            spark, batch_df, ledger_path, text_col, exclude_batch=batch_id
+        docs_only = select_batch(
+            spark, batch_df, ledger_path, text_col, batch_id
         )
         # localCheckpoint: the anti-join must be evaluated BEFORE the
         # ledger write below changes what a lazy plan would read
-        fresh = fresh.localCheckpoint(eager=True)
-        docs_only = fresh.drop(FINGERPRINT_COL)
+        docs_only = docs_only.localCheckpoint(eager=True)
         docs_only.write.mode("overwrite").parquet(out_dir)
-        fresh.select(FINGERPRINT_COL).write.mode("overwrite").parquet(
+        keys_of(docs_only, text_col).write.mode("overwrite").parquet(
             f"{ledger_path}/batch={batch_id}"
         )
         if on_batch_committed is not None:
@@ -297,3 +344,155 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
     else:
         distinct.write.mode("overwrite").parquet(ledger_path)
     return n
+
+
+# ----------------------------------------------------------------------
+# near-dup tier: MinHash band keys in the ledger
+# ----------------------------------------------------------------------
+
+#: Near-dup tier parameters — 16 minhashes in 4 bands of 4 matches the
+#: batch LSH family (operators/dedup), tuned for ~0.5+ Jaccard recall.
+NEAR_NUM_HASHES = 16
+NEAR_BAND_SIZE = 4
+NEAR_SHINGLE_K = 4
+
+
+def band_keys_expr(
+    text,
+    num_hashes: int = NEAR_NUM_HASHES,
+    band_size: int = NEAR_BAND_SIZE,
+    shingle_k: int = NEAR_SHINGLE_K,
+):
+    """The document's LSH band keys as ONE array column — minhash
+    computed per row with array folds (shingle array -> per-hash
+    array_min), no explode, no shuffle, so the streaming plan stays
+    stateless map-side work.  Hash family identical to the batch
+    MinHash (md5 of ``seed|shingle``, four 8-hex substrings per
+    digest), so a band ledger bootstrapped from a batch job and a
+    streaming continuation agree.
+
+    Documents too short to shingle (< shingle_k words) get a single
+    exact-content key instead — they dedup exactly, never
+    approximately."""
+    from ..operators.dedup import HASHES_PER_DIGEST
+
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(shingle_k)), " "),
+    )
+    def _hash_fn(s: int, j: int):
+        # NOTE: a `lambda sh, s=s, j=j:` default-arg closure would make
+        # pyspark's arity inspection treat this as a 3-arg lambda (the
+        # bm25_scores trap) — a real closure is required
+        def fn(sh):
+            return F.substring(
+                F.md5(F.concat(F.lit(str(s)), F.lit("|"), sh)), j * 8 + 1, 8
+            )
+
+        return fn
+
+    mins = []
+    for i in range(num_hashes):
+        s, j = divmod(i, HASHES_PER_DIGEST)
+        mins.append(F.array_min(F.transform(shingles, _hash_fn(s, j))))
+    n_bands = num_hashes // band_size
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(f"b{b}"), *mins[b * band_size : (b + 1) * band_size]
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return F.when(n >= shingle_k, F.array(*bands)).otherwise(
+        F.array(F.md5(F.concat(F.lit("exact|"), text)))
+    )
+
+
+def near_dedup_batch_against_ledger(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """One micro-batch of the NEAR-DUP ledger protocol: exact
+    within-batch dedup (content-digest representative, as the exact
+    tier), then drop every document sharing >= 1 band key with the
+    ledger.  Survivors contribute ALL their band keys.
+
+    Semantics note (documented limitation): two NEAR-duplicates
+    arriving in the SAME micro-batch both survive — batch-internal
+    near-dup needs the iterative clustering of the batch operators
+    (operators/graph) and is out of scope for per-batch streaming
+    work; they are exact-deduped, and either would have been dropped
+    had it arrived one batch later.
+
+    Scale shape: band keys are computed map-side per row; the only
+    shuffles are the exploded-key semi-join against the ledger
+    (16-byte digests x n_bands per doc) and the id anti-join back —
+    document text crosses the wire once, to its output file."""
+    fp = content_fingerprint(batch_df, text_col)
+    reps = _representatives(fp).drop(FINGERPRINT_COL)
+    keys = band_keys_expr(F.col(text_col))
+    ledger = _read_ledger(spark, ledger_path, exclude_batch)
+    if ledger is None:
+        return reps
+    ex = reps.select(
+        F.col(id_col), F.explode(keys).alias(FINGERPRINT_COL)
+    )
+    dup_ids = (
+        ex.join(ledger, on=FINGERPRINT_COL, how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return reps.join(dup_ids, on=id_col, how="left_anti")
+
+
+def near_keys_of(docs_df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ledger keys of a committed batch: every band key of every
+    surviving document (pure function of the documents — the replay
+    path depends on that)."""
+    return docs_df.select(
+        F.explode(band_keys_expr(F.col(text_col))).alias(FINGERPRINT_COL)
+    ).distinct()
+
+
+def start_near_ledger_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    ledger_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+    on_batch_committed=None,
+):
+    """:func:`start_ledger_dedup` with the NEAR-DUP tier plugged in:
+    the ledger stores MinHash band keys, so re-drops catch documents
+    that are merely similar (edited boilerplate, templated pages)
+    across the whole ingest history, not just byte-identical ones.
+    Same crash/replay protocol, same compact_ledger maintenance —
+    only the key function differs."""
+
+    def select_batch(spark, batch_df, ledger_path, text_col, exclude_batch):
+        return near_dedup_batch_against_ledger(
+            spark, batch_df, ledger_path, text_col, id_col, exclude_batch
+        )
+
+    return start_ledger_dedup(
+        spark,
+        docs_stream,
+        ledger_path=ledger_path,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        text_col=text_col,
+        trigger_available_now=trigger_available_now,
+        on_batch_committed=on_batch_committed,
+        select_batch=select_batch,
+        keys_of=near_keys_of,
+    )

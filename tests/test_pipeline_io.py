@@ -451,3 +451,106 @@ def test_cli_build_ivfpq_index(spark, tmp_path, capsys):
     got = similarity.ivfpq_topk_persisted(spark, dst, q, topk=3, nprobe=2,
                                           exclude_ids=[0]).collect()
     assert len(got) == 3
+
+
+def _near_doc(i, text):
+    import json as _json
+
+    return _json.dumps(
+        {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+    )
+
+
+def test_near_ledger_dedup_stream(spark, tmp_path):
+    """Near-dup band ledger end to end: a later batch's lightly-edited
+    copy of an earlier document is dropped (no byte equality), an
+    unrelated document lands, and a short doc dedups exactly via the
+    fallback key."""
+    from ong_tsdb_spark.streaming.dedup import start_near_ledger_dedup
+
+    base_words = [f"w{i}" for i in range(60)]
+    base = " ".join(base_words)
+    edited = " ".join(base_words[:30] + ["CHANGED"] + base_words[31:])
+    other = " ".join(f"z{i}" for i in range(60))
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(_near_doc(1, base) + "\n" + _near_doc(2, "tiny doc") + "\n")
+    args = (str(src), str(tmp_path / "ledger"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).json(args[0])
+        q = start_near_ledger_dedup(
+            spark, stream, ledger_path=args[1], out_path=args[2],
+            checkpoint_path=args[3],
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(args[2]).collect()}
+    assert got == {1, 2}
+
+    (src / "b2.jsonl").write_text(
+        _near_doc(10, edited) + "\n" + _near_doc(11, other) + "\n"
+        + _near_doc(12, "tiny doc") + "\n"
+    )
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(args[2]).collect()}
+    assert got == {1, 2, 11}, got  # edited near-dup AND exact short dup dropped
+
+
+def test_near_ledger_replay_is_idempotent(spark, tmp_path):
+    """Replaying the drained stream from a fresh checkpoint emits
+    nothing new: every band key is already in the ledger."""
+    from ong_tsdb_spark.streaming.dedup import start_near_ledger_dedup
+
+    text = " ".join(f"q{i}" for i in range(40))
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(_near_doc(1, text) + "\n")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).json(str(src))
+        q = start_near_ledger_dedup(
+            spark, stream, ledger_path=str(tmp_path / "l"),
+            out_path=str(tmp_path / "o"), checkpoint_path=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("c1")
+    n1 = spark.read.parquet(str(tmp_path / "o")).count()
+    run("c2")  # fresh checkpoint -> batch re-delivered -> must dedup
+    n2 = spark.read.parquet(str(tmp_path / "o")).count()
+    assert n1 == n2 == 1
+
+
+def test_band_keys_expr_batch_family_parity(spark):
+    """The streaming band keys must use the SAME hash family as the
+    batch MinHash: a document's streamed band keys equal md5 of the
+    batch pipeline's (band, sig) concatenation."""
+    from ong_tsdb_spark.operators import dedup as d
+    from ong_tsdb_spark.streaming.dedup import (
+        NEAR_BAND_SIZE, NEAR_NUM_HASHES, NEAR_SHINGLE_K, band_keys_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    got = df.select(band_keys_expr(F.col("text")).alias("k")).first()["k"]
+
+    sh = d.shingle_table(df, n=NEAR_SHINGLE_K)
+    wide = d.wide_minhash_table(sh, num_hashes=NEAR_NUM_HASHES)
+    row = wide.first()
+    want = []
+    for b in range(NEAR_NUM_HASHES // NEAR_BAND_SIZE):
+        parts = [f"b{b}"] + [
+            row[f"h{i}"] for i in range(b * NEAR_BAND_SIZE, (b + 1) * NEAR_BAND_SIZE)
+        ]
+        import hashlib as _h
+
+        want.append(_h.md5("|".join(parts).encode()).hexdigest())
+    assert got == want
