@@ -37,7 +37,13 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bpe_merges", "merge_word_py", "apply_merges_py"]
+__all__ = [
+    "train_bpe_merges",
+    "tokenize_with_merges",
+    "tokenize_expr",
+    "merge_word_py",
+    "apply_merges_py",
+]
 
 
 def _sym_string(word):
@@ -105,9 +111,10 @@ def train_bpe_merges(
             break
         a, b = top[0]["p"].split(" ")
         merges.append((a, b))
-        pat = f"(?<= |^){re.escape(a)} {re.escape(b)}(?= |$)"
         cur = cur.select(
-            F.regexp_replace("syms", pat, _quote_replacement(a + b)).alias("syms")
+            F.regexp_replace(
+                "syms", merges_pattern(a, b), _quote_replacement(a + b)
+            ).alias("syms")
         ).localCheckpoint(eager=True)
     return merges
 
@@ -138,3 +145,51 @@ def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     for a, b in merges:
         syms = merge_word_py(syms, a, b)
     return syms
+
+
+def merges_pattern(a: str, b: str) -> str:
+    """The zero-width-lookaround pattern applying merge (a, b) to a
+    space-joined symbol string — shared by training and inference so
+    the two can never diverge."""
+    return f"(?<= |^){re.escape(a)} {re.escape(b)}(?= |$)"
+
+
+def tokenize_expr(text, merges: list[tuple[str, str]]):
+    """Tokenize a text column with a learned merge table, as ONE pure
+    column expression: per word, start from the character symbol
+    string and apply every merge in order via the same lookaround
+    regex the trainer uses, then split back to symbols.
+
+    Map-side only — the merge table is baked into the plan as
+    |merges| chained regexp_replace calls (a broadcast-sized model,
+    like the classifier weights), so corpus-scale tokenization costs
+    exactly the scan.  Returns array<string> of subword tokens in
+    document order (word boundaries flattened).  Equal to the
+    pure-Python ``apply_merges_py`` per word — pinned by test."""
+
+    def _tok_word(w):
+        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in merges:
+            s = F.regexp_replace(s, merges_pattern(a, b), _quote_replacement(a + b))
+        return F.split(s, " ")
+
+    words = F.split(text, " ")
+    return F.flatten(F.transform(words, _tok_word))
+
+
+def tokenize_with_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) for every document under a
+    learned BPE merge table — the inference side of
+    :func:`train_bpe_merges`, closing the train -> apply loop at
+    corpus scale."""
+    toks = tokenize_expr(F.col(text_col), merges)
+    return df.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )

@@ -65,3 +65,32 @@ def test_apply_merges_py_roundtrip():
     assert bpe.apply_merges_py("tth", merges) == ["t", "th"]
     # overlapping occurrences merge greedily left-to-right
     assert bpe.merge_word_py(list("aaa"), "a", "a") == ["aa", "a"]
+
+
+def test_tokenize_with_merges_matches_python(spark):
+    """Distributed tokenization under a learned merge table equals the
+    per-word pure-Python reference (word boundaries flattened),
+    including regex-special merged symbols."""
+    texts = [
+        "the theatre then",
+        "other ether tether",
+        "$a. $a. thens x\\y+",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(df, n_merges=6)
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe.tokenize_with_merges(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split(" ") for s in bpe.apply_merges_py(w, merges)]
+        assert got[i] == (want, len(want)), (i, got[i], want)
+
+
+def test_tokenize_expr_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "the the the")], "doc_id long, text string")
+    out = bpe.tokenize_with_merges(df, [("t", "h"), ("th", "e")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
