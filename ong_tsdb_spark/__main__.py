@@ -175,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             cents = similarity.train_ivf_centroids(
-                df, k=args.k, iters=args.iters, vec_col=args.vec_col
+                df, k=args.k, iters=args.iters,
+                vec_col=args.vec_col, id_col=args.id_col,
             )
             similarity.write_ivf_index(df, cents, args.dst, vec_col=args.vec_col)
             print(

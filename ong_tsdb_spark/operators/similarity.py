@@ -934,6 +934,14 @@ def train_pq_codebooks_exact(
     test) at m*(iters+1) -> 3 Spark jobs.  The combo table is k^m rows
     max — fine for (k=8, m=4); for big k*m fall back to fused=False.
 
+    Null policy (both paths): a vector with a null element in ANY
+    position is excluded from training entirely — the non-fused path
+    pre-filters to fully-clean vectors before slicing so the two
+    paths cannot diverge on partially-null corpora (training a
+    subspace on a row whose OTHER subspace is null would give the
+    flags different codebooks).  Encoding still gives such rows NULL
+    codes in every subspace (pq_encode_exact).
+
     PQ is the memory side of billion-scale ANN: m codes of log2(k)
     bits replace the float vector (64 x f32 = 256 B -> 4 B here), so a
     100-TB embedding corpus compresses to a RAM-resident code table
@@ -949,9 +957,16 @@ def train_pq_codebooks_exact(
         raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
     sub = dim // m
     if not fused:
+        # pre-filter to FULLY-clean vectors (see null policy above):
+        # without this, a row null only in subspace 0 would still
+        # train subspaces 1..m-1 here while the fused path drops it
+        clean = df.filter(
+            F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        )
         return [
             train_ivf_centroids_exact(
-                df.select(
+                clean.select(
                     F.col(id_col),
                     F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
                 ),
@@ -1123,24 +1138,46 @@ def pq_adc_topk(
     bit-identical cross-engine, ties broken by id for a total order.
 
     Returns (id, adc_dist, rank), ascending distance."""
-    m, sub = len(books), len(books[0][0])
+    enc = pq_encode_exact(df, books, vec_col)
+    return _adc_rank(enc, _adc_tables(books, query_vec), topk, id_col, exclude_ids)
+
+
+def _adc_tables(books: list[list[list[int]]], query_vec: list[float]) -> list[list[int]]:
+    """The m x k asymmetric distance table: integer squared L2 from the
+    quantized query subvector to every codebook entry, on exact Python
+    ints — shared by every ADC entry point so the arithmetic cannot
+    diverge between the live and persisted paths."""
+    sub = len(books[0][0])
     qq = ivf_quantize_py(query_vec)
-    tables = [
+    return [
         [
             sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
             for c in book
         ]
         for s, book in enumerate(books)
     ]
-    enc = pq_encode_exact(df, books, vec_col)
+
+
+def _adc_rank(
+    coded: DataFrame,
+    tables: list[list[int]],
+    topk: int,
+    id_col: str,
+    exclude_ids: list[int] | None,
+) -> DataFrame:
+    """Rank rows carrying ``pq_code_*`` columns by the plan-literal
+    distance-table lookups: m element_at + (m-1) integer adds per row,
+    TakeOrderedAndProject for the top-k, (adc_dist asc, id asc) total
+    order — the ONE ranking implementation behind pq_adc_topk,
+    pq_adc_topk_persisted and ivfpq_topk_persisted."""
     adc = None
-    for s in range(m):
+    for s, tbl in enumerate(tables):
         t = F.element_at(
-            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
+            F.array(*[F.lit(int(d)).cast("long") for d in tbl]),
             (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
         )
         adc = t if adc is None else adc + t
-    scored = enc.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
+    scored = coded.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
     order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
@@ -1201,34 +1238,8 @@ def pq_adc_topk_persisted(
     ranking to :func:`pq_adc_topk` on the same codebooks (the codes
     are deterministic), without the training or encode cost."""
     books = read_pq_codebooks(path)
-    m, sub = len(books), len(books[0][0])
-    qq = ivf_quantize_py(query_vec)
-    tables = [
-        [
-            sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
-            for c in book
-        ]
-        for s, book in enumerate(books)
-    ]
     df = spark.read.parquet(path)
-    adc = None
-    for s in range(m):
-        t = F.element_at(
-            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
-            (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
-        )
-        adc = t if adc is None else adc + t
-    scored = df.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
-    if exclude_ids:
-        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
-    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
-    top = scored.orderBy(*order).limit(topk)
-    w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        F.col(id_col),
-        F.col("adc_dist").cast("bigint").alias("adc_dist"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
+    return _adc_rank(df, _adc_tables(books, query_vec), topk, id_col, exclude_ids)
 
 
 def write_ivfpq_index(
@@ -1300,7 +1311,6 @@ def ivfpq_topk_persisted(
     ivf_cluster AND a ReadSchema without any embedding column —
     pinned by test."""
     centroids, books = read_ivfpq_meta(path)
-    m, sub = len(books), len(books[0][0])
     qq = ivf_quantize_py(query_vec)
 
     def sqdist(c: list[int]) -> int:
@@ -1309,29 +1319,5 @@ def ivfpq_topk_persisted(
     probe = sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
         :nprobe
     ]
-    tables = [
-        [
-            sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
-            for c in book
-        ]
-        for s, book in enumerate(books)
-    ]
     df = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
-    adc = None
-    for s in range(m):
-        t = F.element_at(
-            F.array(*[F.lit(int(d)).cast("long") for d in tables[s]]),
-            (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
-        )
-        adc = t if adc is None else adc + t
-    scored = df.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
-    if exclude_ids:
-        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
-    order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
-    top = scored.orderBy(*order).limit(topk)
-    w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        F.col(id_col),
-        F.col("adc_dist").cast("bigint").alias("adc_dist"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
+    return _adc_rank(df, _adc_tables(books, query_vec), topk, id_col, exclude_ids)

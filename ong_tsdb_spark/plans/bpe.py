@@ -47,8 +47,12 @@ __all__ = [
 
 
 def _sym_string(word):
-    """'abc' -> 'a b c' (space-joined single-char symbols)."""
-    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+    """'abc' -> 'a b c' (space-joined single-char symbols).  DOTALL so
+    embedded line terminators become symbols like any other character
+    — without it a word containing ``\\n`` would keep a multi-char
+    ``\\nX`` unit that the pure-Python reference (``list(word)``) can
+    never produce, silently desynchronizing train and serve."""
+    return F.trim(F.regexp_replace(word, "(?s)(.)", "$1 "))
 
 
 def _pairs_expr(syms):
@@ -150,8 +154,12 @@ def apply_merges_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
 def merges_pattern(a: str, b: str) -> str:
     """The zero-width-lookaround pattern applying merge (a, b) to a
     space-joined symbol string — shared by training and inference so
-    the two can never diverge."""
-    return f"(?<= |^){re.escape(a)} {re.escape(b)}(?= |$)"
+    the two can never diverge.  ``\\z``, NOT ``$``: Java's ``$`` also
+    matches before a FINAL line terminator, so a symbol string ending
+    in a newline symbol (e.g. ["q", "a\\n"] -> "q a\\n") would
+    false-match ``q a(?= |$)`` mid-symbol and merge across the symbol
+    boundary; ``\\z`` anchors to the true end of input."""
+    return f"(?<= |^){re.escape(a)} {re.escape(b)}(?= |\\z)"
 
 
 def tokenize_expr(text, merges: list[tuple[str, str]]):
@@ -168,12 +176,16 @@ def tokenize_expr(text, merges: list[tuple[str, str]]):
     pure-Python ``apply_merges_py`` per word — pinned by test."""
 
     def _tok_word(w):
-        s = F.trim(F.regexp_replace(w, "(.)", "$1 "))
+        s = _sym_string(w)
         for a, b in merges:
             s = F.regexp_replace(s, merges_pattern(a, b), _quote_replacement(a + b))
         return F.split(s, " ")
 
-    words = F.split(text, " ")
+    # empty words (consecutive/leading/trailing spaces) contribute NO
+    # symbols — exactly like the trainer's length>=1 filter and the
+    # reference's list('') == []; without this each empty word would
+    # emit a spurious '' token and inflate n_tokens
+    words = F.filter(F.split(text, " "), lambda w: w != F.lit(""))
     return F.flatten(F.transform(words, _tok_word))
 
 

@@ -21,9 +21,9 @@ Three tiers, matching the real deployment shapes:
   protocol with MinHash BAND KEYS as the state: documents that are
   merely similar (edited boilerplate, templated pages) to anything in
   the ingest history are dropped, not just byte-identical ones.  Keys
-  are computed map-side per row (array folds, no explode/shuffle)
-  with the SAME hash family as the batch MinHash, so a ledger
-  bootstrapped from a batch job and a streaming continuation agree.
+  come from the proven batch MinHash tables (one BATCH-sized doc-keyed
+  aggregate per micro-batch); bootstrap a ledger from history with
+  :func:`near_band_keys_table` so family AND key encoding agree.
 
 Scale shape: all tiers key on small digests computed
 map-side; the ledger join is digest ⋈ digest (left_anti), so shuffle
@@ -346,69 +346,74 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
     return n
 
 
+
 # ----------------------------------------------------------------------
 # near-dup tier: MinHash band keys in the ledger
 # ----------------------------------------------------------------------
 
-#: Near-dup tier parameters — 16 minhashes in 4 bands of 4 matches the
-#: batch LSH family (operators/dedup), tuned for ~0.5+ Jaccard recall.
+#: Near-dup tier parameters: 16 minhashes in 4 bands of 4 over 4-word
+#: shingles, tuned for ~0.5+ Jaccard recall.  NOTE these differ from
+#: the batch LSH pipeline's OWN defaults (shingle n=3, band_size=2),
+#: and the ledger key is md5("b{b}|h..H") — so bootstrap a ledger from
+#: history with :func:`near_band_keys_table` / :func:`near_keys_of`
+#: (which share the hash family AND the key encoding), never from the
+#: batch pipeline's band_signatures output directly.
 NEAR_NUM_HASHES = 16
 NEAR_BAND_SIZE = 4
 NEAR_SHINGLE_K = 4
 
 
-def band_keys_expr(
-    text,
+def near_band_keys_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     num_hashes: int = NEAR_NUM_HASHES,
     band_size: int = NEAR_BAND_SIZE,
     shingle_k: int = NEAR_SHINGLE_K,
-):
-    """The document's LSH band keys as ONE array column — minhash
-    computed per row with array folds (shingle array -> per-hash
-    array_min), no explode, no shuffle, so the streaming plan stays
-    stateless map-side work.  Hash family identical to the batch
-    MinHash (md5 of ``seed|shingle``, four 8-hex substrings per
-    digest), so a band ledger bootstrapped from a batch job and a
-    streaming continuation agree.
+) -> DataFrame:
+    """(id, __fp) band keys per document, built on the PROVEN batch
+    MinHash tables (shingle_table -> wide_minhash_table) rather than a
+    per-row expression: the per-row fold variant re-evaluated the
+    shingle pipeline once per hash chain and hashed 4x more than
+    needed — exactly the lambda-capture recompute trap
+    operators/dedup.py documents — while the batch tables hash each
+    shingle once per digest-seed and aggregate map-side.  Cost per
+    micro-batch: one doc-keyed aggregate (batch-sized, not
+    corpus-sized).
 
-    Documents too short to shingle (< shingle_k words) get a single
-    exact-content key instead — they dedup exactly, never
-    approximately."""
-    from ..operators.dedup import HASHES_PER_DIGEST
+    Documents too short to shingle (< shingle_k words) get ONE exact
+    content key — they dedup exactly, never approximately.  The key is
+    md5 of ``b{band}|h..h`` (or ``exact|text``), 32 hex chars like the
+    exact tier's digests."""
+    from ..operators.dedup import shingle_table, wide_minhash_table
 
-    toks = F.split(text, " ")
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, F.lit(shingle_k)), " "),
-    )
-    def _hash_fn(s: int, j: int):
-        # NOTE: a `lambda sh, s=s, j=j:` default-arg closure would make
-        # pyspark's arity inspection treat this as a 3-arg lambda (the
-        # bm25_scores trap) — a real closure is required
-        def fn(sh):
-            return F.substring(
-                F.md5(F.concat(F.lit(str(s)), F.lit("|"), sh)), j * 8 + 1, 8
-            )
-
-        return fn
-
-    mins = []
-    for i in range(num_hashes):
-        s, j = divmod(i, HASHES_PER_DIGEST)
-        mins.append(F.array_min(F.transform(shingles, _hash_fn(s, j))))
+    base = df.select(F.col(id_col), F.col(text_col))
+    sh = shingle_table(base, text_col=text_col, id_col=id_col, n=shingle_k)
+    wide = wide_minhash_table(sh, id_col=id_col, num_hashes=num_hashes)
     n_bands = num_hashes // band_size
-    bands = [
-        F.md5(
-            F.concat_ws(
-                "|", F.lit(f"b{b}"), *mins[b * band_size : (b + 1) * band_size]
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(f"b{b}"),
+                    *[
+                        F.col(f"h{i}")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
+                )
             )
-        )
-        for b in range(n_bands)
-    ]
-    return F.when(n >= shingle_k, F.array(*bands)).otherwise(
-        F.array(F.md5(F.concat(F.lit("exact|"), text)))
+            for b in range(n_bands)
+        ]
     )
+    banded = wide.select(F.col(id_col), F.explode(keys).alias(FINGERPRINT_COL))
+    shorts = base.filter(
+        F.size(F.split(F.col(text_col), " ")) < shingle_k
+    ).select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit("exact|"), F.col(text_col))).alias(FINGERPRINT_COL),
+    )
+    return banded.unionByName(shorts)
 
 
 def near_dedup_batch_against_ledger(
@@ -431,34 +436,35 @@ def near_dedup_batch_against_ledger(
     work; they are exact-deduped, and either would have been dropped
     had it arrived one batch later.
 
-    Scale shape: band keys are computed map-side per row; the only
-    shuffles are the exploded-key semi-join against the ledger
-    (16-byte digests x n_bands per doc) and the id anti-join back —
-    document text crosses the wire once, to its output file."""
+    Scale shape: one batch-sized minhash aggregate, the band-key
+    semi-join against the ledger (32-hex keys x n_bands per doc) and
+    the id anti-join back — document text crosses the wire once, to
+    its output file."""
     fp = content_fingerprint(batch_df, text_col)
     reps = _representatives(fp).drop(FINGERPRINT_COL)
-    keys = band_keys_expr(F.col(text_col))
     ledger = _read_ledger(spark, ledger_path, exclude_batch)
     if ledger is None:
         return reps
-    ex = reps.select(
-        F.col(id_col), F.explode(keys).alias(FINGERPRINT_COL)
-    )
+    keys = near_band_keys_table(reps, text_col, id_col)
     dup_ids = (
-        ex.join(ledger, on=FINGERPRINT_COL, how="left_semi")
+        keys.join(ledger, on=FINGERPRINT_COL, how="left_semi")
         .select(id_col)
         .distinct()
     )
     return reps.join(dup_ids, on=id_col, how="left_anti")
 
 
-def near_keys_of(docs_df: DataFrame, text_col: str = "text") -> DataFrame:
+def near_keys_of(
+    docs_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Ledger keys of a committed batch: every band key of every
     surviving document (pure function of the documents — the replay
     path depends on that)."""
-    return docs_df.select(
-        F.explode(band_keys_expr(F.col(text_col))).alias(FINGERPRINT_COL)
-    ).distinct()
+    return (
+        near_band_keys_table(docs_df, text_col, id_col)
+        .select(FINGERPRINT_COL)
+        .distinct()
+    )
 
 
 def start_near_ledger_dedup(
@@ -484,6 +490,9 @@ def start_near_ledger_dedup(
             spark, batch_df, ledger_path, text_col, id_col, exclude_batch
         )
 
+    def keys_of(docs_df, text_col):
+        return near_keys_of(docs_df, text_col, id_col)
+
     return start_ledger_dedup(
         spark,
         docs_stream,
@@ -494,5 +503,5 @@ def start_near_ledger_dedup(
         trigger_available_now=trigger_available_now,
         on_batch_committed=on_batch_committed,
         select_batch=select_batch,
-        keys_of=near_keys_of,
+        keys_of=keys_of,
     )

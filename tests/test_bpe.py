@@ -94,3 +94,29 @@ def test_tokenize_expr_is_shuffle_free(spark):
     out = bpe.tokenize_with_merges(df, [("t", "h"), ("th", "e")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_newlines_and_empty_words(spark):
+    """Line terminators are ordinary symbols (DOTALL symbolization;
+    \\z anchoring so a trailing newline symbol cannot be merged
+    across), and empty words from consecutive spaces contribute no
+    tokens — both pinned against the pure-Python reference."""
+    texts = ["a\nb a\nb qa\n qa\n", "the  the", " lead trail "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(df, n_merges=6)
+    want_merges = _py_train(texts, 6)
+    assert merges == want_merges
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe.tokenize_with_merges(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [
+            s
+            for w in t.split(" ")
+            if len(w) >= 1
+            for s in bpe.apply_merges_py(w, merges)
+        ]
+        assert got[i] == (want, len(want)), (i, got[i], want)

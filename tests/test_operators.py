@@ -2205,6 +2205,12 @@ def test_pq_fused_training_matches_reference(spark):
     rows = [
         (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
     ]
+    # partially-null vectors (null in ONE subspace) must be excluded
+    # from training on BOTH paths — null only in subspace 0 here, so a
+    # per-slice filter would still train subspaces 1..3 on it and the
+    # paths would diverge
+    rows.append((97, [None] + [0.5] * 15))
+    rows.append((98, None))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     fused = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2, fused=True)
     ref = similarity.train_pq_codebooks_exact(df, m=4, k=4, iters=2, fused=False)

@@ -528,29 +528,35 @@ def test_near_ledger_replay_is_idempotent(spark, tmp_path):
     assert n1 == n2 == 1
 
 
-def test_band_keys_expr_batch_family_parity(spark):
-    """The streaming band keys must use the SAME hash family as the
-    batch MinHash: a document's streamed band keys equal md5 of the
-    batch pipeline's (band, sig) concatenation."""
+def test_near_band_keys_batch_family_parity(spark):
+    """The streaming band keys ARE the batch MinHash family: a
+    document's key set equals md5 of the batch wide-signature table's
+    (band, sig) concatenation, and a short doc gets exactly one exact
+    fallback key."""
+    import hashlib as _h
+
     from ong_tsdb_spark.operators import dedup as d
     from ong_tsdb_spark.streaming.dedup import (
-        NEAR_BAND_SIZE, NEAR_NUM_HASHES, NEAR_SHINGLE_K, band_keys_expr,
+        NEAR_BAND_SIZE, NEAR_NUM_HASHES, NEAR_SHINGLE_K, near_band_keys_table,
     )
 
     df = spark.createDataFrame(
-        [(1, " ".join(f"a{i}" for i in range(12)))], "doc_id long, text string"
+        [(1, " ".join(f"a{i}" for i in range(12))), (2, "too short")],
+        "doc_id long, text string",
     )
-    got = df.select(band_keys_expr(F.col("text")).alias("k")).first()["k"]
+    rows = near_band_keys_table(df).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["__fp"])
 
-    sh = d.shingle_table(df, n=NEAR_SHINGLE_K)
+    sh = d.shingle_table(df.filter(F.col("doc_id") == 1), n=NEAR_SHINGLE_K)
     wide = d.wide_minhash_table(sh, num_hashes=NEAR_NUM_HASHES)
     row = wide.first()
-    want = []
+    want = set()
     for b in range(NEAR_NUM_HASHES // NEAR_BAND_SIZE):
         parts = [f"b{b}"] + [
             row[f"h{i}"] for i in range(b * NEAR_BAND_SIZE, (b + 1) * NEAR_BAND_SIZE)
         ]
-        import hashlib as _h
-
-        want.append(_h.md5("|".join(parts).encode()).hexdigest())
-    assert got == want
+        want.add(_h.md5("|".join(parts).encode()).hexdigest())
+    assert got[1] == want
+    assert got[2] == {_h.md5(b"exact|too short").hexdigest()}
