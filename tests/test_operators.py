@@ -2421,3 +2421,47 @@ def test_ivfpq_index_both_scale_levers(spark, tmp_path):
     assert "PartitionFilters" in plan and "ivf_cluster" in plan
     assert "embedding" not in plan
     assert "pq_code_0" in plan
+
+
+def test_retention_cohorts_fixture(spark):
+    """Cohort retention triangle on a hand-built event log, checked
+    against hand counts and a DuckDB twin of the same computation."""
+    import duckdb
+
+    from ong_tsdb_spark.compare import canon_rows
+    from ong_tsdb_spark.operators.events import WEEK_US, retention_cohorts
+
+    def us(week, day=0):
+        return week * WEEK_US + day * 86_400 * 1_000_000
+
+    rows = [
+        # user 1: first week 0, active weeks 0,1,2 (two events in wk 0)
+        (1, us(0)), (1, us(0, 3)), (1, us(1)), (1, us(2)),
+        # user 2: first week 0, active weeks 0,2
+        (2, us(0, 1)), (2, us(2, 4)),
+        # user 3: first week 1, active week 1 only
+        (3, us(1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long")
+    out = retention_cohorts(df)
+    got = {(r["cohort"], r["period"]): (r["periods_since"], r["n_users"])
+           for r in out.collect()}
+    assert got == {
+        (0, 0): (0, 2),
+        (0, 1): (1, 1),
+        (0, 2): (2, 2),
+        (1, 1): (0, 1),
+    }
+
+    con = duckdb.connect()
+    con.register("ev", out.sparkSession.createDataFrame(rows, "user_id BIGINT, us BIGINT").toPandas())
+    rel = con.sql(f"""
+        WITH w AS (SELECT DISTINCT user_id, us // {WEEK_US} AS period FROM ev),
+        f AS (SELECT user_id, min(period) AS cohort FROM w GROUP BY user_id)
+        SELECT cohort, period,
+               CAST(period - cohort AS BIGINT) AS periods_since,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM w JOIN f USING (user_id)
+        GROUP BY cohort, period
+    """)
+    assert canon_rows(out.columns, out.collect()) == canon_rows(rel.columns, rel.fetchall())
