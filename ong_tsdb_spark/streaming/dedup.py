@@ -505,3 +505,27 @@ def start_near_ledger_dedup(
         select_batch=select_batch,
         keys_of=keys_of,
     )
+
+
+def near_ledger_backfill(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    ledger_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Bootstrap a NEAR-DUP band ledger from an existing (already
+    deduplicated) corpus, so a streaming continuation drops documents
+    similar to the historical corpus from its very first micro-batch.
+    Writes the distinct band keys under ``ledger_path/batch=-1`` (the
+    per-batch-directory convention, below any streaming batch id, so
+    replay self-exclusion and :func:`compact_ledger` both work
+    unchanged).  Returns the number of distinct keys written.
+
+    Keys come from :func:`near_band_keys_table` — the ONLY correct
+    source (the batch LSH pipeline's own defaults differ in shingle
+    size, banding and key encoding)."""
+    keys = near_keys_of(corpus_df, text_col, id_col)
+    out = f"{ledger_path}/batch=-1"
+    keys.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).count()

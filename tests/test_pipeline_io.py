@@ -560,3 +560,37 @@ def test_near_band_keys_batch_family_parity(spark):
         want.add(_h.md5("|".join(parts).encode()).hexdigest())
     assert got[1] == want
     assert got[2] == {_h.md5(b"exact|too short").hexdigest()}
+
+
+def test_near_ledger_backfill_gates_stream(spark, tmp_path):
+    """A band ledger bootstrapped from a historical corpus drops a
+    near-duplicate arriving in the stream's FIRST batch."""
+    from ong_tsdb_spark.streaming.dedup import (
+        near_ledger_backfill, start_near_ledger_dedup,
+    )
+
+    base_words = [f"h{i}" for i in range(60)]
+    hist = spark.createDataFrame(
+        [(1, " ".join(base_words))], "doc_id long, text string"
+    )
+    ledger = str(tmp_path / "ledger")
+    n = near_ledger_backfill(spark, hist, ledger)
+    assert n == 4  # 16 hashes / band_size 4
+
+    edited = " ".join(base_words[:20] + ["X"] + base_words[21:])
+    fresh = " ".join(f"n{i}" for i in range(60))
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        _near_doc(10, edited) + "\n" + _near_doc(11, fresh) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(str(src))
+    q = start_near_ledger_dedup(
+        spark, stream, ledger_path=ledger, out_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {11}
