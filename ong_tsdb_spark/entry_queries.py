@@ -3345,6 +3345,13 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_sql(tok_expr: str, n: int) -> str:
+    """DuckDB twin of text.hash_bucket: first 8 md5 hex chars as a
+    bigint, mod the bucket count — shared by the classifier and DSIR
+    oracles so the feature hash cannot drift between them."""
+    return f"('0x' || substr(md5({tok_expr}), 1, 8))::BIGINT % {n}"
+
+
 def _clf_sql() -> str:
     w = text.classifier_weights()
     n = len(w)
@@ -3356,7 +3363,7 @@ def _clf_sql() -> str:
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(list_sum(list_transform(toks,
-                  tok -> wl[CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % {n} AS INT) + 1]))
+                  tok -> wl[CAST({_bucket_sql("tok", n)} AS INT) + 1]))
                AS BIGINT) AS score
       FROM t, w)
     SELECT doc_id, n_tokens, score,
@@ -3384,7 +3391,7 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dsir_sql() -> str:
     n = text.DSIR_BUCKETS
-    bucket = "('0x' || substr(md5(tok), 1, 8))::BIGINT % {n}".format(n=n)
+    bucket = _bucket_sql("tok", n)
     return f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
     e AS (

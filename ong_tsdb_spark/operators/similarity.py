@@ -388,6 +388,19 @@ def train_ivf_centroids_exact(
     return centroids
 
 
+def _nprobe_lists(centroids: list[list[int]], qq: list[int], nprobe: int) -> list[int]:
+    """The nprobe nearest coarse lists to a quantized query by exact
+    integer squared-L2, lowest-index tie-break — the driver-side probe
+    selection shared by ivf_topk_exact and ivfpq_topk_persisted."""
+
+    def sqdist(c: list[int]) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(qq, c))
+
+    return sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
+        :nprobe
+    ]
+
+
 def ivf_assign_exact(
     df: DataFrame,
     centroids: list[list[int]],
@@ -434,14 +447,7 @@ def ivf_topk_exact(
     nearest lists by integer squared-L2 (driver-side on exact Python
     ints), exact float cosine re-rank inside them (the fold already
     proven bit-identical by the brute-force oracle)."""
-    qq = ivf_quantize_py(query_vec)
-
-    def sqdist(c: list[int]) -> int:
-        return sum((a - b) * (a - b) for a, b in zip(qq, c))
-
-    probe = sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
-        :nprobe
-    ]
+    probe = _nprobe_lists(centroids, ivf_quantize_py(query_vec), nprobe)
     assigned = ivf_assign_exact(df, centroids, vec_col)
     candidates = assigned.filter(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
     return cosine_topk(candidates, query_vec, k, vec_col, id_col, exclude_ids)
@@ -1311,13 +1317,6 @@ def ivfpq_topk_persisted(
     ivf_cluster AND a ReadSchema without any embedding column —
     pinned by test."""
     centroids, books = read_ivfpq_meta(path)
-    qq = ivf_quantize_py(query_vec)
-
-    def sqdist(c: list[int]) -> int:
-        return sum((a - b) * (a - b) for a, b in zip(qq, c))
-
-    probe = sorted(range(len(centroids)), key=lambda j: (sqdist(centroids[j]), j))[
-        :nprobe
-    ]
+    probe = _nprobe_lists(centroids, ivf_quantize_py(query_vec), nprobe)
     df = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
     return _adc_rank(df, _adc_tables(books, query_vec), topk, id_col, exclude_ids)

@@ -1048,10 +1048,10 @@ def classifier_quality(
     double division for ``mean_weight`` is correctly rounded from
     exact integer inputs)."""
     score = classifier_score_expr(F.col(text_col), weights)
-    n = F.size(tokens(F.col(text_col))).cast("long")
+    n = F.size(tokens(F.col(text_col))).cast("bigint")
     return df.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
+        n.alias("n_tokens"),
         score.cast("bigint").alias("score"),
         (score.cast("double") / n.cast("double")).alias("mean_weight"),
         (score > F.lit(0)).alias("clf_pass"),
