@@ -2465,3 +2465,49 @@ def test_retention_cohorts_fixture(spark):
         GROUP BY cohort, period
     """)
     assert canon_rows(out.columns, out.collect()) == canon_rows(rel.columns, rel.fetchall())
+
+
+def test_interval_join_matches_naive_and_plan(spark):
+    """Chunk-bucketed interval join: exact equality with the naive
+    cross+filter join on a fixture with boundary hits, chunk-spanning
+    intervals and unmatched events; the left variant keeps unmatched
+    events; and the plan is an equi-join, never a nested loop."""
+    from ong_tsdb_spark.operators.intervaljoin import interval_join
+
+    H = 3_600 * 1_000_000
+    events = spark.createDataFrame(
+        [(1, 0), (2, H // 2), (3, H), (4, 5 * H + 7), (5, 99 * H)],
+        "event_id long, us long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 0, H // 2),          # boundary-inclusive both ends
+            (11, H // 4, 6 * H),      # spans 7 chunks
+            (12, 50 * H, 60 * H),     # matches nothing
+        ],
+        "iv_id long, start_us long, end_us long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(events, intervals).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in events.crossJoin(intervals)
+        .filter((F.col("us") >= F.col("start_us")) & (F.col("us") <= F.col("end_us")))
+        .collect()
+    )
+    assert got == naive == [(1, 10), (2, 10), (2, 11), (3, 11), (4, 11)]
+
+    left = interval_join(events, intervals, how="left")
+    rows = [(r["event_id"], r["iv_id"]) for r in left.collect()]
+    assert sorted(r for r in rows if r[1] is not None) == naive
+    assert (5, None) in rows  # unmatched event survives
+
+    plan = interval_join(events, intervals)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(events, intervals, how="full")
