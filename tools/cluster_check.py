@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Multi-JVM validation: replay a representative slice of the registry
+under Spark's ``local-cluster[W,C,M]`` master — SEPARATE executor JVMs
+with real closure serialization, Python worker launch, and
+network-transported shuffles, unlike ``local[*]`` where everything
+shares the driver JVM.  This is the strongest distribution check
+available without a real cluster (ROADMAP #29): it catches
+driver-only-sys.path bugs, unserializable closures, and
+single-JVM-only state sharing that local-mode tests mask.
+
+    python tools/cluster_check.py [--sf-dir /root/testdata/sf0.01]
+        [--workers 2] [--cores 4] [--mem-mb 2048] [--only NAME ...]
+
+Exit code 0 iff every query matches its DuckDB oracle exactly (same
+canonicalization as tools/replay.py).  Default subset: one query per
+operator family, chosen to cover every execution shape — engine scan,
+window, joins, explode+agg dedup, Arrow mapInPandas (PQ/IVF training,
+multimodal), iterative jobs (connected components), driver-literal
+models (classifier/DSIR), and streaming-adjacent pack pipelines.
+
+NOTE: shutdown of local-cluster workers logs noisy (benign) RPC errors
+after results are printed — the exit code is the signal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# local-cluster workers need SPARK_HOME to launch executor JVMs
+import pyspark  # noqa: E402
+
+os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+
+from ong_tsdb_spark.compare import TABLES, canon_rows  # noqa: E402
+
+#: one query per execution shape (see module docstring)
+DEFAULT_SUBSET = [
+    "ts_range_read",          # pruned scan + dtype-adaptive time
+    "ts_rolling_mean",        # chunk-parallel windows
+    "tpch_q3_topk",           # broadcast joins + TakeOrdered
+    "dedup_minhash_lsh",      # explode + wide min-agg + band join
+    "dedup_clusters",         # iterative jobs + localCheckpoint
+    "text_classifier_quality",  # plan-literal model, map-side
+    "corpus_dsir_weights",    # driver-collected counts -> literals
+    "text_bpe_pairs",         # substring generate + count agg
+    "doc_chunk_stats",        # generate + slice fan-out
+    "emb_pq_adc_topk",        # Arrow mapInPandas training + ADC
+    "emb_ivf_topk",           # integer-exact k-means + probe
+    "events_funnel",          # min-agg + user-keyed join chain
+    "corpus_pack_sequences",  # tokenize -> id-map -> pack pipeline
+    "multimodal_features",    # binary columns through mapInPandas
+]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--cores", type=int, default=4)
+    ap.add_argument("--mem-mb", type=int, default=2048)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args(argv)
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    master = f"local-cluster[{args.workers},{args.cores},{args.mem_mb}]"
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(args.workers * args.cores))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    n_exec = spark.sparkContext.defaultParallelism
+    print(f"master={master} defaultParallelism={n_exec}", flush=True)
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = args.only or [n for n in DEFAULT_SUBSET if n in qs]
+    bad = []
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir)
+            srows = canon_rows(sdf.columns, sdf.collect())
+            rel = con.sql(oracles[name])
+            orows = canon_rows(rel.columns, rel.fetchall())
+            ok = srows == orows
+        except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
+            ok, srows, orows = False, f"EXC: {ex}", None
+        status = "OK" if ok else "MISMATCH"
+        if not ok:
+            bad.append(name)
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
+              flush=True)
+    # engine write path under multi-JVM: full snap -> last-wins ->
+    # cellwise merge -> dynamic-overwrite round trip, then an upsert
+    # of one cell (the reference's core semantics)
+    t0 = time.time()
+    try:
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+
+        from ong_tsdb_spark import OngTsdbSpark
+
+        eng = OngTsdbSpark(spark, tempfile.mkdtemp(prefix="cluster_check_"))
+        eng.create_db("d")
+        eng.create_sensor("d", "s", "1s", ["a", "b"])
+        idx = pd.date_range("2024-01-01", periods=5000, freq="10s", tz="UTC")
+        df = pd.DataFrame(
+            {"a": np.arange(5000.0), "b": np.arange(5000.0) * 2}, index=idx
+        )
+        eng.write_df("d", "s", df)
+        back = eng.read_pandas("d", "s", idx[0].timestamp(), idx[-1].timestamp())
+        ok = (
+            len(back) == 5000
+            and float(back["a"].iloc[42]) == 42.0
+            and float(back["b"].iloc[42]) == 84.0
+        )
+        eng.write_df("d", "s", pd.DataFrame({"a": [123.0]}, index=idx[:1]))
+        back2 = eng.read_pandas("d", "s", idx[0].timestamp(), idx[0].timestamp())
+        ok = ok and float(back2["a"].iloc[0]) == 123.0 and float(back2["b"].iloc[0]) == 0.0
+    except Exception as ex:  # noqa: BLE001
+        ok = False
+        print(f"engine round-trip EXC: {ex}", flush=True)
+    if not ok:
+        bad.append("engine_roundtrip")
+    print(f"[engine] write/upsert/read round-trip: "
+          f"{'OK' if ok else 'MISMATCH'} ({time.time() - t0:.1f}s)", flush=True)
+
+    print(f"\nRESULT: {len(names) + 1 - len(bad)}/{len(names) + 1} exact under "
+          f"{master}; failures: {bad}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
