@@ -130,3 +130,79 @@ def duplicate_clusters(
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list in INTEGER-EXACT arithmetic
+    — partition-independent and bit-identical across reruns, like the
+    integer Lloyd's trainer: scores are bigints scaled by ``scale``,
+    the damping factor is the rational ``damping_num/damping_den``
+    (default 17/20 = 0.85), and every step is
+
+        contrib(u)  = score(u) div outdeg(u)                (SQL div)
+        score'(v)   = ((den-num)*scale + num*sum_in(v)) div den
+
+    i.e. exact floor divisions and order-free integer sums — no float
+    anywhere, so the result cannot depend on partitioning or
+    aggregation order (pinned by test).
+
+    Documented deviations from textbook PageRank, chosen for bounded
+    distributed work: dangling-node mass is DROPPED rather than
+    redistributed (redistribution needs a global scalar per round;
+    rankings of connected regions are unaffected), and the loop runs a
+    FIXED iteration count instead of an epsilon test (deterministic
+    plan count; pass a bigger ``iters`` for deeper graphs).
+
+    Scale shape: per round one equi-join of the (node, score, outdeg)
+    table with the edge list and one dst-keyed integer sum — shuffles
+    carry two bigints per node/edge, never payloads; the score table
+    is localCheckpoint-ed per round to cut lineage (same pattern as
+    connected_components).  Magnitudes: total mass <= n_nodes * scale,
+    so stay under 2^63 / damping_num — the defaults allow ~5 * 10^8
+    nodes; lower ``scale`` for bigger graphs.
+
+    Returns (node, pr_scaled bigint, pr double = pr_scaled/scale)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("__s").agg(F.count("*").alias("__outdeg"))
+    ranks = nodes.withColumn("score", F.lit(int(scale)).cast("long"))
+    num, den = int(damping_num), int(damping_den)
+    base = (den - num) * int(scale)
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "__s"), on="__s")
+            .join(deg, on="__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("score div __outdeg").alias("__c"),
+            )
+        )
+        incoming = contribs.groupBy("node").agg(F.sum("__c").alias("__inc"))
+        ranks = (
+            nodes.join(incoming, on="node", how="left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast(({base} + {num} * coalesce(__inc, 0)) div {den} as long)"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("score").cast("bigint").alias("pr_scaled"),
+        (F.col("score").cast("double") / F.lit(float(scale))).alias("pr"),
+    )

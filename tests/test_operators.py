@@ -2511,3 +2511,43 @@ def test_interval_join_matches_naive_and_plan(spark):
 
     with _pytest.raises(ValueError):
         interval_join(events, intervals, how="full")
+
+
+def test_pagerank_exact_python_twin_and_invariance(spark):
+    """Integer-exact PageRank equals an independent Python model on a
+    hand graph, is invariant to edge partitioning (the integer-ops
+    guarantee), and ranks the high-in-degree hub first."""
+    from ong_tsdb_spark.operators.graph import pagerank_exact
+
+    edges = [
+        (1, 4), (2, 4), (3, 4),      # hub 4
+        (4, 5), (5, 1), (2, 5), (6, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: (r["pr_scaled"], r["pr"])
+           for r in pagerank_exact(df, iters=8).collect()}
+    out2 = {r["node"]: (r["pr_scaled"], r["pr"])
+            for r in pagerank_exact(df.repartition(7), iters=8).collect()}
+    assert out == out2
+
+    # independent model: same floor-division recurrence
+    scale, num, den = 1_000_000_000, 17, 20
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    score = {n: scale for n in nodes}
+    for _ in range(8):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += score[s] // outdeg[s]
+        score = {n: ((den - num) * scale + num * inc[n]) // den for n in nodes}
+    for n in nodes:
+        assert out[n] == (score[n], score[n] / scale), n
+
+    # source-only nodes (2, 3, 6 receive no edges) sit at the damping
+    # floor; the hub out-ranks them, and the hub's sole heir (5, which
+    # inherits ALL of 4's mass plus 2's split) tops the graph
+    assert out[2] == out[3] == out[6]
+    assert out[4][0] > out[2][0]
+    assert out[5][0] == max(s for s, _ in out.values())
