@@ -122,3 +122,40 @@ def test_dsir_importance_property(spark, texts):
             imp += w[_bucket(tok, nb)]
         assert got[i]["imp_sum"] == imp
         assert got[i]["imp_mean"] == imp / len(toks)
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(
+    ev=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25),
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk=st.sampled_from([32, 100, 150]),
+)
+def test_interval_join_property(spark, ev, iv, chunk):
+    """Chunk-bucketed interval join == naive cross+filter for random
+    events/intervals at several chunk widths (boundaries inclusive)."""
+    from ong_tsdb_spark.operators.intervaljoin import interval_join
+
+    events = spark.createDataFrame(list(enumerate(ev)), "event_id long, us long")
+    intervals = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(iv)],
+        "iv_id long, start_us long, end_us long",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(events, intervals, chunk_us=chunk).collect()
+    )
+    want = sorted(
+        (ei, ii)
+        for ei, t in enumerate(ev)
+        for ii, (s, ln) in enumerate(iv)
+        if s <= t <= s + ln
+    )
+    assert got == want
