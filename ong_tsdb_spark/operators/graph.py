@@ -170,14 +170,21 @@ def pagerank_exact(
     nodes; lower ``scale`` for bigger graphs.
 
     Returns (node, pr_scaled bigint, pr double = pr_scaled/scale)."""
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # edge table and outdegrees are read EVERY round — checkpoint both
+    # once so the iterations re-join stored partitions instead of
+    # re-scanning the input and re-running the degree shuffle per round
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("__s").agg(F.count("*").alias("__outdeg"))
+    deg = e.groupBy("__s").agg(F.count("*").alias("__outdeg")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.withColumn("score", F.lit(int(scale)).cast("long"))
     num, den = int(damping_num), int(damping_den)
     base = (den - num) * int(scale)

@@ -46,8 +46,13 @@ def interval_join(
     chunk = F.lit(int(chunk_us))
     ev = events.withColumn("__chunk", F.floor(F.col(ts_col) / chunk).cast("long"))
     # explode each interval to the chunk range it covers — sequence is
-    # inclusive on both ends, matching floor(start) .. floor(end)
-    iv = intervals.withColumn(
+    # inclusive on both ends, matching floor(start) .. floor(end).
+    # Empty intervals (end < start) are dropped FIRST: they can match
+    # nothing, and F.sequence with start > stop would otherwise count
+    # DOWN, exploding one corrupt row into every chunk between the
+    # bounds (an epoch-us start with an unset end = ~half a billion
+    # rows, OOMing the task before the post-predicate could filter).
+    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "__chunk",
         F.explode(
             F.sequence(

@@ -517,15 +517,27 @@ def near_ledger_backfill(
     """Bootstrap a NEAR-DUP band ledger from an existing (already
     deduplicated) corpus, so a streaming continuation drops documents
     similar to the historical corpus from its very first micro-batch.
-    Writes the distinct band keys under ``ledger_path/batch=-1`` (the
-    per-batch-directory convention, below any streaming batch id, so
-    replay self-exclusion and :func:`compact_ledger` both work
-    unchanged).  Returns the number of distinct keys written.
+    Writes the distinct band keys to a FRESH negative batch partition
+    — ``min(existing negative ids) - 1``, the same allocation rule as
+    :func:`compact_ledger` — never to a fixed id: ``batch=-1`` is the
+    first compaction target, and overwriting it would silently destroy
+    a compacted ledger's entire key set.  Negative ids sit below any
+    streaming batch, so replay self-exclusion works unchanged.
+    Returns the number of distinct keys written.
 
     Keys come from :func:`near_band_keys_table` — the ONLY correct
     source (the batch LSH pipeline's own defaults differ in shingle
     size, banding and key encoding)."""
+    fs = _fs(spark, ledger_path)
+    neg = []
+    if fs.exists(ledger_path):
+        neg = [
+            int(d.split("=", 1)[1])
+            for d in fs.listdir(ledger_path)
+            if d.startswith("batch=-") and d.split("=", 1)[1].lstrip("-").isdigit()
+        ]
+    k = (min(neg) - 1) if neg else -1
     keys = near_keys_of(corpus_df, text_col, id_col)
-    out = f"{ledger_path}/batch=-1"
+    out = f"{ledger_path}/batch={k}"
     keys.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).count()

@@ -594,3 +594,62 @@ def test_near_ledger_backfill_gates_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {11}
+
+
+def test_near_ledger_backfill_preserves_compacted_ledger(spark, tmp_path):
+    """Backfilling MUST NOT overwrite batch=-1 — the compaction
+    target: after compact_ledger folds the stream's keys there, a
+    backfill allocates the next negative id and near-dups of BOTH the
+    compacted history and the backfilled corpus are dropped."""
+    from ong_tsdb_spark.streaming.dedup import (
+        compact_ledger, near_dedup_batch_against_ledger, near_ledger_backfill,
+        start_near_ledger_dedup,
+    )
+
+    w1 = [f"p{i}" for i in range(60)]
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(_near_doc(1, " ".join(w1)) + "\n")
+    ledger = str(tmp_path / "ledger")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(str(src))
+    q = start_near_ledger_dedup(
+        spark, stream, ledger_path=ledger, out_path=str(tmp_path / "o"),
+        checkpoint_path=str(tmp_path / "c"),
+    )
+    q.awaitTermination(120)
+    compact_ledger(spark, ledger)  # stream keys now live in batch=-1
+
+    w2 = [f"q{i}" for i in range(60)]
+    hist = spark.createDataFrame([(2, " ".join(w2))], "doc_id long, text string")
+    near_ledger_backfill(spark, hist, ledger)  # must land in batch=-2
+
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(w1[:30] + ["X"] + w1[31:])),   # near-dup of stream doc
+            # EXACT copy of the backfilled doc: shares ALL bands, so
+            # the drop is guaranteed iff batch=-2 is consulted (a
+            # one-word edit's band collision is fixture-dependent —
+            # near-recall itself is proven by the gating test above)
+            (11, " ".join(w2)),
+            (12, " ".join(f"z{i}" for i in range(60))),  # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dedup_batch_against_ledger(spark, batch, ledger)
+    assert {r["doc_id"] for r in out.collect()} == {12}
+
+
+def test_interval_join_reversed_interval_is_empty(spark):
+    """A corrupt interval with end < start matches nothing and — the
+    real point — never explodes into a descending chunk sequence."""
+    from ong_tsdb_spark.operators.intervaljoin import interval_join
+
+    events = spark.createDataFrame([(1, 1_700_000_000_000_000)], "event_id long, us long")
+    intervals = spark.createDataFrame(
+        [(10, 1_700_000_000_000_000, 0), (11, 0, 2_000_000_000_000_000)],
+        "iv_id long, start_us long, end_us long",
+    )
+    got = [(r["event_id"], r["iv_id"]) for r in interval_join(events, intervals).collect()]
+    assert got == [(1, 11)]

@@ -88,23 +88,37 @@ def main(argv=None) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    names = args.only or [n for n in DEFAULT_SUBSET if n in qs]
+    if args.only:
+        names = args.only
+    else:
+        names = [n for n in DEFAULT_SUBSET if n in qs]
+        for missing in (n for n in DEFAULT_SUBSET if n not in qs):
+            # a registry rotation removed a shape-covering query — the
+            # per-shape guarantee no longer holds; say so, don't shrink
+            # the sweep silently
+            print(f"SKIPPED (not in registry): {missing}", flush=True)
     bad = []
     for i, name in enumerate(names):
         t0 = time.time()
+        err = None
         try:
             sdf = qs[name](spark, args.sf_dir)
-            srows = canon_rows(sdf.columns, sdf.collect())
+            scols, srows_raw = sdf.columns, sdf.collect()
             rel = con.sql(oracles[name])
-            orows = canon_rows(rel.columns, rel.fetchall())
-            ok = srows == orows
+            # same contract as tools/replay.py: the NAMES must match
+            # too, not just the name-sorted value tuples
+            ok = sorted(scols) == sorted(rel.columns) and canon_rows(
+                scols, srows_raw
+            ) == canon_rows(rel.columns, rel.fetchall())
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
-            ok, srows, orows = False, f"EXC: {ex}", None
+            ok, err = False, f"{type(ex).__name__}: {str(ex)[:300]}"
         status = "OK" if ok else "MISMATCH"
         if not ok:
             bad.append(name)
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
               flush=True)
+        if err:
+            print(f"    ERROR {err}", flush=True)
     # engine write path under multi-JVM: full snap -> last-wins ->
     # cellwise merge -> dynamic-overwrite round trip, then an upsert
     # of one cell (the reference's core semantics)
@@ -131,9 +145,14 @@ def main(argv=None) -> int:
             and float(back["a"].iloc[42]) == 42.0
             and float(back["b"].iloc[42]) == 84.0
         )
-        eng.write_df("d", "s", pd.DataFrame({"a": [123.0]}, index=idx[:1]))
-        back2 = eng.read_pandas("d", "s", idx[0].timestamp(), idx[0].timestamp())
-        ok = ok and float(back2["a"].iloc[0]) == 123.0 and float(back2["b"].iloc[0]) == 0.0
+        # upsert at row 42, where the preserved column's value (84.0)
+        # differs from the fill value AND from zero — an overwrite,
+        # null-out, or dropped merge all change it, so the assertion
+        # actually proves the cellwise merge (row 0's b == 0.0 would
+        # be vacuous: it equals the fill default)
+        eng.write_df("d", "s", pd.DataFrame({"a": [123.0]}, index=idx[42:43]))
+        back2 = eng.read_pandas("d", "s", idx[42].timestamp(), idx[42].timestamp())
+        ok = ok and float(back2["a"].iloc[0]) == 123.0 and float(back2["b"].iloc[0]) == 84.0
     except Exception as ex:  # noqa: BLE001
         ok = False
         print(f"engine round-trip EXC: {ex}", flush=True)
