@@ -110,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         "gate_expr): rule-based Gopher filters, the hashed linear "
         "classifier, or their conjunction",
     )
+    pu.add_argument(
+        "--merges-file",
+        default=None,
+        help="learned BPE merge table JSON ([[a, b], ...], the "
+        "plans/bpe.train_bpe_merges output) — switches shard "
+        "tokenization to the trained subword tokenizer; recorded in "
+        "the shard meta so later appends tokenize identically",
+    )
 
     pvs = sub.add_parser(
         "verify-shards",
@@ -224,6 +232,12 @@ def main(argv: list[str] | None = None) -> int:
                 if isinstance(raw, list)
                 else {t: int(i) for t, i in raw.items()}
             )
+        merges = None
+        if args.merges_file:
+            import json as _json
+
+            with open(args.merges_file) as f:
+                merges = [(str(a), str(b)) for a, b in _json.load(f)]
         q = start_corpus_to_shards(
             spark,
             args.src,
@@ -236,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             seq_len=args.seq_len,
             bins_per_shard=args.bins_per_shard,
             quality_gate=args.gate,
+            merges=merges,
         )
         q.awaitTermination()
         try:

@@ -8,13 +8,16 @@ training sequence, ids packed into a little-endian binary blob a
 loader can ``np.frombuffer`` straight into a batch, no tokenizer on
 the training side at all.
 
-Tokenizer: the repo's BPE-proxy pretokenizer (``text.BPE_TOKEN_RE``)
-with a frequency-ranked top-``vocab_size`` vocabulary — deterministic
-(ties broken by token string), no merges table, no RNG.  Reserved ids:
-``PAD_ID = 0``, ``UNK_ID = 1``; real tokens start at 2.  A real BPE
-would slot in by replacing :func:`vocab_table` + the id-mapping step;
-everything downstream (packing, padding, binary layout) is
-tokenizer-agnostic.
+Tokenizer: by default the repo's BPE-proxy pretokenizer
+(``text.BPE_TOKEN_RE``) with a frequency-ranked top-``vocab_size``
+vocabulary — deterministic (ties broken by token string), no RNG.
+Reserved ids: ``PAD_ID = 0``, ``UNK_ID = 1``; real tokens start at 2.
+A LEARNED BPE merge table (``plans/bpe.train_bpe_merges``) slots in
+via ``write_tokenized_shards(merges=...)``: tokenization switches to
+the trained subword tokenizer and the table is recorded in the
+tokenizer meta, so appends — including the streaming pipeline's —
+resume byte-identically.  Everything downstream (packing, padding,
+binary layout) is tokenizer-agnostic.
 
 Scale shape:
 
@@ -60,10 +63,22 @@ def bpe_tokens(text: F.Column) -> F.Column:
     return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0))
 
 
+def _merges_tokens_fn(merges):
+    """Tokenizer expression for a learned BPE merge table
+    (plans/bpe.tokenize_expr) in the shape vocab_table/doc_token_ids
+    accept — the bridge that lets the shard pipeline run on a trained
+    subword tokenizer instead of the regex pretokenizer."""
+    from .bpe import tokenize_expr
+
+    table = [(str(a), str(b)) for a, b in merges]
+    return lambda text: tokenize_expr(text, table)
+
+
 def vocab_table(
     df: DataFrame,
     vocab_size: int = 65_000,
     text_col: str = "text",
+    tokens_fn=None,
 ) -> DataFrame:
     """(token, id) for the top-``vocab_size`` tokens by corpus term
     frequency, ties broken by token string — fully deterministic, ids
@@ -74,8 +89,9 @@ def vocab_table(
     map-side-combined aggregate before the LIMIT), which is exactly
     the "vocab fits one machine" assumption every tokenizer already
     makes."""
+    tok = tokens_fn or bpe_tokens
     tf = (
-        df.select(F.explode(bpe_tokens(F.col(text_col))).alias("token"))
+        df.select(F.explode(tok(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("tf"))
         .orderBy(F.col("tf").desc(), F.col("token"))
@@ -93,6 +109,7 @@ def doc_token_ids(
     vocab: DataFrame | dict[str, int],
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_fn=None,
 ) -> DataFrame:
     """(doc_id, ids array<int>): every document's token-id sequence.
 
@@ -112,8 +129,9 @@ def doc_token_ids(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(vmap)
 
+    tok = tokens_fn or bpe_tokens
     tdf = ensure_parallelism(df).select(
-        F.col(id_col), bpe_tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col), tok(F.col(text_col)).alias("__toks")
     )
 
     def mapper(batches):
@@ -139,6 +157,7 @@ def pack_sequences(
     vocab: DataFrame | dict[str, int] | None = None,
     base_tokens: int = 0,
     seed_prefix: tuple[int, list[int], int] | None = None,
+    tokens_fn=None,
 ) -> DataFrame:
     """Materialize the concat-and-split layout: one row per training
     sequence — ``(seq_id, ids array<int> [padded to seq_len],
@@ -167,7 +186,9 @@ def pack_sequences(
 
     L = int(seq_len)
     if vocab is None:
-        vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
+        vocab = vocab_table(
+            df, vocab_size=vocab_size, text_col=text_col, tokens_fn=tokens_fn
+        )
     # materialize the id table ONCE: the chunked prefix sum consumes
     # its input twice (within-chunk window + chunk totals), and
     # Catalyst gives two consumers no ReusedExchange — without this
@@ -175,7 +196,8 @@ def pack_sequences(
     # 1.61 s at sf0.1).  Same pattern and storage contract as the
     # dedup pair-generator indexes.
     ids = materialize_for_self_join(
-        doc_token_ids(df, vocab, text_col=text_col, id_col=id_col)
+        doc_token_ids(df, vocab, text_col=text_col, id_col=id_col,
+                      tokens_fn=tokens_fn)
     )
     j = pack_layout_over(
         ids,
@@ -355,6 +377,7 @@ def write_tokenized_shards(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | dict[str, int] | None = None,
+    merges: list[tuple[str, str]] | None = None,
 ) -> int:
     """Write pre-tokenized fixed-length shards:
     ``out_dir/shard_id=N/`` parquet whose rows are
@@ -373,10 +396,20 @@ def write_tokenized_shards(
     supplied vocab larger than the default cannot silently overflow
     uint16.
 
+    ``merges`` switches tokenization from the regex pretokenizer to a
+    LEARNED BPE merge table (plans/bpe.train_bpe_merges output): the
+    vocabulary is trained over the resulting subword stream (or pin
+    one with ``vocab``), and the table is RECORDED in
+    ``_tokenizer_meta.json`` so appends — including the streaming
+    pipeline's — resume with byte-identical tokenization; directories
+    written without merges carry no key and keep the default
+    pretokenizer forever.
+
     Paths are local-filesystem (or any mounted store): the sidecar
     and marker files use plain ``open``/``os.replace``, unlike the
     parquet writes — route ``out_dir`` through a mount (fuse-s3 etc.)
     for object stores."""
+    tokens_fn = _merges_tokens_fn(merges) if merges else None
     max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
     if max_doc is None and vocab is None:
         raise ValueError(
@@ -386,7 +419,9 @@ def write_tokenized_shards(
             "token to UNK forever)"
         )
     if vocab is None:
-        vocab = vocab_table(df, vocab_size=vocab_size, text_col=text_col)
+        vocab = vocab_table(
+            df, vocab_size=vocab_size, text_col=text_col, tokens_fn=tokens_fn
+        )
     vmap = (
         dict(vocab)
         if isinstance(vocab, dict)
@@ -418,11 +453,13 @@ def write_tokenized_shards(
                 "total_tokens": 0,
                 "boundary": None,
                 "last_doc_id": None,
+                **({"merges": [list(m) for m in merges]} if merges else {}),
             },
         )
         return 0
     seqs = pack_sequences(
-        df, vocab_size, seq_len, text_col, id_col, vocab=vmap
+        df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
+        tokens_fn=tokens_fn,
     )
     blobs = _blob_writer(seqs, dtype, bins_per_shard)
     (
@@ -464,6 +501,7 @@ def write_tokenized_shards(
             ),
             # append batches must continue the doc_id order — enforced
             "last_doc_id": int(max_doc) if max_doc is not None else None,
+            **({"merges": [list(m) for m in merges]} if merges else {}),
         },
     )
     return int(s["nsh"])
@@ -495,6 +533,11 @@ def append_tokenized_shards(
     spark = df_new.sparkSession
     meta = read_tokenizer_meta(out_dir)
     vmap = read_vocab(out_dir)
+    # a directory written with a learned merge table records it in the
+    # meta — the append MUST tokenize identically or sequence content
+    # silently diverges from the one-shot equivalence contract
+    rec_merges = meta.get("merges")
+    tokens_fn = _merges_tokens_fn(rec_merges) if rec_merges else None
     L = int(meta["seq_len"])
     base = int(meta["total_tokens"])
     dtype = meta["dtype"]
@@ -573,6 +616,7 @@ def append_tokenized_shards(
         vocab=vmap,
         base_tokens=base,
         seed_prefix=seed,
+        tokens_fn=tokens_fn,
     )
     blobs = _blob_writer(seqs, dtype, bps)
     # dynamic overwrite replaces whole shard DIRECTORIES, so the

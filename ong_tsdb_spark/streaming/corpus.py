@@ -71,6 +71,7 @@ def start_corpus_to_shards(
     bins_per_shard: int = 2048,
     trigger_available_now: bool = True,
     quality_gate="gopher",
+    merges: list[tuple[str, str]] | None = None,
 ):
     """The END-TO-END incremental pipeline: JSONL drop directory →
     quality gate (see :func:`gate_expr`; Gopher rules by default) →
@@ -134,6 +135,7 @@ def start_corpus_to_shards(
                     text_col=text_col,
                     id_col=id_col,
                     vocab=vocab,
+                    merges=merges,
                 )
         open(marker, "w").close()
 

@@ -653,3 +653,39 @@ def test_interval_join_reversed_interval_is_empty(spark):
     )
     got = [(r["event_id"], r["iv_id"]) for r in interval_join(events, intervals).collect()]
     assert got == [(1, 11)]
+
+
+def test_cli_curate_merges_file(spark, tmp_path, capsys):
+    """`curate --merges-file` routes shard tokenization through the
+    learned BPE table and records it in the shard meta, so follow-up
+    drops append with identical tokenization."""
+    import json as _json
+
+    from ong_tsdb_spark.__main__ import main
+    from ong_tsdb_spark.plans import tokenized_shards as tsh
+
+    merges = [["t", "h"], ["th", "e"]]
+    mf = tmp_path / "merges.json"
+    mf.write_text(_json.dumps(merges))
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    good = " ".join(("the be to of and that have with " * 10).split())
+    (src / "a.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s",
+                     "n_chars": len(good)}) + "\n"
+    )
+    rc = main(
+        ["curate",
+         "--src", str(src), "--ledger", str(tmp_path / "l"),
+         "--clean", str(tmp_path / "o"), "--checkpoint", str(tmp_path / "c"),
+         "--shards", str(tmp_path / "s"),
+         "--seq-len", "32", "--bins-per-shard", "2",
+         "--merges-file", str(mf)]
+    )
+    assert rc == 0
+    meta = tsh.read_tokenizer_meta(str(tmp_path / "s"))
+    assert meta["merges"] == merges
+    # 'the' tokenizes to the single merged symbol -> it must be a
+    # vocabulary token in the trained-on-first-batch vocab
+    assert "the" in tsh.read_vocab(str(tmp_path / "s"))

@@ -468,3 +468,71 @@ def test_verify_shards_lost_data(spark, tmp_path):
 
     rep = tsh.verify_shards(spark, str(tmp_path / "never_existed"))
     assert not rep["ok"] and "error" in rep
+
+
+def test_shards_with_learned_merges_roundtrip(spark, tmp_path):
+    """Shards written under a LEARNED BPE merge table: the decoded id
+    stream equals the pure-Python pipeline (apply_merges_py per word,
+    flattened in doc order, mapped through the pinned vocab), and the
+    merge table is recorded in the tokenizer meta."""
+    import numpy as np
+
+    from ong_tsdb_spark.plans import bpe
+
+    rows = [(i, "the theatre then other ether " * (i % 3 + 1)) for i in range(8)]
+    df = _docs(spark, rows)
+    merges = bpe.train_bpe_merges(df, n_merges=6)
+    assert merges  # the fixture corpus must actually learn something
+
+    # pinned vocab over the SUBWORD stream, built with the Python twin
+    cnt: dict[str, int] = {}
+    streams = {}
+    for i, t in rows:
+        toks = [s for w in t.split(" ") if w for s in bpe.apply_merges_py(w, merges)]
+        streams[i] = toks
+        for tok in toks:
+            cnt[tok] = cnt.get(tok, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    vmap = {t: tsh.FIRST_ID + i for i, (t, _) in enumerate(ranked)}
+
+    out = str(tmp_path / "m")
+    tsh.write_tokenized_shards(
+        df, out, seq_len=16, bins_per_shard=4, vocab=vmap, merges=merges
+    )
+    assert tsh.read_tokenizer_meta(out)["merges"] == [list(m) for m in merges]
+
+    got = []
+    for _, ids, n_real in tsh.iter_training_sequences(out):
+        got.extend(int(x) for x in np.asarray(ids)[:n_real])
+    want = [
+        vmap.get(tok, tsh.UNK_ID)
+        for i in sorted(streams)
+        for tok in streams[i]
+    ]
+    assert got == want
+
+
+def test_append_equals_oneshot_with_merges(spark, tmp_path):
+    """The append equivalence contract holds under a merge table: the
+    appended batch re-tokenizes with the RECORDED merges (nothing is
+    passed to append), yielding byte-identical shards to the one-shot
+    write."""
+    from ong_tsdb_spark.plans import bpe
+
+    a = [(i, "the theatre then thens " * (i % 3 + 1)) for i in range(12)]
+    b = [(i, "other ether tether the " * (i % 2 + 1)) for i in range(12, 20)]
+    dfa, dfb, dfall = _docs(spark, a), _docs(spark, b), _docs(spark, a + b)
+    merges = bpe.train_bpe_merges(dfall, n_merges=5)
+    vocab = tsh.vocab_table(dfall, vocab_size=30,
+                            tokens_fn=tsh._merges_tokens_fn(merges))
+    vmap = {r["token"]: r["id"] for r in vocab.collect()}
+
+    one, inc = str(tmp_path / "one"), str(tmp_path / "inc")
+    kw = dict(seq_len=16, bins_per_shard=4, vocab=vmap, merges=merges)
+    tsh.write_tokenized_shards(dfall, one, **kw)
+    tsh.write_tokenized_shards(dfa, inc, **kw)
+    assert tsh.append_tokenized_shards(dfb, inc) >= 1
+    assert _read_all(spark, inc) == _read_all(spark, one)
+    m_inc, m_one = tsh.read_tokenizer_meta(inc), tsh.read_tokenizer_meta(one)
+    assert m_inc["total_tokens"] == m_one["total_tokens"]
+    assert m_inc["merges"] == m_one["merges"] == [list(m) for m in merges]
