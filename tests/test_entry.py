@@ -86,3 +86,30 @@ def test_registry_window_invariants():
     oracles = entry_mod.oracle_sql()
     missing = [q for q in qs if not oracles.get(q)]
     assert not missing, f"entries without value-checked oracles: {missing}"
+
+
+def test_bench_and_cluster_lists_resolve():
+    """Every query name bench.py and tools/cluster_check.py reference
+    must exist in the registry (plus the engine-path names bench
+    implements itself) — a rename or rotation typo would otherwise
+    surface only as a driver-time bench crash."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = _load("bench_mod", os.path.join(repo, "bench.py"))
+    cc = _load("cc_mod", os.path.join(repo, "tools", "cluster_check.py"))
+    qs = set(entry_mod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench.HEADLINE names not in registry: {missing}"
+    missing = [n for n in bench.SCALE_FAMILIES if n not in qs]
+    assert not missing, f"bench.SCALE_FAMILIES names not in registry: {missing}"
+    missing = [n for n in cc.DEFAULT_SUBSET if n not in qs]
+    assert not missing, f"cluster_check.DEFAULT_SUBSET not in registry: {missing}"
