@@ -1244,3 +1244,68 @@ def chunk_table(
         F.size(ch).cast("bigint").alias("n_words"),
         F.md5(F.array_join(ch, " ")).alias("chunk_hash"),
     )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    rare_threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-level novelty statistics — the integer-exact proxy for
+    LM-perplexity filtering (CCNet scores documents with a KenLM
+    n-gram model; the signal that survives without libm floats is
+    "how many of this document's word bigrams are rare corpus-wide").
+    High novelty = unusual word sequences (gibberish, boilerplate
+    mashups, or genuinely novel text — the tails a curation pass
+    inspects); near-zero = formulaic text.
+
+    Per document: ``n_bigrams``, ``n_rare`` (bigrams whose CORPUS
+    occurrence count < rare_threshold... i.e. count == 1 at the
+    default: seen nowhere else), and ``novelty`` = n_rare/n_bigrams.
+    Documents with < 2 words have no bigrams and are omitted (same
+    contract as rare_token_stats' df basis).
+
+    Scale shape: bigrams hash-combine map-side into the corpus count
+    aggregate, the per-doc join is bigram-keyed (output-bounded, like
+    dup_span_stats' fingerprint index), and all arithmetic is integer
+    counts plus one final division — bit-exact in any engine."""
+    from .dedup import ensure_parallelism
+
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i.cast("int")),
+                F.lit(" "),
+                F.element_at(toks, (i + F.lit(1)).cast("int")),
+            ),
+        ),
+    )
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    from .dedup import materialize_for_self_join
+
+    # the exploded table feeds both the corpus counts and the per-doc
+    # join — materialize once (no ReusedExchange for self-consumers)
+    ex = materialize_for_self_join(ex)
+    counts = ex.groupBy("g").agg(F.count("*").alias("__c"))
+    return (
+        ex.join(counts, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum((F.col("__c") < rare_threshold).cast("long"))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )

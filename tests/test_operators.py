@@ -2551,3 +2551,48 @@ def test_pagerank_exact_python_twin_and_invariance(spark):
     assert out[2] == out[3] == out[6]
     assert out[4][0] > out[2][0]
     assert out[5][0] == max(s for s, _ in out.values())
+
+
+def test_bigram_novelty_fixture(spark, tmp_path):
+    """Bigram novelty on a planted corpus: a repeated formulaic doc
+    scores 0, a unique-sequence doc scores 1, hand counts verified,
+    and the DuckDB twin of the computation agrees exactly."""
+    import duckdb
+
+    from ong_tsdb_spark.compare import canon_rows
+
+    rows = [
+        (1, "a b c d"),          # bigrams shared with doc 2
+        (2, "a b c d"),
+        (3, "x y z w"),          # every bigram unique corpus-wide
+        (4, "a b q"),            # 'a b' common, 'b q' rare
+        (5, "solo"),             # no bigrams -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.bigram_novelty(df)
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["novelty"])
+           for r in out.collect()}
+    assert got == {
+        1: (3, 0, 0.0),
+        2: (3, 0, 0.0),
+        3: (3, 3, 1.0),
+        4: (2, 1, 0.5),
+    }
+
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    rel = con.sql("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS g
+              FROM t WHERE len(w) >= 2),
+        c AS (SELECT g, count(*) AS n FROM g GROUP BY g)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               CAST(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS novelty
+        FROM g JOIN c USING (g) GROUP BY doc_id
+    """)
+    assert canon_rows(out.columns, out.collect()) == canon_rows(rel.columns, rel.fetchall())
