@@ -23,8 +23,14 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from ong_tsdb_spark import entry_queries  # noqa: E402
 
-# headline subset: one per operator family (full registry runs in tests)
-HEADLINE = [
+# PINNED CORE (round-6 split, VERDICT r5 #8): the 31 registry queries
+# of the 35-query r4-comparable set (engine_ingest/upsert/range/last
+# are the other 4, timed by bench_engine below).  This list is the
+# round-over-round TREND — do NOT add to it; new operators go in
+# EXTENSION.  ``value`` in the JSON line is the CORE+engine total so
+# r4/r5/r6 totals stay comparable; ``extension_total`` reports the
+# rest separately.
+CORE = [
     "ts_range_read",
     "ts_snap_grid",
     "ts_downsample_first",
@@ -58,6 +64,11 @@ HEADLINE = [
     "text_gopher_quality",
     "text_contamination",
     "dedup_clusters",
+]
+
+# ROTATING EXTENSION: everything newer than the r4 core — reported
+# under the same per-query keys plus an ``extension_total``.
+EXTENSION = [
     # round-5 operators (+ the now-oracle-checked IVF path)
     "emb_ivf_topk",
     "dedup_keep_best",
@@ -83,7 +94,17 @@ HEADLINE = [
     "text_bpe_pairs",
     "doc_chunk_stats",
     "events_funnel",
+    # round-6 operators
+    "events_interval_join",
+    "events_retention",
+    "graph_pagerank",
+    "text_bigram_novelty",
+    "dedup_ledger_replay",
+    "emb_kmeans_k64",
 ]
+
+# back-compat: tests and tools address the full timed set by this name
+HEADLINE = CORE + EXTENSION
 
 # best-of-3 by default: this host has noisy neighbors (observed ±25%
 # on identical code) and a single bad run otherwise pollutes the
@@ -134,7 +155,57 @@ SCALE_FAMILIES = [
     "text_bpe_pairs",
     "doc_chunk_stats",
     "events_funnel",
+    # round-6 operators
+    "events_interval_join",
+    "events_retention",
+    "graph_pagerank",
+    "text_bigram_novelty",
+    "dedup_ledger_replay",
+    "emb_kmeans_k64",
 ]
+
+
+def bench_bpe_trainer(spark, sf_dir: str) -> dict[str, float]:
+    """The BPE TRAINER itself (plans/bpe.py train_bpe_merges), not just
+    pair counting: 24 merges over the documents corpus, batched
+    (default batch=16) vs the one-merge-per-round reference loop.
+    Records wall time for both, the realized round counts, and the
+    round-reduction factor — the quantity that decides whether a
+    production 30k-merge vocab is 60k Spark jobs or ~4k."""
+    from ong_tsdb_spark.plans import bpe
+
+    docs = entry_queries.load(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    batched = bpe.train_bpe_merges(docs, n_merges=24, batch=16)
+    out["bpe_train_batched"] = round(time.perf_counter() - t0, 4)
+    rounds_batched = bpe.LAST_TRAIN_ROUNDS
+    t0 = time.perf_counter()
+    fast = bpe.train_bpe_merges(docs, n_merges=24, batch=16, guard="stale")
+    out["bpe_train_stale"] = round(time.perf_counter() - t0, 4)
+    rounds_fast = bpe.LAST_TRAIN_ROUNDS
+    t0 = time.perf_counter()
+    sequential = bpe.train_bpe_merges(docs, n_merges=24, batch=1)
+    out["bpe_train_sequential"] = round(time.perf_counter() - t0, 4)
+    rounds_seq = bpe.LAST_TRAIN_ROUNDS
+    assert batched == sequential, "exact-batched BPE diverged from reference loop"
+    out["bpe_train_rounds_batched"] = float(rounds_batched)
+    out["bpe_train_rounds_stale"] = float(rounds_fast)
+    out["bpe_train_rounds_sequential"] = float(rounds_seq)
+    print(
+        f"[bench] bpe_trainer: 24 merges — exact-batched {rounds_batched} "
+        f"rounds ({out['bpe_train_batched']:.2f}s, table == sequential), "
+        f"stale-batched {rounds_fast} rounds "
+        f"({out['bpe_train_stale']:.2f}s, "
+        f"table {'==' if fast == sequential else '!='} sequential "
+        "— stale mode is the documented approximation), "
+        f"sequential {rounds_seq} rounds "
+        f"({out['bpe_train_sequential']:.2f}s); round reductions "
+        f"{rounds_seq / max(rounds_batched, 1):.1f}x exact / "
+        f"{rounds_seq / max(rounds_fast, 1):.1f}x stale",
+        file=sys.stderr,
+    )
+    return out
 
 
 def release_blocks(spark) -> None:
@@ -203,6 +274,29 @@ def bench_scale10(spark, sf_dir: str) -> None:
             f"(cold/warm; ratios {rec['ratio_cold']}x/{rec['ratio_warm']}x)",
             file=sys.stderr,
         )
+
+    # the BPE trainer itself (not a registry query): 24 batched merges
+    # at 1x and 10x — the 10x scale row VERDICT r5 #5 asks for
+    from ong_tsdb_spark.plans import bpe
+
+    rec = {}
+    for tag, d in (("x1", sf_dir), ("x10", dst)):
+        docs = entry_queries.load(spark, d, "documents")
+        t0 = time.perf_counter()
+        bpe.train_bpe_merges(docs, n_merges=24, batch=16)
+        rec[f"{tag}_cold"] = round(time.perf_counter() - t0, 4)
+        rec[f"{tag}_warm"] = rec[f"{tag}_cold"]  # iterative: no warm rerun
+        release_blocks(spark)
+    rec["ratio_cold"] = round(rec["x10_cold"] / rec["x1_cold"], 2)
+    rec["ratio_warm"] = rec["ratio_cold"]
+    rec["rounds"] = float(bpe.LAST_TRAIN_ROUNDS)
+    out["bpe_train_batched"] = rec
+    print(
+        f"[scale10] bpe_train_batched: 1x {rec['x1_cold']:.2f}s 10x "
+        f"{rec['x10_cold']:.2f}s (ratio {rec['ratio_cold']}x, "
+        f"{int(rec['rounds'])} rounds at 10x)",
+        file=sys.stderr,
+    )
 
     print("\n| query | 1x cold | 1x warm | 10x cold | 10x warm | ratio (cold) | ratio (warm) |", file=sys.stderr)
     print("|---|---|---|---|---|---|---|", file=sys.stderr)
@@ -303,8 +397,10 @@ def main() -> None:
 
     registry = entry_queries.queries()
     timings: dict[str, float] = {}
-    timings.update(bench_engine(spark, sf_dir))
-    for name in HEADLINE:
+    engine_t = bench_engine(spark, sf_dir)
+    timings.update(engine_t)
+
+    def timed(name: str) -> float:
         fn = registry[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()  # warmup (plan + code cache + page cache)
@@ -314,18 +410,38 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
         print(f"[bench] {name}: warmup {warm:.2f}s best {best:.2f}s", file=sys.stderr)
         release_blocks(spark)
+        return round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    for name in CORE:
+        timings[name] = timed(name)
+    core_total = round(sum(timings.values()), 4)  # engine + pinned core
+    for name in EXTENSION:
+        timings[name] = timed(name)
+    extension_total = round(sum(timings[n] for n in EXTENSION), 4)
+    bpe_t = bench_bpe_trainer(spark, sf_dir)
+    timings["bpe_train_batched"] = bpe_t["bpe_train_batched"]
+    timings["bpe_train_stale"] = bpe_t["bpe_train_stale"]
+    timings["bpe_train_sequential"] = bpe_t["bpe_train_sequential"]
+
+    # ``value`` stays the r4-comparable 35-query total (4 engine + 31
+    # core) so the round-over-round trend is one number; the growing
+    # operator surface reports under extension_total
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": core_total,
                 "unit": "sec",
                 "queries": timings,
+                "core_total": core_total,
+                "extension_total": extension_total,
+                "bpe_rounds": {
+                    "batched": bpe_t["bpe_train_rounds_batched"],
+                    "stale": bpe_t["bpe_train_rounds_stale"],
+                    "sequential": bpe_t["bpe_train_rounds_sequential"],
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -120,3 +120,108 @@ def test_bpe_newlines_and_empty_words(spark):
             for s in bpe.apply_merges_py(w, merges)
         ]
         assert got[i] == (want, len(want)), (i, got[i], want)
+
+
+def test_exact_batch_unit_guards():
+    """The prefix/disjoint/new-pair/floor guards of _exact_batch, on
+    hand-built rankings (no Spark)."""
+    # new-pair bound: accepting (a,b) bounds fresh pairs by the old
+    # counts of (x,a)/(b,y); a tied disjoint candidate must NOT ride
+    top = [("a b", 4), ("c d", 4), ("x a", 4)]
+    assert bpe._exact_batch(top, floor=0, limit=10, min_count=2) == [("a", "b")]
+    # disjoint + strictly above every bound: batches freely
+    top = [("a b", 9), ("c d", 5), ("e f", 3)]
+    assert bpe._exact_batch(top, floor=0, limit=10, min_count=2) == [
+        ("a", "b"), ("c", "d"), ("e", "f")]
+    # shared symbol ends the batch
+    top = [("a b", 9), ("b c", 5), ("e f", 3)]
+    assert bpe._exact_batch(top, floor=0, limit=10, min_count=2) == [("a", "b")]
+    # floor guard: a candidate at the collection horizon could tie an
+    # uncollected pair -> ends the batch
+    top = [("a b", 9), ("c d", 5)]
+    assert bpe._exact_batch(top, floor=5, limit=10, min_count=2) == [("a", "b")]
+    # self-pair always ends the batch (interacts with its own output)
+    top = [("a a", 9), ("c d", 5)]
+    assert bpe._exact_batch(top, floor=0, limit=10, min_count=2) == [("a", "a")]
+    # min_count stops acceptance
+    top = [("a b", 9), ("c d", 1)]
+    assert bpe._exact_batch(top, floor=0, limit=10, min_count=2) == [("a", "b")]
+
+
+def test_train_bpe_batched_equals_sequential(spark):
+    """The batched trainer must produce the IDENTICAL merge table as
+    the one-merge-per-round loop (and the pure-Python reference) —
+    including on the adversarial shape where a merge CREATES a pair
+    that outranks the next disjoint candidate ((a,b) -> (ab,c) beats
+    (d,e)), which naive disjoint batching gets wrong."""
+    corpora = [
+        # natural-ish corpus (the existing parity fixture)
+        ["the theatre then thens", "there is the thesis these theses",
+         "other ether tether the", "aaaa aaa aa the"],
+        # adversarial: merging (a,b) creates (ab,c) with count 4 > (d,e)=2
+        ["abc abc abc abc de de"],
+        # tie-heavy: equal counts everywhere, order decided by name
+        ["xy xy xz xz qr qr"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want = _py_train(texts, 12)
+        seq = bpe.train_bpe_merges(df, n_merges=12, batch=1)
+        bat = bpe.train_bpe_merges(df, n_merges=12, batch=16)
+        assert seq == want, texts
+        assert bat == want, texts
+
+
+def test_train_bpe_batched_randomized(spark):
+    """Seeded random corpora (skewed small alphabet -> heavy pair
+    interaction) — batched output must match the pure-Python greedy
+    reference on every one, and batching must actually reduce rounds
+    on at least one corpus."""
+    import random
+
+    rng = random.Random(42)
+    saved_rounds = []
+    for _ in range(6):
+        words = [
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 40))
+        ]
+        texts = [" ".join(words[i::3]) for i in range(3)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want = _py_train(texts, 10)
+        got = bpe.train_bpe_merges(df, n_merges=10, batch=16)
+        assert got == want, texts
+        saved_rounds.append((bpe.LAST_TRAIN_ROUNDS, len(got)))
+    assert any(r < m for r, m in saved_rounds if m > 1), saved_rounds
+
+
+def test_train_bpe_stale_mode_rounds_and_validity(spark):
+    """guard="stale" (frequency-batched, the production approximation):
+    rounds == ceil(n_merges/batch), the table is deterministic across
+    reruns, interacting in-batch merges compose sequentially (chained
+    rewrite), and the learned table drives tokenization like any
+    other merge table."""
+    texts = [
+        "the theatre then thens", "there is the thesis these theses",
+        "other ether tether the", "aaaa aaa aa the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe.train_bpe_merges(df, n_merges=8, batch=4, guard="stale")
+    assert bpe.LAST_TRAIN_ROUNDS == 2  # ceil(8/4)
+    assert got == bpe.train_bpe_merges(df, n_merges=8, batch=4, guard="stale")
+    assert len(got) == len(set(got)) == 8
+    # the first merge of each round IS the true greedy argmax for that
+    # round's counts, so round boundaries anchor to exact greedy
+    seq = bpe.train_bpe_merges(df, n_merges=8, batch=1)
+    assert got[0] == seq[0]
+    # stale tables tokenize fine (sequential application per word)
+    out = bpe.tokenize_with_merges(df, got).collect()
+    for r in out:
+        t = texts[r["doc_id"]]
+        want = [s for w in t.split(" ") if w for s in bpe.apply_merges_py(w, got)]
+        assert r["tokens"] == want

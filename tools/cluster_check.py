@@ -107,9 +107,22 @@ def main(argv=None) -> int:
             rel = con.sql(oracles[name])
             # same contract as tools/replay.py: the NAMES must match
             # too, not just the name-sorted value tuples
-            ok = sorted(scols) == sorted(rel.columns) and canon_rows(
-                scols, srows_raw
-            ) == canon_rows(rel.columns, rel.fetchall())
+            sc = canon_rows(scols, srows_raw)
+            oc = canon_rows(rel.columns, rel.fetchall())
+            ok = sorted(scols) == sorted(rel.columns) and sc == oc
+            if not ok:
+                # self-diagnosing mismatch: dump the first differing
+                # canonical rows from each side (with value TYPES — a
+                # 123 vs 123.0 width drift is invisible in plain repr)
+                if sorted(scols) != sorted(rel.columns):
+                    print(f"    COLS spark={sorted(scols)} oracle={sorted(rel.columns)}",
+                          flush=True)
+                only_s = [r for r in sc if r not in set(oc)][:5]
+                only_o = [r for r in oc if r not in set(sc)][:5]
+                for side, rows in (("spark-only", only_s), ("oracle-only", only_o)):
+                    for r in rows:
+                        typed = tuple(f"{v!r}:{type(v).__name__}" for v in r)
+                        print(f"    DIFF {side}: {typed}", flush=True)
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             ok, err = False, f"{type(ex).__name__}: {str(ex)[:300]}"
         status = "OK" if ok else "MISMATCH"
