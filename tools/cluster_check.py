@@ -55,6 +55,10 @@ DEFAULT_SUBSET = [
     "events_funnel",          # min-agg + user-keyed join chain
     "corpus_pack_sequences",  # tokenize -> id-map -> pack pipeline
     "multimodal_features",    # binary columns through mapInPandas
+    # round-6 shapes
+    "graph_pagerank",         # iterative integer joins + localCheckpoint
+    "events_interval_join",   # chunk-bucketed bin join (explode+equi)
+    "dedup_ledger_replay",    # cross-batch parquet ledger handoff
 ]
 
 
@@ -83,6 +87,10 @@ def main(argv=None) -> int:
 
     import __spark_entry__ as entry_mod
 
+    # pin the oracle environment in every transcript: a hash-only
+    # driver mismatch that no local replay reproduces (r5
+    # emb_centroid_dist) is most plausibly an engine-version skew
+    print(f"duckdb={duckdb.__version__}", flush=True)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
 
     import __spark_entry__ as entry_mod
 
+    # pin the oracle environment in every transcript: a hash-only
+    # driver mismatch that no local replay reproduces (r5
+    # emb_centroid_dist) is most plausibly an engine-version skew
+    print(f"duckdb={duckdb.__version__}", flush=True)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
