@@ -3842,30 +3842,39 @@ def dedup_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch one digest shuffle + one digest-keyed anti-join against a
     digests-only ledger scan — state grows with distinct content,
     never stream length."""
+    import shutil
     import tempfile
 
     from .streaming.dedup import FINGERPRINT_COL, dedup_batch_against_ledger
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ledger_path = f"{tempfile.mkdtemp(prefix='ledger_replay_')}/ledger"
-    outs = []
-    for bid, pred in ((0, F.col("doc_id") < 250), (1, F.col("doc_id") >= 250)):
-        # evaluate the anti-join BEFORE this batch's ledger write (the
-        # same localCheckpoint ordering start_ledger_dedup uses)
-        surv = dedup_batch_against_ledger(
-            spark, docs.filter(pred), ledger_path, "text", exclude_batch=bid
-        ).localCheckpoint(eager=True)
-        surv.select(FINGERPRINT_COL).distinct().write.mode("overwrite").parquet(
-            f"{ledger_path}/batch={bid}"
-        )
-        outs.append(
-            surv.select(
-                F.lit(bid).cast("bigint").alias("batch"),
-                "doc_id",
-                F.col(FINGERPRINT_COL).alias("fingerprint"),
+    base = tempfile.mkdtemp(prefix="ledger_replay_")
+    ledger_path = f"{base}/ledger"
+    try:
+        outs = []
+        for bid, pred in ((0, F.col("doc_id") < 250), (1, F.col("doc_id") >= 250)):
+            # evaluate the anti-join BEFORE this batch's ledger write
+            # (the same localCheckpoint ordering start_ledger_dedup
+            # uses); the eager checkpoint also means the survivor rows
+            # no longer reference the on-disk ledger afterwards
+            surv = dedup_batch_against_ledger(
+                spark, docs.filter(pred), ledger_path, "text", exclude_batch=bid
+            ).localCheckpoint(eager=True)
+            surv.select(FINGERPRINT_COL).distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{ledger_path}/batch={bid}")
+            outs.append(
+                surv.select(
+                    F.lit(bid).cast("bigint").alias("batch"),
+                    "doc_id",
+                    F.col(FINGERPRINT_COL).alias("fingerprint"),
+                )
             )
-        )
-    return outs[0].unionByName(outs[1])
+        return outs[0].unionByName(outs[1])
+    finally:
+        # every invocation (bench best-of-N, replay, driver) would
+        # otherwise leave a parquet ledger behind in /tmp
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register("emb_kmeans_k64", _centroid_dist_sql(k=64, iters=2, dim=64))

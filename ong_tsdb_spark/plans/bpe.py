@@ -140,6 +140,10 @@ def _exact_batch(
     adjacent symbols; after (t,h) the true next merge usually IS
     (th,e)), capping exact/disjoint batching near ~1.6-1.9x measured;
     only stale-count batching breaks the sequential dependence."""
+    if guard not in ("exact", "disjoint", "stale"):
+        raise ValueError(
+            f"guard must be 'exact', 'disjoint' or 'stale', got {guard!r}"
+        )
     left_max: dict[str, int] = {}
     right_max: dict[str, int] = {}
     for p, n in top:

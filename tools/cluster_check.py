@@ -125,8 +125,13 @@ def main(argv=None) -> int:
                 if sorted(scols) != sorted(rel.columns):
                     print(f"    COLS spark={sorted(scols)} oracle={sorted(rel.columns)}",
                           flush=True)
-                only_s = [r for r in sc if r not in set(oc)][:5]
-                only_o = [r for r in oc if r not in set(sc)][:5]
+                # hoist the membership sets (keyed by repr: rows can
+                # hold unhashable list columns) — building them per
+                # row would be quadratic over ~10k-row results
+                oc_set = set(map(repr, oc))
+                sc_set = set(map(repr, sc))
+                only_s = [r for r in sc if repr(r) not in oc_set][:5]
+                only_o = [r for r in oc if repr(r) not in sc_set][:5]
                 for side, rows in (("spark-only", only_s), ("oracle-only", only_o)):
                     for r in rows:
                         typed = tuple(f"{v!r}:{type(v).__name__}" for v in r)
