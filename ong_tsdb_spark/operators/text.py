@@ -1269,7 +1269,16 @@ def bigram_novelty(
     Scale shape: bigrams hash-combine map-side into the corpus count
     aggregate, the per-doc join is bigram-keyed (output-bounded, like
     dup_span_stats' fingerprint index), and all arithmetic is integer
-    counts plus one final division — bit-exact in any engine."""
+    counts plus one final division — bit-exact in any engine.
+
+    Shape note (round-6 A/B): a join-free threshold-2 variant
+    (count-1 bigrams pin their one owning doc, so n_rare falls out of
+    the bigram aggregate with a carried min(doc_id)) measured SLOWER
+    at both sf0.1 (1.0 -> 2.4 s) and the 100x corpus (39 -> 59 s):
+    with mostly-unique bigrams the carried-min hash aggregate spills
+    at the same cardinality the count aggregate does, while AQE
+    already serves the count join broadcast/co-partitioned — so the
+    inverted-index join below stays the canonical shape."""
     from .dedup import ensure_parallelism
 
     toks = tokens(F.col(text_col))
