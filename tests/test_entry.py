@@ -113,3 +113,37 @@ def test_bench_and_cluster_lists_resolve():
     assert not missing, f"bench.SCALE_FAMILIES names not in registry: {missing}"
     missing = [n for n in cc.DEFAULT_SUBSET if n not in qs]
     assert not missing, f"cluster_check.DEFAULT_SUBSET not in registry: {missing}"
+
+
+def test_rotation_planner_invariants(tmp_path):
+    """tools/rotate.py must (a) put every never-proven/red entry in
+    the head, (b) cap the head, (c) match the CURRENT file's head set
+    (the committed rotation IS the planner's output — drift between
+    the tool and the file would make next round's --write surprising),
+    and (d) rewrite idempotently."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_mod", os.path.join(repo, "tools", "rotate.py")
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    head, tail, green = rot.plan(50)
+    qs = list(entry_mod.queries())
+    assert len(head) <= 50 and len(head) + len(tail) == len(qs)
+    never = [n for n in qs if n not in green]
+    assert set(never) <= set(head), "never-proven entries must be sampled"
+    from ong_tsdb_spark import entry_queries as eq
+
+    current_head = [q for q in qs if q not in eq._TAIL_ROTATION]
+    assert set(head) == set(current_head), (
+        "committed rotation diverged from tools/rotate.py --write output"
+    )
+    # idempotence: rewriting with the same plan is a no-op
+    path = os.path.join(repo, "ong_tsdb_spark", "entry_queries.py")
+    before = open(path).read()
+    rot.rewrite_tail(tail)
+    assert open(path).read() == before
