@@ -436,3 +436,47 @@ def test_events_funnel_user_keyed_shuffles_only(spark, sf_dir):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan):
         assert m.group(1).startswith("user_id"), plan
+
+
+def test_interval_join_query_no_nested_loop(spark, sf_dir):
+    """The registered blast-radius query must ride the bin join: a
+    chunk-keyed equi-join, never BroadcastNestedLoop/Cartesian (what
+    Spark plans for a bare BETWEEN range join)."""
+    plan = _executed_plan(
+        entry_queries.queries()["events_interval_join"](spark, sf_dir)
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_pagerank_no_cartesian_and_checkpointed_rounds(spark, sf_dir):
+    """The final PageRank job must consume checkpointed score state
+    (ExistingRDD — bounded lineage), with equi-joins only."""
+    plan = _executed_plan(entry_queries.queries()["graph_pagerank"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "ExistingRDD" in plan, plan  # localCheckpoint-ed rounds
+
+
+def test_retention_shuffles_are_user_or_cohort_keyed(spark, sf_dir):
+    """Retention triangle: every exchange keys on user_id (distinct +
+    first-activity cohort) or (cohort, period) — never event-sized
+    keys, so shuffle mass is user x active-period bounded."""
+    import re as _re
+
+    plan = _executed_plan(entry_queries.queries()["events_retention"](spark, sf_dir))
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert keys, plan
+    for k in keys:
+        assert k.startswith(("user_id", "cohort", "period")), (k, plan)
+
+
+def test_kmeans_k64_reads_id_and_vector_only(spark, sf_dir):
+    """The k=64 prototypicality scan must prune to (vec_id, embedding)
+    — a scoring query that drags all columns through the quantize +
+    Arrow assignment would move label/payload bytes for nothing."""
+    plan = _executed_plan(entry_queries.queries()["emb_kmeans_k64"](spark, sf_dir))
+    import re as _re
+
+    m = _re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"vec_id", "embedding"}, (cols, plan)
