@@ -59,6 +59,13 @@ DEFAULT_SUBSET = [
     "graph_pagerank",         # iterative integer joins + localCheckpoint
     "events_interval_join",   # chunk-bucketed bin join (explode+equi)
     "dedup_ledger_replay",    # cross-batch parquet ledger handoff
+    # r6->r7 rotation holdovers (with ts_range_read/ts_rolling_mean
+    # above, ALL six entries that skip the r6 driver window get a
+    # value-checked multi-JVM replay this round instead)
+    "ts_snap_grid",
+    "tpch_q1",
+    "tpch_q6",
+    "ts_delta",
 ]
 
 
