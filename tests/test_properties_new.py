@@ -159,3 +159,77 @@ def test_interval_join_property(spark, ev, iv, chunk):
         if s <= t <= s + ln
     )
     assert got == want
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # user
+            st.integers(min_value=0, max_value=1000),   # us
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    period=st.sampled_from([7, 100, 250]),
+)
+def test_retention_cohorts_property(spark, events, period):
+    """Cohort triangle == a direct Python model for random event logs
+    at several period widths: users cohorted by first-activity period,
+    counted once per active period."""
+    from ong_tsdb_spark.operators.events import retention_cohorts
+
+    df = spark.createDataFrame(
+        [(u, t) for u, t in events], "user_id long, us long"
+    )
+    got = sorted(
+        (r["cohort"], r["period"], r["periods_since"], r["n_users"])
+        for r in retention_cohorts(df, period_us=period).collect()
+    )
+    active: dict[int, set[int]] = {}
+    for u, t in events:
+        active.setdefault(u, set()).add(t // period)
+    want: dict[tuple[int, int], int] = {}
+    for u, pers in active.items():
+        cohort = min(pers)
+        for p in pers:
+            want[(cohort, p)] = want.get((cohort, p), 0) + 1
+    assert got == sorted(
+        (c, p, p - c, n) for (c, p), n in want.items()
+    )
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(texts=_corpus, threshold=st.sampled_from([2, 3]))
+def test_bigram_novelty_property(spark, texts, threshold):
+    """Bigram novelty == a direct Python model (corpus-wide bigram
+    occurrence counts, per-doc rare fraction) for random corpora at
+    both the default and a higher rare threshold."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_rare"], r["novelty"])
+        for r in text.bigram_novelty(df, rare_threshold=threshold).collect()
+    }
+    grams: dict[int, list[str]] = {}
+    counts: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        gs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if gs:
+            grams[i] = gs
+            for g in gs:
+                counts[g] = counts.get(g, 0) + 1
+    want = {
+        i: (
+            len(gs),
+            sum(1 for g in gs if counts[g] < threshold),
+        )
+        for i, gs in grams.items()
+    }
+    assert {i: (nb, nr) for i, (nb, nr, _) in got.items()} == want
+    for i, (nb, nr, nov) in got.items():
+        assert nov == nr / nb
