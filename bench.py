@@ -100,6 +100,7 @@ EXTENSION = [
     "graph_pagerank",
     "text_bigram_novelty",
     "dedup_ledger_replay",
+    "dedup_near_ledger_replay",
     "emb_kmeans_k64",
 ]
 
@@ -161,6 +162,7 @@ SCALE_FAMILIES = [
     "graph_pagerank",
     "text_bigram_novelty",
     "dedup_ledger_replay",
+    "dedup_near_ledger_replay",
     "emb_kmeans_k64",
 ]
 

@@ -3877,6 +3877,107 @@ def dedup_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _near_ledger_sql() -> str:
+    """DuckDB twin of the NEAR-dup ledger protocol's two-batch replay:
+    the same md5+substr minhash family the (driver-green)
+    dedup_minhash_lsh oracle pins, at the streaming tier's parameters
+    (4-word shingles, 16 hashes, 4 bands of 4), band keys md5-hashed
+    with their band index, short docs (< 4 words) keyed exactly —
+    streaming/dedup.py near_band_keys_table line for line."""
+
+    def reps(pred: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT min(doc_id) AS doc_id FROM documents WHERE {pred}
+      GROUP BY md5(text))"""
+
+    def keys(src: str, name: str) -> str:
+        # band keys for >=4-word docs + exact keys for shorter ones
+        return f"""toks_{name} AS (
+      SELECT d.doc_id, d.text, string_split(d.text, ' ') AS t
+      FROM documents d JOIN {src} USING (doc_id)),
+    sh_{name} AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+      FROM toks_{name} WHERE len(t) >= 4),
+    mh_{name} AS (
+      SELECT doc_id, seed, min(h) AS h FROM (
+        SELECT doc_id, s.seed * 4 + j.j AS seed,
+               substr(md5(s.seed::VARCHAR || '|' || shingle), j.j * 8 + 1, 8) AS h
+        FROM sh_{name} CROSS JOIN range(0, 4) s(seed) CROSS JOIN range(0, 4) j(j)
+      ) GROUP BY doc_id, seed),
+    {name} AS (
+      SELECT doc_id,
+             md5('b' || (seed // 4)::VARCHAR || '|' ||
+                 string_agg(h, '|' ORDER BY seed)) AS fp
+      FROM mh_{name} GROUP BY doc_id, seed // 4
+      UNION ALL
+      SELECT doc_id, md5('exact|' || text) AS fp
+      FROM toks_{name} WHERE len(t) < 4)"""
+
+    return f"""
+    WITH {reps("doc_id < 250", "b0")},
+    {reps("doc_id >= 250", "r1")},
+    {keys("b0", "k0")},
+    {keys("r1", "k1")},
+    dup1 AS (
+      SELECT DISTINCT k1.doc_id FROM k1
+      JOIN (SELECT DISTINCT fp FROM k0) l USING (fp))
+    SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM b0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS batch, r1.doc_id
+    FROM r1 LEFT JOIN dup1 USING (doc_id)
+    WHERE dup1.doc_id IS NULL
+    """
+
+
+@register("dedup_near_ledger_replay", _near_ledger_sql())
+def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live streaming NEAR-DUP ledger tier
+    (streaming/dedup.py:366-510), driven batch-by-batch like
+    dedup_ledger_replay but with MinHash BAND KEYS as the ledger
+    currency: batch 0's survivors contribute every band key of their
+    4-word-shingle signature (short docs an exact content key) to a
+    REAL parquet ledger partition; batch 1 is exact-deduped
+    within-batch, then drops every document sharing >= 1 band key
+    with that ledger — the crash-safe near-dup protocol
+    ``start_near_ledger_dedup`` commits per micro-batch, value-checked
+    end to end against the md5-minhash SQL family the
+    dedup_minhash_lsh oracle already pins.  Scale shape: one
+    batch-sized minhash aggregate + a band-key semi-join against a
+    keys-only ledger scan; ledger state = 32-hex keys x 4 bands per
+    distinct surviving document."""
+    import shutil
+    import tempfile
+
+    from .streaming.dedup import (
+        near_dedup_batch_against_ledger,
+        near_keys_of,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="near_ledger_replay_")
+    ledger_path = f"{base}/ledger"
+    try:
+        outs = []
+        for bid, pred in ((0, F.col("doc_id") < 250), (1, F.col("doc_id") >= 250)):
+            surv = near_dedup_batch_against_ledger(
+                spark, docs.filter(pred), ledger_path, "text",
+                exclude_batch=bid,
+            ).localCheckpoint(eager=True)
+            near_keys_of(surv, "text").write.mode("overwrite").parquet(
+                f"{ledger_path}/batch={bid}"
+            )
+            outs.append(
+                surv.select(
+                    F.lit(bid).cast("bigint").alias("batch"), "doc_id"
+                )
+            )
+        return outs[0].unionByName(outs[1])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @register("emb_kmeans_k64", _centroid_dist_sql(k=64, iters=2, dim=64))
 def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integer-exact Lloyd's trainer at NON-TOY k: k=64 centroids
@@ -3905,16 +4006,15 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_retention, graph_pagerank, text_bigram_novelty,
 # dedup_ledger_replay, emb_kmeans_k64).
 #
-# COVERAGE CAVEAT, explicit: the registry grew to 105 entries, so two
-# 50-entry windows can no longer cover everything — exactly SIX
-# r4-green r5-tail entries hold over to r7 (the FIRST six tail slots
-# below: the tail is ordered stalest-first / most-recently-proven
-# last).  They were chosen as the most change-stable queries (simple
-# scans/windows untouched since round 1-2) that ALSO keep independent
-# round-6 evidence: all six run in bench.py every round and
-# ts_range_read / ts_rolling_mean replay in tools/cluster_check.py.
-# Every other entry has a fully green driver row in r5 or gets one in
-# r6.
+# COVERAGE CAVEAT, explicit: the registry grew to 106 entries, so two
+# 50-entry windows can no longer cover everything — exactly SEVEN
+# r4-green r5-tail entries hold over to r7 (the FIRST seven tail
+# slots below: the tail is ordered stalest-first / most-recently-
+# proven last).  They are change-stable queries (simple scans/windows
+# untouched for rounds) that ALL keep independent round-6 evidence:
+# each runs in bench.py every round AND gets a value-checked
+# multi-JVM replay in tools/cluster_check.py this round.  Every other
+# entry has a fully green driver row in r5 or gets one in r6.
 #
 # ROUND-7 TODO: run `python tools/rotate.py --write` after the driver
 # records CORRECTNESS_r06.json — the planner generalizes the
@@ -3926,6 +4026,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 _TAIL_ROTATION = [
+    "text_contamination",
     "ts_range_read",
     "ts_rolling_mean",
     "ts_snap_grid",
