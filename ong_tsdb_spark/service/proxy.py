@@ -1,0 +1,194 @@
+"""Auth-proxy tier: the reference's remote deployment sits behind an
+authenticating proxy whose username/password/MFA form the CLIENT
+negotiates non-interactively (reference src/ong_tsdb/client.py:95-160
+``connect`` and :185-205 ``_request`` — the only interactive part of
+the reference's tests/test_remote_server.py is the TEST's ``input()``
+calls, so the protocol itself is fully automatable).  Two Spark-free
+pieces close that surface hermetically:
+
+* :class:`MfaAuthProxy` — a WSGI middleware playing the proxy in
+  front of the Flask façade (``service/server.create_app``): requests
+  without a valid session cookie get the reference's challenge shape
+  — HTTP 401 with a JSON body ``{"http_code": 407, "url": <login>,
+  "form": {...}}`` — and a JSON POST of the form fields (merged with
+  the caller's ``proxy_auth_body``) to the login URL mints a session
+  cookie when username/password/mfa_code match.
+
+* :func:`negotiate_proxy_auth` — the client side, transport-agnostic
+  (takes a ``request`` callable, so it drives urllib3, requests, or a
+  Flask test client identically): probe, parse the challenge, POST
+  the merged form with the challenge's cookies, adopt the session
+  cookie on ``{"http_code": 200}``, raise
+  :class:`ProxyNotAuthorizedError` otherwise — step for step the
+  reference's ``connect`` loop.
+
+The MFA code is an opaque form field end to end (the reference never
+interprets it client-side; its proxy checks it server-side), so the
+middleware checks equality against the configured per-user code — a
+deterministic stand-in for the TOTP check a production proxy runs.
+"""
+
+from __future__ import annotations
+
+import json
+import secrets
+from typing import Callable, Mapping
+
+from ..compat import OngTsdbClientBaseError
+
+#: session cookie name the proxy mints (any name works; one constant
+#: keeps middleware and tests in sync)
+SESSION_COOKIE = "proxy_session"
+
+#: (status, headers, body) of a transport-agnostic response
+Response = tuple[int, Mapping[str, str], bytes]
+#: request(method, path, headers, json_body_or_None) -> Response
+RequestFn = Callable[[str, str, Mapping[str, str], dict | None], Response]
+
+
+class ProxyNotAuthorizedError(OngTsdbClientBaseError):
+    """Proxy authentication required or rejected — the reference's
+    ``ProxyNotAuthorizedException`` (exceptions.py:14), raised from
+    the 401/json/http_code-407 challenge and from a failed login
+    POST.  Carries the triggering response for protocol callers."""
+
+    def __init__(self, msg: str, response: Response | None = None):
+        super().__init__(msg)
+        self.response = response
+
+
+def _parse_cookies(header: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in header.split(";"):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+class MfaAuthProxy:
+    """WSGI middleware: the authenticating proxy in front of the app.
+
+    ``users`` maps username -> (password, mfa_code).  Sessions are
+    in-memory (the proxy tier is stateless-restart like the reference
+    deployment's — a restart just re-challenges)."""
+
+    def __init__(
+        self,
+        app,
+        users: dict[str, tuple[str, str]],
+        login_path: str = "/proxy_login",
+    ):
+        self.app = app
+        self.users = dict(users)
+        self.login_path = login_path
+        self._sessions: set[str] = set()
+
+    # -- WSGI ----------------------------------------------------------
+    def __call__(self, environ, start_response):
+        cookies = _parse_cookies(environ.get("HTTP_COOKIE", ""))
+        if environ.get("PATH_INFO") == self.login_path:
+            return self._login(environ, start_response)
+        if cookies.get(SESSION_COOKIE) in self._sessions:
+            return self.app(environ, start_response)
+        return self._challenge(start_response)
+
+    def _challenge(self, start_response):
+        body = json.dumps(
+            {
+                "http_code": 407,
+                "url": self.login_path,
+                "form": {"realm": "ong_tsdb"},
+            }
+        ).encode()
+        start_response(
+            "401 Unauthorized",
+            [("Content-Type", "application/json"),
+             ("Content-Length", str(len(body)))],
+        )
+        return [body]
+
+    def _login(self, environ, start_response):
+        try:
+            size = int(environ.get("CONTENT_LENGTH") or 0)
+            form = json.loads(environ["wsgi.input"].read(size) or b"{}")
+        except (ValueError, KeyError):
+            form = {}
+        user = form.get("username")
+        expected = self.users.get(user)
+        ok = (
+            expected is not None
+            and form.get("password") == expected[0]
+            and form.get("mfa_code") == expected[1]
+        )
+        if ok:
+            sid = secrets.token_hex(16)
+            self._sessions.add(sid)
+            body = json.dumps({"http_code": 200}).encode()
+            headers = [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(body))),
+                ("Set-Cookie", f"{SESSION_COOKIE}={sid}; HttpOnly"),
+            ]
+        else:
+            # the reference client treats anything but http_code==200
+            # as a failed login (client.py:126-139) — the proxy still
+            # answers 200 OK at the HTTP layer, like a login form does
+            body = json.dumps({"http_code": 401, "error": "bad credentials"}).encode()
+            headers = [
+                ("Content-Type", "application/json"),
+                ("Content-Length", str(len(body))),
+            ]
+        start_response("200 OK", headers)
+        return [body]
+
+
+def _cookie_header_from(resp_headers: Mapping[str, str]) -> dict[str, str]:
+    set_cookie = resp_headers.get("Set-Cookie")
+    if not set_cookie:
+        return {}
+    return {"Cookie": set_cookie.split(";", 1)[0]}
+
+
+def negotiate_proxy_auth(
+    request: RequestFn,
+    proxy_auth_body: dict,
+    headers: Mapping[str, str] | None = None,
+    probe_path: str = "/",
+) -> dict[str, str]:
+    """Client-side proxy negotiation (reference client.py:95-160):
+    probe a protected path; on the 401/json/407 challenge, POST the
+    challenge's form fields merged with ``proxy_auth_body`` to the
+    challenge URL (carrying its cookies), and return ``headers``
+    updated with the minted session cookie.  No challenge -> headers
+    unchanged.  Non-JSON challenge or failed login ->
+    :class:`ProxyNotAuthorizedError` (carrying the response), exactly
+    the reference's raise points."""
+    hdrs = dict(headers or {})
+    status, rh, data = request("GET", probe_path, hdrs, None)
+    if status != 401:
+        return hdrs
+    if not (rh.get("Content-Type") or "").startswith("application/json"):
+        raise ProxyNotAuthorizedError(
+            "proxy auth response not understood (need json with url+form)",
+            response=(status, rh, data),
+        )
+    js = json.loads(data)
+    if js.get("http_code") != 407:
+        raise ProxyNotAuthorizedError(
+            "unauthorized and not a proxy challenge",
+            response=(status, rh, data),
+        )
+    body = dict(js.get("form") or {})
+    body.update(proxy_auth_body)
+    login_hdrs = dict(hdrs, **_cookie_header_from(rh))
+    status2, rh2, data2 = request("POST", js["url"], login_hdrs, body)
+    ok = False
+    if data2 and (rh2.get("Content-Type") or "").startswith("application/json"):
+        ok = json.loads(data2).get("http_code") == 200
+    if not ok:
+        raise ProxyNotAuthorizedError(
+            "proxy login failed", response=(status2, rh2, data2)
+        )
+    hdrs.update(_cookie_header_from(rh2))
+    return hdrs

@@ -1,0 +1,124 @@
+"""Proxy/MFA auth tier (service/proxy.py) — the reference's
+remote-server surface (tests/test_remote_server.py) made hermetic:
+the interactive part of the reference test is only its ``input()``
+calls; the PROTOCOL (401 + json http_code 407 challenge, form POST
+merged with proxy_auth_body, session cookie, retry) is driven here
+end to end through Werkzeug against the real Flask façade."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from werkzeug.test import Client
+
+from ong_tsdb_spark import OngTsdbSpark
+from ong_tsdb_spark.service.proxy import (
+    MfaAuthProxy,
+    ProxyNotAuthorizedError,
+    negotiate_proxy_auth,
+)
+from ong_tsdb_spark.service.server import create_app
+
+USERS = {"alice": ("s3cret", "424242")}
+
+
+@pytest.fixture()
+def proxied(spark, tmp_path):
+    eng = OngTsdbSpark(spark, str(tmp_path / "pxy_db"), admin_key="admintoken")
+    app = create_app(eng)
+    app.testing = True
+    return Client(MfaAuthProxy(app.wsgi_app, USERS))
+
+
+def _request_fn(client: Client):
+    """Adapt a Werkzeug client to the transport-agnostic callable
+    negotiate_proxy_auth drives (what urllib3 would be in prod)."""
+
+    def request(method, path, headers, body):
+        kwargs = {"headers": dict(headers)}
+        if body is not None:
+            kwargs["data"] = json.dumps(body)
+            kwargs["headers"]["Content-Type"] = "application/json"
+        r = client.open(path, method=method, **kwargs)
+        return r.status_code, dict(r.headers), r.data
+
+    return request
+
+
+def _token_header(token: str) -> dict:
+    cred = base64.b64encode(f"token:{token}".encode()).decode()
+    return {"Authorization": f"Basic {cred}"}
+
+
+def test_unauthenticated_gets_reference_challenge_shape(proxied):
+    r = proxied.get("/")
+    assert r.status_code == 401
+    js = json.loads(r.data)
+    assert js["http_code"] == 407
+    assert js["url"] == "/proxy_login"
+    assert "form" in js
+
+
+def test_negotiation_mints_session_and_passes_through(proxied):
+    headers = negotiate_proxy_auth(
+        _request_fn(proxied),
+        {"username": "alice", "password": "s3cret", "mfa_code": "424242"},
+    )
+    assert "Cookie" in headers
+    # the session now reaches the REAL service routes: create a db
+    # with the admin token, then see it listed
+    h = dict(headers, **_token_header("admintoken"))
+    assert proxied.post("/db/d1", headers=h).status_code in (200, 201)
+    r = proxied.get("/db/d1/exist", headers=h)
+    assert r.status_code == 200 and json.loads(r.data)["exists"] is True
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        {"username": "alice", "password": "wrong", "mfa_code": "424242"},
+        {"username": "alice", "password": "s3cret", "mfa_code": "000000"},
+        {"username": "mallory", "password": "s3cret", "mfa_code": "424242"},
+        {},
+    ],
+)
+def test_bad_credentials_raise_proxy_not_authorized(proxied, body):
+    with pytest.raises(ProxyNotAuthorizedError) as ei:
+        negotiate_proxy_auth(_request_fn(proxied), body)
+    assert ei.value.response is not None
+    # a failed negotiation must NOT leak a session
+    assert proxied.get("/").status_code == 401
+
+
+def test_challenge_form_fields_are_merged_not_replaced(proxied):
+    """The login body = challenge form fields UPDATED with
+    proxy_auth_body (reference client.py:115-117) — the realm field
+    from the challenge must survive the merge."""
+    captured = {}
+    fn = _request_fn(proxied)
+
+    def spying(method, path, headers, body):
+        if method == "POST":
+            captured.update(body)
+        return fn(method, path, headers, body)
+
+    negotiate_proxy_auth(
+        spying,
+        {"username": "alice", "password": "s3cret", "mfa_code": "424242"},
+    )
+    assert captured["realm"] == "ong_tsdb"
+    assert captured["username"] == "alice"
+
+
+def test_no_proxy_is_a_noop(spark, tmp_path):
+    """Against the bare service (no proxy tier) the negotiation
+    returns the headers unchanged — the reference client connects to
+    unproxied servers with the same code path."""
+    eng = OngTsdbSpark(spark, str(tmp_path / "plain_db"))
+    app = create_app(eng)
+    app.testing = True
+    c = Client(app.wsgi_app)
+    headers = negotiate_proxy_auth(_request_fn(c), {"username": "x"})
+    assert "Cookie" not in headers
