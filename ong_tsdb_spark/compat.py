@@ -43,11 +43,14 @@ class OngTsdbClient:
 
     Accepts the reference constructor's full keyword surface
     (client.py:40-90) so call sites port verbatim: the retry knobs and
-    ``proxy_auth_body`` are stored but inert (there is no HTTP hop to
-    retry; interactive proxy auth is out of scope by design),
-    ``validate_server_version`` gates the version handshake, and
-    ``auto_connect`` gates the reachability probe exactly like the
-    reference's deferred-connection mode."""
+    ``proxy_auth_body`` are stored but inert HERE (this client is
+    in-process — no HTTP hop to retry or proxy to negotiate; the
+    reference's proxy/MFA negotiation protocol itself lives at the
+    HTTP tier in ``service/proxy.negotiate_proxy_auth`` against the
+    ``MfaAuthProxy`` middleware), ``validate_server_version`` gates
+    the version handshake, and ``auto_connect`` gates the
+    reachability probe exactly like the reference's
+    deferred-connection mode."""
 
     def __init__(
         self,
