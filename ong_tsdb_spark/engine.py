@@ -573,6 +573,15 @@ class OngTsdbSpark:
             cols.append(c.alias(m))
         return df.select(*cols).orderBy(TS_COL)
 
+    #: serve a range read driver-side (pyarrow over the SAME parquet
+    #: chunk files) when it touches at most this many chunk partitions
+    #: — the point-read/serving path where a Spark job's ~0.5 s fixed
+    #: overhead dwarfs the data (the reference answers these in ms).
+    #: 64 chunks = ~12 days of a 1 s grid = ~1M rows x few columns
+    #: driver-side, comfortably a serving read; wider analytic scans
+    #: go through Spark
+    FAST_READ_MAX_CHUNKS = 64
+
     def read_pandas(
         self,
         db: str,
@@ -585,15 +594,40 @@ class OngTsdbSpark:
     ) -> pd.DataFrame:
         """Range read -> pandas frame with tz-aware DatetimeIndex and
         float32 values — the reference client's read() shape
-        (client.py:540-571)."""
+        (client.py:540-571).  Small windows (<= FAST_READ_MAX_CHUNKS
+        chunk partitions on a local filesystem) are served driver-side
+        by pyarrow over the same parquet files — identical output
+        (pinned by tests), ~ms instead of a Spark job; any surprise
+        falls back to the Spark path."""
+        from .auth import Action
+
+        from .auth import NotAuthorizedError
+
         cfg = self.catalog.get_config(db, sensor)
-        df = self.read(db, sensor, start_ts, end_ts, metrics, key=key)
         sel_metrics = cfg.metrics if metrics is None else list(metrics)
+        try:
+            fast = self._read_pandas_fast(
+                db, sensor, start_ts, end_ts, sel_metrics, cfg, key=key
+            )
+        except NotAuthorizedError:
+            raise
+        except Exception:  # noqa: BLE001 — fall back to the Spark path
+            fast = None
+        if fast is not None:
+            return self._pandas_edge(fast, sel_metrics, cfg, tz)
+        df = self.read(db, sensor, start_ts, end_ts, metrics, key=key)
         flat = flatten_metrics(sel_metrics)
         if df is None:
-            pdf = pd.DataFrame(columns=flat)
+            pdf = pd.DataFrame(columns=[*flat])
         else:
             pdf = df.toPandas()
+        return self._pandas_edge(pdf, sel_metrics, cfg, tz)
+
+    def _pandas_edge(
+        self, pdf: pd.DataFrame, sel_metrics: list, cfg: SensorConfig, tz: str
+    ) -> pd.DataFrame:
+        """The shared pandas boundary: ts_sec -> tz-aware index,
+        float32 values, MultiIndex columns from catalog level_names."""
         if len(pdf):
             idx = pd.to_datetime((pdf[TS_COL] * 1e9).round().astype("int64"), utc=True)
             pdf = pdf.drop(columns=[TS_COL])
@@ -606,6 +640,117 @@ class OngTsdbSpark:
         level_names = cfg.metadata.get("level_names")
         pdf.columns = build_column_index(sel_metrics, level_names)
         return pdf
+
+    def _local_data_dir(self, db: str, sensor: str) -> str | None:
+        """The sensor's data directory IF it is plain-local-filesystem
+        (pyarrow-reachable without Hadoop); None for object-store URIs
+        (those reads stay on the Spark path)."""
+        import os
+
+        p = self.catalog.data_path(db, sensor)
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        if "://" in p:
+            return None
+        return p if os.path.isdir(p) else None
+
+    def _read_pandas_fast(
+        self,
+        db: str,
+        sensor: str,
+        start_ts: float | None,
+        end_ts: float | None,
+        sel_metrics: list,
+        cfg: SensorConfig,
+        key: str | None,
+    ) -> pd.DataFrame | None:
+        """Driver-side pyarrow read of <= FAST_READ_MAX_CHUNKS chunk
+        partitions, replicating the Spark path's semantics exactly:
+        snap-truncated inclusive start, inclusive end, per-metric
+        NULL -> fill coalesce (schema-growth files lack newer metric
+        columns), unknown metrics as NaN, float32, ts order.  Returns
+        None when the window is too wide or the storage isn't local —
+        the caller then runs the Spark path."""
+        import os
+
+        from .auth import Action
+
+        d = self._local_data_dir(db, sensor)
+        if d is None:
+            return None
+        self._auth(Action.READ, db=db, sensor=sensor, key=key)
+        grid = cfg.grid
+        parts = []
+        for entry in self.catalog.list_data_partitions(db, sensor):
+            if not entry.startswith(f"{PART_COL}="):
+                continue
+            try:
+                v = float(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            parts.append((v, entry))
+        start = grid.snap(float(start_ts)) if start_ts is not None else None
+        if start is not None:
+            parts = [(v, e) for v, e in parts if v >= grid.chunk_start(start)]
+        if end_ts is not None:
+            parts = [(v, e) for v, e in parts if v <= grid.chunk_start(float(end_ts))]
+        if len(parts) > self.FAST_READ_MAX_CHUNKS:
+            return None
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        known = flatten_metrics(cfg.metrics)
+        sel = flatten_metrics(sel_metrics)
+        sel_known = [m for m in sel if m in known]
+        frames = []
+        for _, entry in sorted(parts):
+            pdir = os.path.join(d, entry)
+            for fn in sorted(os.listdir(pdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(pdir, fn))
+                have = set(pf.schema_arrow.names)
+                want = [TS_COL] + [m for m in sel_known if m in have]
+                f = pf.read(columns=want).to_pandas()
+                # columns ABSENT from this (pre-schema-growth) file
+                # read as NULL under Spark's explicit schema and then
+                # coalesce to the metric's fill — replicate PER FILE:
+                # stored cells are never NULL (the write path
+                # materializes NaN), so a blanket fillna would wrongly
+                # overwrite stored never-written-cell NaNs
+                for m in sel_known:
+                    if m not in have:
+                        fill = cfg.fills.get(m)
+                        v = (
+                            np.float32(fill)
+                            if fill is not None and not _is_nan(fill)
+                            else np.float32("nan")
+                        )
+                        f[m] = np.full(len(f), v, dtype="float32")
+                frames.append(f)
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+        else:
+            pdf = pd.DataFrame(
+                {
+                    TS_COL: pd.Series([], dtype="float64"),
+                    **{m: pd.Series([], dtype="float32") for m in sel_known},
+                }
+            )
+        if start is not None:
+            pdf = pdf[pdf[TS_COL] >= start]
+        if end_ts is not None:
+            pdf = pdf[pdf[TS_COL] <= float(end_ts)]
+        pdf = pdf.sort_values(TS_COL, kind="mergesort").reset_index(drop=True)
+        out = pd.DataFrame({TS_COL: pdf[TS_COL].astype("float64")})
+        for m in sel:
+            out[m] = (
+                pdf[m].astype("float32")
+                if m in pdf.columns
+                else pd.Series(np.nan, index=pdf.index, dtype="float32")
+            )
+        return out
 
     def _pick_rollup_for(
         self,
@@ -794,14 +939,63 @@ class OngTsdbSpark:
 
         self._auth(Action.READ, db=db, sensor=sensor, key=key)
         cfg = self.catalog.get_config(db, sensor)
+        last = None
+        for entry in self.catalog.list_data_partitions(db, sensor):
+            if entry.startswith(f"{PART_COL}="):
+                try:
+                    v = float(entry.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if last is None or v > last[0]:
+                    last = (v, entry)
+        if last is None:
+            return None
+        # serving fast path: parquet row-group STATS of the max chunk's
+        # files answer this in ~ms (the reference reads only the last
+        # chunk too, database.py:522-546); fall back to one pruned
+        # Spark job on object-store URIs or stat-less files
+        try:
+            mx = self._last_ts_from_stats(db, sensor, last[1])
+            if mx is not None:
+                return mx
+        except Exception:  # noqa: BLE001 — stats are an optimization only
+            pass
         df = self._read_raw(db, sensor, cfg)
         if df is None:
             return None
-        last_part = max(self._existing_chunks(db, sensor), default=None)
-        if last_part is None:
-            return None
-        row = df.filter(F.col(PART_COL) == last_part).select(F.max(TS_COL)).first()
+        row = df.filter(F.col(PART_COL) == last[0]).select(F.max(TS_COL)).first()
         return row[0]
+
+    def _last_ts_from_stats(
+        self, db: str, sensor: str, entry: str
+    ) -> float | None:
+        """Max ts_sec of one chunk partition from parquet column
+        statistics — no data read at all.  None if the storage isn't
+        local or any row group lacks stats (then the caller runs the
+        pruned Spark scan)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = self._local_data_dir(db, sensor)
+        if d is None:
+            return None
+        best: float | None = None
+        for fn in sorted(os.listdir(os.path.join(d, entry))):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, entry, fn)).metadata
+            try:
+                ts_idx = md.schema.names.index(TS_COL)
+            except ValueError:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                if best is None or st.max > best:
+                    best = float(st.max)
+        return best
 
 
 def _is_nan(x: Any) -> bool:

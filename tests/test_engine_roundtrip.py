@@ -343,3 +343,82 @@ def test_roundtrip_subsecond_grid(eng):
     mid = eng.read_pandas("test", "fast", start_ts=t0 + 4095.5, end_ts=t0 + 4096.5)
     assert len(mid) == 3
     assert eng.get_last_timestamp("test", "fast") == ts[-1]
+
+
+def test_fast_read_path_equals_spark_path(spark, tmp_path):
+    """The pyarrow serving fast path must be byte-identical to the
+    Spark read path on the hard semantics: schema growth (absent
+    column -> fill), stored never-written-cell NaN (must stay NaN,
+    not get filled), metric selection, unknown metric, and window
+    clipping — and it must actually ENGAGE (no silent fallback)."""
+    import numpy as np
+    import pandas as pd
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "fastdb"))
+    eng.create_db("d")
+    eng.create_sensor("d", "s", "1s", ["a"])
+    idx = pd.date_range("2024-01-01", periods=500, freq="30s", tz="UTC")
+    eng.write_df("d", "s", pd.DataFrame({"a": np.arange(500.0)}, index=idx))
+    # schema growth with a non-default fill; b absent from old chunks
+    eng.write_df(
+        "d", "s",
+        pd.DataFrame({"b": [7.0, np.nan]}, index=idx[100:102]),
+        fill_value=3.5,
+    )
+
+    lo, hi = idx[0].timestamp(), idx[499].timestamp()
+    windows = [
+        (lo, hi), (lo + 3600, lo + 7200), (None, None),
+        (lo, lo), (hi + 1, hi + 2),
+    ]
+    sels = [None, ["a"], ["b"], ["a", "b"]]
+    for s_ts, e_ts in windows:
+        for sel in sels:
+            fast = eng.read_pandas("d", "s", s_ts, e_ts, metrics=sel)
+            # force the Spark path by making the chunk budget zero
+            old = eng.FAST_READ_MAX_CHUNKS
+            eng.FAST_READ_MAX_CHUNKS = -1
+            try:
+                slow = eng.read_pandas("d", "s", s_ts, e_ts, metrics=sel)
+            finally:
+                eng.FAST_READ_MAX_CHUNKS = old
+            pd.testing.assert_frame_equal(fast, slow)
+    # untouched cells of a filled metric read the fill — in the
+    # REWRITTEN chunk the write path materializes it into storage, in
+    # pre-growth chunks the absent column coalesces to it at read
+    # (which is the branch the fast path must replicate per file)
+    got = eng.read_pandas("d", "s", idx[101].timestamp(), idx[101].timestamp())
+    assert float(got["b"].iloc[0]) == np.float32(3.5)
+    got = eng.read_pandas("d", "s", idx[0].timestamp(), idx[0].timestamp())
+    assert float(got["b"].iloc[0]) == np.float32(3.5)
+    # engagement: the fast path must serve without a Spark job —
+    # verify by reading with the Spark scheduler effectively probed
+    # via timing (a Spark job here costs ~0.3s+; pyarrow ~ms)
+    import time
+
+    t0 = time.perf_counter()
+    eng.read_pandas("d", "s", lo, lo + 3600)
+    assert time.perf_counter() - t0 < 0.25, "fast path did not engage"
+
+
+def test_fast_last_timestamp_uses_stats(spark, tmp_path):
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "fastlt"))
+    eng.create_db("d")
+    eng.create_sensor("d", "s", "1s", ["a"])
+    idx = pd.date_range("2024-01-01", periods=1000, freq="17s", tz="UTC")
+    eng.write_df("d", "s", pd.DataFrame({"a": np.arange(1000.0)}, index=idx))
+    want = idx[-1].timestamp()
+    t0 = time.perf_counter()
+    got = eng.get_last_timestamp("d", "s")
+    dt = time.perf_counter() - t0
+    assert got == want
+    assert dt < 0.25, f"stats fast path did not engage ({dt:.3f}s)"
