@@ -368,6 +368,15 @@ def bench_engine(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         eng.get_last_timestamp("bench", "events_1s")
         out["engine_last_ts"] = round(time.perf_counter() - t0, 4)
+        # the SERVING read (round-6 pyarrow fast path): same 7-day
+        # window to a pandas frame, no Spark job — the latency tier
+        # the reference's embedded store competes in
+        t0 = time.perf_counter()
+        n_serve = len(eng.read_pandas("bench", "events_1s",
+                                      start_ts=lo, end_ts=lo + 7 * 86400))
+        out["engine_serve_read_7d"] = round(time.perf_counter() - t0, 4)
+        print(f"[bench] engine_serve_read_7d: {n_serve} rows in "
+              f"{out['engine_serve_read_7d'] * 1000:.1f} ms", file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
@@ -418,7 +427,11 @@ def main() -> None:
 
     for name in CORE:
         timings[name] = timed(name)
-    core_total = round(sum(timings.values()), 4)  # engine + pinned core
+    # engine + pinned core; the round-6 serving metric is reported but
+    # kept OUT of the r4-comparable total
+    core_total = round(
+        sum(v for k, v in timings.items() if k != "engine_serve_read_7d"), 4
+    )
     for name in EXTENSION:
         timings[name] = timed(name)
     extension_total = round(sum(timings[n] for n in EXTENSION), 4)
