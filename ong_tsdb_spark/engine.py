@@ -599,8 +599,6 @@ class OngTsdbSpark:
         by pyarrow over the same parquet files — identical output
         (pinned by tests), ~ms instead of a Spark job; any surprise
         falls back to the Spark path."""
-        from .auth import Action
-
         from .auth import NotAuthorizedError
 
         cfg = self.catalog.get_config(db, sensor)
@@ -677,6 +675,11 @@ class OngTsdbSpark:
 
         d = self._local_data_dir(db, sensor)
         if d is None:
+            return None
+        # duplicate metric selections are legal on the Spark path
+        # (select emits one column per request); the pandas frame
+        # builder below dedupes by name — punt those to Spark
+        if len(flatten_metrics(sel_metrics)) != len(set(flatten_metrics(sel_metrics))):
             return None
         self._auth(Action.READ, db=db, sensor=sensor, key=key)
         grid = cfg.grid

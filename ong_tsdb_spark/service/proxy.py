@@ -30,8 +30,10 @@ deterministic stand-in for the TOTP check a production proxy runs.
 
 from __future__ import annotations
 
+import hmac
 import json
 import secrets
+from collections import OrderedDict
 from typing import Callable, Mapping
 
 from ..compat import OngTsdbClientBaseError
@@ -78,11 +80,15 @@ class MfaAuthProxy:
         app,
         users: dict[str, tuple[str, str]],
         login_path: str = "/proxy_login",
+        max_sessions: int = 10_000,
     ):
         self.app = app
         self.users = dict(users)
         self.login_path = login_path
-        self._sessions: set[str] = set()
+        # bounded FIFO: a client renegotiating per request (which
+        # negotiate_proxy_auth makes easy) must not grow state forever
+        self.max_sessions = max_sessions
+        self._sessions: OrderedDict[str, None] = OrderedDict()
 
     # -- WSGI ----------------------------------------------------------
     def __call__(self, environ, start_response):
@@ -115,15 +121,20 @@ class MfaAuthProxy:
         except (ValueError, KeyError):
             form = {}
         user = form.get("username")
-        expected = self.users.get(user)
+        expected = self.users.get(user if isinstance(user, str) else "")
+        # constant-time compares, like the repo's token auth
+        # (auth.py:38) — no credential-prefix timing channel
+        pw, mfa = expected if expected is not None else ("", "")
         ok = (
             expected is not None
-            and form.get("password") == expected[0]
-            and form.get("mfa_code") == expected[1]
+            and hmac.compare_digest(str(form.get("password") or ""), pw)
+            & hmac.compare_digest(str(form.get("mfa_code") or ""), mfa)
         )
         if ok:
             sid = secrets.token_hex(16)
-            self._sessions.add(sid)
+            self._sessions[sid] = None
+            while len(self._sessions) > self.max_sessions:
+                self._sessions.popitem(last=False)
             body = json.dumps({"http_code": 200}).encode()
             headers = [
                 ("Content-Type", "application/json"),
@@ -144,7 +155,10 @@ class MfaAuthProxy:
 
 
 def _cookie_header_from(resp_headers: Mapping[str, str]) -> dict[str, str]:
-    set_cookie = resp_headers.get("Set-Cookie")
+    # case-insensitive: HTTP/2 transports lowercase header names
+    set_cookie = next(
+        (v for k, v in resp_headers.items() if k.lower() == "set-cookie"), None
+    )
     if not set_cookie:
         return {}
     return {"Cookie": set_cookie.split(";", 1)[0]}
@@ -168,12 +182,21 @@ def negotiate_proxy_auth(
     status, rh, data = request("GET", probe_path, hdrs, None)
     if status != 401:
         return hdrs
-    if not (rh.get("Content-Type") or "").startswith("application/json"):
+    rh_l = {k.lower(): v for k, v in rh.items()}
+    if not (rh_l.get("content-type") or "").startswith("application/json"):
         raise ProxyNotAuthorizedError(
             "proxy auth response not understood (need json with url+form)",
             response=(status, rh, data),
         )
-    js = json.loads(data)
+    try:
+        js = json.loads(data)
+    except ValueError as ex:
+        # LB-generated 401s ship json content-type with empty or
+        # truncated bodies — keep the documented error contract
+        raise ProxyNotAuthorizedError(
+            f"malformed proxy challenge body: {ex}",
+            response=(status, rh, data),
+        ) from ex
     if js.get("http_code") != 407:
         raise ProxyNotAuthorizedError(
             "unauthorized and not a proxy challenge",
@@ -184,8 +207,12 @@ def negotiate_proxy_auth(
     login_hdrs = dict(hdrs, **_cookie_header_from(rh))
     status2, rh2, data2 = request("POST", js["url"], login_hdrs, body)
     ok = False
-    if data2 and (rh2.get("Content-Type") or "").startswith("application/json"):
-        ok = json.loads(data2).get("http_code") == 200
+    rh2_l = {k.lower(): v for k, v in rh2.items()}
+    if data2 and (rh2_l.get("content-type") or "").startswith("application/json"):
+        try:
+            ok = json.loads(data2).get("http_code") == 200
+        except ValueError:
+            ok = False
     if not ok:
         raise ProxyNotAuthorizedError(
             "proxy login failed", response=(status2, rh2, data2)

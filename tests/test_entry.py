@@ -142,8 +142,15 @@ def test_rotation_planner_invariants(tmp_path):
     assert set(head) == set(current_head), (
         "committed rotation diverged from tools/rotate.py --write output"
     )
-    # idempotence: rewriting with the same plan is a no-op
-    path = os.path.join(repo, "ong_tsdb_spark", "entry_queries.py")
-    before = open(path).read()
-    rot.rewrite_tail(tail)
-    assert open(path).read() == before
+    # idempotence: rewriting with the same plan is a no-op — proven on
+    # a TEMP COPY so a failing assertion can never leave the tracked
+    # source mutated by a test run
+    import shutil
+    import tempfile
+
+    src = os.path.join(repo, "ong_tsdb_spark", "entry_queries.py")
+    with tempfile.TemporaryDirectory() as td:
+        copy = os.path.join(td, "entry_queries.py")
+        shutil.copyfile(src, copy)
+        rot.rewrite_tail(tail, path=copy)
+        assert open(copy).read() == open(src).read()

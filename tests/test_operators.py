@@ -2598,12 +2598,12 @@ def test_bigram_novelty_fixture(spark, tmp_path):
     assert canon_rows(out.columns, out.collect()) == canon_rows(rel.columns, rel.fetchall())
 
 
-def test_bigram_novelty_fast_path_equals_general(spark):
-    """The threshold-2 join-free path (corpus count 1 => one owning
-    doc, so n_rare falls out of the bigram-keyed aggregate) must equal
-    the general inverted-index-join path row for row — including a doc
-    that repeats its own bigram (count 2 from ONE doc: not rare in
-    either path) and a rare-only doc."""
+def test_bigram_novelty_threshold_semantics(spark):
+    """Threshold semantics of the single canonical implementation:
+    t=2 (rare = corpus count 1) and t=3 must genuinely differ on
+    count-2 bigrams — including a doc repeating its own bigram (count
+    2 from ONE doc) and a rare-only doc — guarding any future variant
+    from silently shifting the rare predicate."""
     from pyspark.sql import functions as F
 
     rows = [

@@ -53,7 +53,9 @@ def last_green_rounds() -> dict[str, int]:
             print(f"WARNING: skipping unreadable {path}: {ex}", file=sys.stderr)
             continue
         for name, rec in data.items():
-            if isinstance(rec, dict) and rec.get("hash_match"):
+            if isinstance(rec, dict) and all(
+                rec.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
                 out[name] = max(out.get(name, 0), rnd)
     return out
 
@@ -76,8 +78,9 @@ def plan(head_size: int) -> tuple[list[str], list[str], dict[str, int]]:
     return head, tail, green
 
 
-def rewrite_tail(tail: list[str]) -> None:
-    path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
+def rewrite_tail(tail: list[str], path: str | None = None) -> None:
+    if path is None:
+        path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
     src = open(path).read()
     if BEGIN not in src or END not in src:
         raise SystemExit("rotation markers not found in entry_queries.py")
