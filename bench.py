@@ -101,6 +101,7 @@ EXTENSION = [
     "text_bigram_novelty",
     "dedup_ledger_replay",
     "dedup_near_ledger_replay",
+    "corpus_topic_sample",
     "emb_kmeans_k64",
 ]
 
@@ -163,6 +164,7 @@ SCALE_FAMILIES = [
     "text_bigram_novelty",
     "dedup_ledger_replay",
     "dedup_near_ledger_replay",
+    "corpus_topic_sample",
     "emb_kmeans_k64",
 ]
 

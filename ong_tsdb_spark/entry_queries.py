@@ -3978,6 +3978,52 @@ def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _topic_sample_sql(total: int = 256, k: int = 8, iters: int = 2,
+                      dim: int = 64) -> str:
+    """DuckDB twin of similarity.topic_balanced_sample: the unrolled
+    Lloyd's chain + per-vector integer distances (the emb_centroid_dist
+    oracle), then k-row integer proportional quotas and the
+    prototype-first within-cluster ranking."""
+    ctes, prev = _ivf_train_sql(k, iters, dim)
+    return f"""
+    WITH {ctes},
+    af AS ({_ivf_af_sql(prev, dim)}),
+    scored AS (
+      SELECT af.vec_id, CAST(af.cid AS INT) AS cid,
+             CAST({_ivf_l2_sql("q.qv", "c.cv", dim)} AS BIGINT) AS sqdist
+      FROM af JOIN q0 q ON q.vec_id = af.vec_id
+              JOIN {prev} c ON c.cid = af.cid),
+    quotas AS (
+      SELECT cid, CAST(({total} * count(*)) // (SELECT count(*) FROM scored)
+                  AS BIGINT) AS quota
+      FROM scored GROUP BY cid),
+    ranked AS (
+      SELECT vec_id, cid, sqdist,
+             CAST(row_number() OVER (PARTITION BY cid
+                                     ORDER BY sqdist, vec_id) AS BIGINT) AS rank
+      FROM scored)
+    SELECT r.vec_id, r.cid, r.sqdist, r.rank
+    FROM ranked r JOIN quotas q USING (cid)
+    WHERE r.rank <= q.quota
+    """
+
+
+@register("corpus_topic_sample", _topic_sample_sql())
+def corpus_topic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototype-first sampling
+    (similarity.topic_balanced_sample): the topic-rebalance curation
+    pass — integer-exact k-means clusters, integer proportional
+    quotas (floor(total * n_c / N)), and each cluster's quota filled
+    by its most PROTOTYPICAL members (lowest bigint L2 to the
+    centroid, Sorscher et al. 2022 easy-first).  Composes two
+    driver-proven primitives (the Lloyd's chain of emb_centroid_dist
+    and a k-row quota plan like corpus_mix_weights), so the whole
+    keep-set is bit-identical cross-engine.  Scale shape: map-side
+    scoring + k-row broadcasts + one cluster-partitioned window."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.topic_balanced_sample(emb, total=256, k=8, iters=2)
+
+
 @register("emb_kmeans_k64", _centroid_dist_sql(k=64, iters=2, dim=64))
 def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integer-exact Lloyd's trainer at NON-TOY k: k=64 centroids
@@ -4006,9 +4052,9 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_retention, graph_pagerank, text_bigram_novelty,
 # dedup_ledger_replay, emb_kmeans_k64).
 #
-# COVERAGE CAVEAT, explicit: the registry grew to 106 entries, so two
-# 50-entry windows can no longer cover everything — exactly SEVEN
-# r4-green r5-tail entries hold over to r7 (the FIRST seven tail
+# COVERAGE CAVEAT, explicit: the registry grew to 107 entries, so two
+# 50-entry windows can no longer cover everything — exactly EIGHT
+# r4-green r5-tail entries hold over to r7 (the FIRST eight tail
 # slots below: the tail is ordered stalest-first / most-recently-
 # proven last).  They are change-stable queries (simple scans/windows
 # untouched for rounds) that ALL keep independent round-6 evidence:
@@ -4026,6 +4072,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 _TAIL_ROTATION = [
+    "text_vocab",
     "text_contamination",
     "ts_range_read",
     "ts_rolling_mean",

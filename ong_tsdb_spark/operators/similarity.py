@@ -903,6 +903,60 @@ def centroid_distances(
     )
 
 
+def topic_balanced_sample(
+    df: DataFrame,
+    total: int = 256,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced prototype-first sampling — the topic-rebalance
+    curation pass (DataComp/SemDeDup-era recipe: cluster the corpus,
+    take a per-cluster quota, prefer prototypical examples): k-means
+    clusters via the integer-exact Lloyd's trainer, an INTEGER
+    proportional quota per cluster (floor(total * n_c / N), so the
+    plan is bit-exact cross-engine), and within each cluster the
+    quota's MOST PROTOTYPICAL members (lowest integer squared L2 to
+    the centroid, ties to the lowest id — the Sorscher et al. 2022
+    easy-first ranking).
+
+    Returns the kept rows (id, cid, sqdist, rank) — rank 1-based
+    within the cluster.
+
+    Scale shape: scoring is the broadcast-centroid map-side fold of
+    :func:`centroid_distances`; the quota table is k rows computed
+    from a k-row count aggregate (broadcast back); selection is one
+    window partitioned by cluster id — k partitions whose skew is
+    bounded by cluster sizes (at extreme scale swap the window for a
+    per-cluster distance-threshold join; the quota rule is unchanged).
+    """
+    scored = centroid_distances(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    from pyspark.sql import Window
+
+    counts = scored.groupBy("cid").agg(F.count("*").alias("__n"))
+    # corpus total via an all-rows window over the K-ROW count table
+    # (k cells through one task — not a data-sized global window, and
+    # no cross join).  NOTE the distinct name: Spark resolves columns
+    # case-insensitively, so "__N" would silently REPLACE "__n"
+    quotas = counts.withColumn(
+        "__tot", F.sum("__n").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "cid",
+        F.expr(f"cast(({int(total)} * __n) div __tot as long)").alias("__quota"),
+    )
+
+    w = Window.partitionBy("cid").orderBy(F.col("sqdist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(quotas), on="cid")
+        .filter(F.col("rank") <= F.col("__quota"))
+        .select(id_col, "cid", "sqdist", "rank")
+    )
+
+
 # ======================================================================
 # product quantization (Jegou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search")

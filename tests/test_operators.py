@@ -2632,3 +2632,34 @@ def test_bigram_novelty_threshold_semantics(spark):
     # doc1: (a,b) count 3 (docs 1,2,4) stays common; (b,c),(c,d)
     # count 2 turn rare at t=3
     assert gen3[1] == (3, 2)
+
+
+def test_topic_balanced_sample_quotas_and_prototypes(spark):
+    """Planted two tight clusters with known sizes: quotas must be the
+    exact integer proportional split, and within each cluster the
+    kept members must be the lowest-distance (most prototypical)
+    ones, ties to the lowest id."""
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark.operators import similarity
+
+    # 6 vectors near [0,..]; 3 vectors near [100,..] (dim 4)
+    rows = []
+    for i in range(6):
+        rows.append((i, [float(i) * 0.001, 0.0, 0.0, 0.0]))
+    for i in range(3):
+        rows.append((10 + i, [100.0 + i * 0.001, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.topic_balanced_sample(df, total=6, k=2, iters=2).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append((r["rank"], r["vec_id"], r["sqdist"]))
+    # quotas: floor(6*6/9)=4 and floor(6*3/9)=2
+    sizes = sorted(len(v) for v in by_cid.values())
+    assert sizes == [2, 4], by_cid
+    for cid, members in by_cid.items():
+        members.sort()
+        # ranks are 1..quota and distances non-decreasing
+        assert [m[0] for m in members] == list(range(1, len(members) + 1))
+        dists = [m[2] for m in members]
+        assert dists == sorted(dists)

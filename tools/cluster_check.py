@@ -60,15 +60,17 @@ DEFAULT_SUBSET = [
     "events_interval_join",   # chunk-bucketed bin join (explode+equi)
     "dedup_ledger_replay",    # cross-batch parquet ledger handoff
     # r6->r7 rotation holdovers (with ts_range_read/ts_rolling_mean
-    # above, ALL seven entries that skip the r6 driver window get a
+    # above, ALL eight entries that skip the r6 driver window get a
     # value-checked multi-JVM replay this round instead)
     "ts_snap_grid",
     "tpch_q1",
     "tpch_q6",
     "ts_delta",
     "text_contamination",
-    # the near-dup ledger tier itself (round-6 registration)
+    "text_vocab",
+    # round-6 registrations exercised under multi-JVM
     "dedup_near_ledger_replay",
+    "corpus_topic_sample",
 ]
 
 
