@@ -233,3 +233,47 @@ def test_bigram_novelty_property(spark, texts, threshold):
     assert {i: (nb, nr) for i, (nb, nr, _) in got.items()} == want
     for i, (nb, nr, nov) in got.items():
         assert nov == nr / nb
+
+
+@pytest.mark.slow
+@settings(**_SLOW)
+@given(
+    n_vecs=st.integers(min_value=3, max_value=40),
+    total=st.sampled_from([4, 10, 25]),
+    k=st.sampled_from([2, 3]),
+)
+def test_topic_balanced_sample_property(spark, n_vecs, total, k):
+    """Random small corpora: the keep-set must equal a direct Python
+    model of the rule — integer proportional quotas over the
+    integer-exact cluster assignment, filled easy-first by (sqdist,
+    id).  The model reuses the trainer's own centroids/assignments
+    (proven elsewhere) so THIS test isolates the quota + ranking
+    logic."""
+    from ong_tsdb_spark.operators import similarity
+
+    rows = [
+        (i, [float((i * 37 + j * 11) % 23 - 11) for j in range(4)])
+        for i in range(n_vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scored = {
+        r["vec_id"]: (r["cid"], r["sqdist"])
+        for r in similarity.centroid_distances(df, k=k, iters=2).collect()
+    }
+    got = sorted(
+        (r["vec_id"], r["cid"], r["sqdist"], r["rank"])
+        for r in similarity.topic_balanced_sample(
+            df, total=total, k=k, iters=2
+        ).collect()
+    )
+    by_cid: dict[int, list[tuple[int, int]]] = {}
+    for vid, (cid, d) in scored.items():
+        by_cid.setdefault(cid, []).append((d, vid))
+    n = len(scored)
+    want = []
+    for cid, members in by_cid.items():
+        quota = (total * len(members)) // n
+        members.sort()
+        for rank, (d, vid) in enumerate(members[:quota], start=1):
+            want.append((vid, cid, d, rank))
+    assert got == sorted(want)
