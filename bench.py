@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+compact (<1 KB) JSON line: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {engine_*: sec}, "core_total": ...,
+"extension_total": ..., "sf": ...}.  The full per-query dict (all ~71
+timings) is written to BENCH_DETAIL.json and echoed to stderr — it
+outgrew the driver's stdout tail-capture window in round 6
+(VERDICT r6 #2), so the final stdout line carries only totals plus
+the four engine headline numbers.
 
 Each query is fully materialized (count + a cheap checksum collect) so
 lazy plans can't cheat.  A warmup pass primes the JVM/code-cache; the
@@ -384,6 +389,34 @@ def bench_engine(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def make_summary(
+    timings: dict[str, float],
+    engine_keys: list[str],
+    core_total: float,
+    extension_total: float,
+    sf,
+) -> str:
+    """The FINAL stdout line, as one compact JSON string.  Contract
+    (pinned by tests/test_entry.py::test_bench_summary_line_compact):
+    single line, < 1024 bytes regardless of registry growth — only the
+    engine headline numbers ride in ``queries``."""
+    summary = {
+        "metric": "headline_queries_total",
+        "value": core_total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in sorted(engine_keys)},
+        "core_total": core_total,
+        "extension_total": extension_total,
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert "\n" not in line and len(line) < 1024, (
+        f"stdout summary line too long ({len(line)} B)"
+    )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -444,25 +477,33 @@ def main() -> None:
 
     # ``value`` stays the r4-comparable 35-query total (4 engine + 31
     # core) so the round-over-round trend is one number; the growing
-    # operator surface reports under extension_total
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": core_total,
-                "unit": "sec",
-                "queries": timings,
-                "core_total": core_total,
-                "extension_total": extension_total,
-                "bpe_rounds": {
-                    "batched": bpe_t["bpe_train_rounds_batched"],
-                    "stale": bpe_t["bpe_train_rounds_stale"],
-                    "sequential": bpe_t["bpe_train_rounds_sequential"],
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # operator surface reports under extension_total.
+    #
+    # VERDICT r6 #2: the full per-query dict (~71 entries, ~3 KB) used
+    # to ride the final stdout line and outgrew the driver's
+    # tail-capture window, leaving BENCH_r06 unparseable.  The detail
+    # now goes to BENCH_DETAIL.json (and stderr); the FINAL stdout
+    # line is compact (<1 KB): totals + the 4 engine headline numbers.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": core_total,
+        "unit": "sec",
+        "queries": timings,
+        "core_total": core_total,
+        "extension_total": extension_total,
+        "bpe_rounds": {
+            "batched": bpe_t["bpe_train_rounds_batched"],
+            "stale": bpe_t["bpe_train_rounds_stale"],
+            "sequential": bpe_t["bpe_train_rounds_sequential"],
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("[bench] detail: " + json.dumps(detail), file=sys.stderr)
+    print(make_summary(timings, list(engine_t), core_total,
+                       extension_total, detail["sf"]))
     spark.stop()
 
 

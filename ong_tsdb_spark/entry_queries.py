@@ -4044,84 +4044,27 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no entry silently falls outside the window
 # (test_registry_window_invariants enforces the cap).
 #
-# Round-6 head (everything NOT in the tail below) = the 43 entries of
-# the r5 tail returning for their every-other-round row, PLUS
-# emb_centroid_dist (the one red r5 row — oracle output type pinned
-# this round, must re-prove), PLUS the six operators registered this
-# round with zero driver evidence (events_interval_join,
-# events_retention, graph_pagerank, text_bigram_novelty,
-# dedup_ledger_replay, emb_kmeans_k64).
-#
-# COVERAGE CAVEAT, explicit: the registry grew to 107 entries, so two
-# 50-entry windows can no longer cover everything — exactly EIGHT
-# r4-green r5-tail entries hold over to r7 (the FIRST eight tail
-# slots below: the tail is ordered stalest-first / most-recently-
-# proven last).  They are change-stable queries (simple scans/windows
-# untouched for rounds) that ALL keep independent round-6 evidence:
-# each runs in bench.py every round AND gets a value-checked
-# multi-JVM replay in tools/cluster_check.py this round.  Every other
-# entry has a fully green driver row in r5 or gets one in r6.
-#
-# ROUND-7 TODO: run `python tools/rotate.py --write` after the driver
-# records CORRECTNESS_r06.json — the planner generalizes the
-# every-other-round policy to evidence staleness (head = the <= 50
-# entries whose last fully green row is oldest, never-proven and red
-# entries first) and prints which entries slip past the two-round
-# cadence; keep that list in this comment for the judge.
+# Round-7 head (everything NOT in the tail below) = the planner's
+# staleness order over r01..r06 evidence (`tools/rotate.py --write`,
+# VERDICT r6 #3): the EIGHT r4-green holdovers first (text_vocab,
+# text_contamination, ts_range_read, ts_rolling_mean, ts_snap_grid,
+# tpch_q1, tpch_q6, ts_delta — last driver-green r4, two rounds ago),
+# then 42 r5-green entries.  The 57-entry tail is entirely r5/r6
+# green and ordered stalest-first, so the r5-green block rotates back
+# in at r8 — the planner printed ZERO entries that slip past the
+# two-round cadence this round.  The `# planned-on:` marker below
+# records the evidence window this rotation was computed over;
+# test_rotation_planner_invariants recomputes the plan restricted to
+# that window (so driver-written CORRECTNESS_r07.json cannot flip the
+# suite red — VERDICT r6 #1) and checks head-cap / never-proven /
+# idempotence against ALL evidence unconditionally.  New entries
+# registered mid-round go in the head (never in this tail) until the
+# next --write.
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
+# planned-on: r01..r06
 _TAIL_ROTATION = [
-    "text_vocab",
-    "text_contamination",
-    "ts_range_read",
-    "ts_rolling_mean",
-    "ts_snap_grid",
-    "tpch_q1",
-    "tpch_q6",
-    "ts_delta",
-    "ts_checksum_nansum",
-    "tpch_q3_topk",
-    "tpch_q5ish",
-    "top_orders",
-    "part_brand_agg",
-    "dedup_simhash",
-    "dedup_simhash32",
-    "text_tokens",
-    "text_fingerprint",
-    "emb_label_centroids",
-    "emb_quantized_topk",
-    "tpch_rollup",
-    "events_json_extract",
-    "emb_neardup_numpy",
-    "orders_with_late_lines",
-    "customers_without_recent_orders",
-    "users_set_ops",
-    "tpch_cube",
-    "text_pii_scrub",
-    "text_repetition",
-    "top_orders_per_priority",
-    "emb_ivf_topk",
-    "corpus_sample_stats",
-    "dedup_keep_best",
-    "doc_length_band",
-    "text_rare_tokens",
-    "corpus_pack_stats",
-    "dedup_ledger_backfill",
-    "emb_ann_recall",
-    "emb_ivf_recall",
-    "dedup_semantic",
-    "text_bm25_topk",
-    "ts_ewma",
-    "corpus_mix_weights",
-    "ts_mad_anomaly",
-    "dedup_minhash_error",
-    "corpus_curation_report",
-    "text_fertility",
-    "corpus_delta_stats",
-    "text_c4_quality",
-    "text_dup_spans",
-    "corpus_pack_sequences",
     "text_classifier_quality",
     "corpus_dsir_weights",
     "emb_pq_adc_topk",
@@ -4129,6 +4072,56 @@ _TAIL_ROTATION = [
     "doc_chunk_stats",
     "emb_pq_recall",
     "events_funnel",
+    "ts_last_timestamp",
+    "ts_downsample_first",
+    "ts_upsert_last_wins",
+    "ts_usage_stats",
+    "ts_ingest_grouping",
+    "influx_roundtrip",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_langid",
+    "emb_cosine_topk",
+    "emb_neardup_blocked",
+    "emb_neardup_lsh",
+    "ts_asof_join",
+    "ts_gap_fill",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "ts_sessionize",
+    "ts_time_weighted_avg",
+    "ts_ohlc",
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_value_histogram",
+    "part_type_like",
+    "customers_above_nation_avg",
+    "ts_cumulative_sum",
+    "ts_cumulative_sum_chunked",
+    "doc_stats_by_lang",
+    "emb_ann_lsh",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "ts_moving_range_avg",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "dedup_winnow",
+    "ts_zscore_anomaly",
+    "dedup_clusters",
+    "dedup_passage_stats",
+    "text_gopher_quality",
+    "emb_centroid_dist",
+    "events_interval_join",
+    "events_retention",
+    "graph_pagerank",
+    "text_bigram_novelty",
+    "dedup_ledger_replay",
+    "dedup_near_ledger_replay",
+    "corpus_topic_sample",
+    "emb_kmeans_k64",
 ]
 # --- TAIL_ROTATION END ---
 

@@ -39,14 +39,23 @@ BEGIN = "# --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---"
 END = "# --- TAIL_ROTATION END ---"
 
 
-def last_green_rounds() -> dict[str, int]:
-    """entry -> highest round number with a fully green driver row."""
+def last_green_rounds(max_round: int | None = None) -> dict[str, int]:
+    """entry -> highest round number with a fully green driver row.
+
+    ``max_round`` restricts the evidence window (rounds > max_round are
+    ignored) so a committed rotation can be re-validated against the
+    exact evidence it was planned on — new driver round files written
+    AFTER the plan must not retroactively turn the suite red
+    (VERDICT r6 #1).
+    """
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             data = json.load(open(path))
         except Exception as ex:  # noqa: BLE001 — a corrupt round file shouldn't kill planning
@@ -60,11 +69,13 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
-def plan(head_size: int) -> tuple[list[str], list[str], dict[str, int]]:
+def plan(
+    head_size: int, max_round: int | None = None
+) -> tuple[list[str], list[str], dict[str, int]]:
     import __spark_entry__ as entry_mod
 
     names = list(entry_mod.queries())
-    green = last_green_rounds()
+    green = last_green_rounds(max_round)
     # staleness order: never-green first (round 0), then oldest green;
     # ties broken by current registry order so the plan is stable
     order = {n: i for i, n in enumerate(names)}
@@ -78,17 +89,31 @@ def plan(head_size: int) -> tuple[list[str], list[str], dict[str, int]]:
     return head, tail, green
 
 
-def rewrite_tail(tail: list[str], path: str | None = None) -> None:
+PLANNED_ON_RE = re.compile(r"^# planned-on: r(\d+)\.\.r(\d+)$", re.M)
+
+
+def read_planned_on(path: str | None = None) -> int | None:
+    """Return the upper round of the committed rotation's evidence
+    window (the ``# planned-on: rN..rM`` marker inside the managed
+    block), or None for a pre-marker file."""
+    if path is None:
+        path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
+    m = PLANNED_ON_RE.search(open(path).read())
+    return int(m.group(2)) if m else None
+
+
+def rewrite_tail(
+    tail: list[str], path: str | None = None, planned_on: int | None = None
+) -> None:
     if path is None:
         path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
     src = open(path).read()
     if BEGIN not in src or END not in src:
         raise SystemExit("rotation markers not found in entry_queries.py")
-    body = "\n".join(
-        [BEGIN, "_TAIL_ROTATION = ["]
-        + [f'    "{n}",' for n in tail]
-        + ["]", END]
-    )
+    if planned_on is None:
+        planned_on = max(last_green_rounds().values(), default=0)
+    lines = [BEGIN, f"# planned-on: r01..r{planned_on:02d}", "_TAIL_ROTATION = ["]
+    body = "\n".join(lines + [f'    "{n}",' for n in tail] + ["]", END])
     pre, rest = src.split(BEGIN, 1)
     _, post = rest.split(END, 1)
     open(path, "w").write(pre + body + post)
@@ -115,9 +140,9 @@ def main(argv=None) -> int:
         print(f"WARNING: {len(over)} tail entries will be >2 rounds stale "
               f"next round: {over}")
     if args.write:
-        rewrite_tail(tail)
-        print("wrote _TAIL_ROTATION (run pytest tests/test_entry.py "
-              "-k window_invariants to confirm)")
+        rewrite_tail(tail, planned_on=latest)
+        print(f"wrote _TAIL_ROTATION (planned-on r01..r{latest:02d}; run "
+              "pytest tests/test_entry.py -k invariants to confirm)")
     return 0
 
 
