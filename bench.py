@@ -108,6 +108,8 @@ EXTENSION = [
     "dedup_near_ledger_replay",
     "corpus_topic_sample",
     "emb_kmeans_k64",
+    # round-7 operators
+    "dedup_ledger_crash_replay",
 ]
 
 # back-compat: tests and tools address the full timed set by this name
@@ -176,42 +178,42 @@ SCALE_FAMILIES = [
 
 def bench_bpe_trainer(spark, sf_dir: str) -> dict[str, float]:
     """The BPE TRAINER itself (plans/bpe.py train_bpe_merges), not just
-    pair counting: 24 merges over the documents corpus, batched
-    (default batch=16) vs the one-merge-per-round reference loop.
-    Records wall time for both, the realized round counts, and the
-    round-reduction factor — the quantity that decides whether a
-    production 30k-merge vocab is 60k Spark jobs or ~4k."""
+    pair counting: 24 merges over the documents corpus — the n-gram-
+    summary CASCADE (default; exact, follows merge chains) vs the
+    non-interacting exact batcher vs the one-merge-per-round reference
+    loop.  Records wall time, realized round counts, and the
+    round-reduction factors — the quantity that decides whether a
+    production 30k-merge vocab is 60k Spark jobs or ~1k."""
     from ong_tsdb_spark.plans import bpe
 
     docs = entry_queries.load(spark, sf_dir, "documents")
     out: dict[str, float] = {}
     t0 = time.perf_counter()
-    batched = bpe.train_bpe_merges(docs, n_merges=24, batch=16)
+    cascade = bpe.train_bpe_merges(docs, n_merges=24, batch=64)
+    out["bpe_train_cascade"] = round(time.perf_counter() - t0, 4)
+    rounds_cascade = bpe.LAST_TRAIN_ROUNDS
+    t0 = time.perf_counter()
+    batched = bpe.train_bpe_merges(docs, n_merges=24, batch=16, guard="exact")
     out["bpe_train_batched"] = round(time.perf_counter() - t0, 4)
     rounds_batched = bpe.LAST_TRAIN_ROUNDS
     t0 = time.perf_counter()
-    fast = bpe.train_bpe_merges(docs, n_merges=24, batch=16, guard="stale")
-    out["bpe_train_stale"] = round(time.perf_counter() - t0, 4)
-    rounds_fast = bpe.LAST_TRAIN_ROUNDS
-    t0 = time.perf_counter()
-    sequential = bpe.train_bpe_merges(docs, n_merges=24, batch=1)
+    sequential = bpe.train_bpe_merges(docs, n_merges=24, batch=1, guard="exact")
     out["bpe_train_sequential"] = round(time.perf_counter() - t0, 4)
     rounds_seq = bpe.LAST_TRAIN_ROUNDS
+    assert cascade == sequential, "cascade BPE diverged from reference loop"
     assert batched == sequential, "exact-batched BPE diverged from reference loop"
+    out["bpe_train_rounds_cascade"] = float(rounds_cascade)
     out["bpe_train_rounds_batched"] = float(rounds_batched)
-    out["bpe_train_rounds_stale"] = float(rounds_fast)
     out["bpe_train_rounds_sequential"] = float(rounds_seq)
     print(
-        f"[bench] bpe_trainer: 24 merges — exact-batched {rounds_batched} "
-        f"rounds ({out['bpe_train_batched']:.2f}s, table == sequential), "
-        f"stale-batched {rounds_fast} rounds "
-        f"({out['bpe_train_stale']:.2f}s, "
-        f"table {'==' if fast == sequential else '!='} sequential "
-        "— stale mode is the documented approximation), "
+        f"[bench] bpe_trainer: 24 merges — cascade {rounds_cascade} "
+        f"rounds ({out['bpe_train_cascade']:.2f}s, table == sequential), "
+        f"exact-batched {rounds_batched} rounds "
+        f"({out['bpe_train_batched']:.2f}s, table == sequential), "
         f"sequential {rounds_seq} rounds "
         f"({out['bpe_train_sequential']:.2f}s); round reductions "
-        f"{rounds_seq / max(rounds_batched, 1):.1f}x exact / "
-        f"{rounds_seq / max(rounds_fast, 1):.1f}x stale",
+        f"{rounds_seq / max(rounds_cascade, 1):.1f}x cascade / "
+        f"{rounds_seq / max(rounds_batched, 1):.1f}x exact-batched",
         file=sys.stderr,
     )
     return out
@@ -471,8 +473,8 @@ def main() -> None:
         timings[name] = timed(name)
     extension_total = round(sum(timings[n] for n in EXTENSION), 4)
     bpe_t = bench_bpe_trainer(spark, sf_dir)
+    timings["bpe_train_cascade"] = bpe_t["bpe_train_cascade"]
     timings["bpe_train_batched"] = bpe_t["bpe_train_batched"]
-    timings["bpe_train_stale"] = bpe_t["bpe_train_stale"]
     timings["bpe_train_sequential"] = bpe_t["bpe_train_sequential"]
 
     # ``value`` stays the r4-comparable 35-query total (4 engine + 31
@@ -492,8 +494,8 @@ def main() -> None:
         "core_total": core_total,
         "extension_total": extension_total,
         "bpe_rounds": {
+            "cascade": bpe_t["bpe_train_rounds_cascade"],
             "batched": bpe_t["bpe_train_rounds_batched"],
-            "stale": bpe_t["bpe_train_rounds_stale"],
             "sequential": bpe_t["bpe_train_rounds_sequential"],
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

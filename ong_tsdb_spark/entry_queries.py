@@ -3978,6 +3978,90 @@ def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@register(
+    "dedup_ledger_crash_replay",
+    """
+    WITH b0 AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE doc_id < 250 GROUP BY md5(text)),
+    b0fp AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+    b1in AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      WHERE doc_id < 50),
+    b1all AS (
+      SELECT min(doc_id) AS doc_id, md5(text) AS fp
+      FROM b1in GROUP BY md5(text)),
+    b1 AS (
+      SELECT f.doc_id FROM b1all f
+      LEFT JOIN (SELECT DISTINCT fp FROM b0fp) l ON l.fp = f.fp
+      WHERE l.fp IS NULL)
+    SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM b0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM b1
+    """,
+)
+def dedup_ledger_crash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRASH-RECOVERY of the live streaming ledger (VERDICT r6 #8):
+    drives the REAL ``start_ledger_dedup`` Structured Streaming query
+    (file source, availableNow trigger, foreachBatch) through the
+    hardest documented replay window — batch 0 committed, its ledger
+    partition COMPACTED into ``batch=-1``, then the CHECKPOINT lost
+    (redeploy/crash), so the restarted query re-delivers batch 0.
+    The replay branch must keep the committed output and re-derive
+    the ledger keys from it; a buggy recompute would anti-join batch
+    0 against its own compacted digests (which self-exclusion cannot
+    see) and emit an EMPTY batch — a value-visible failure this
+    oracle catches, not just a row-count one.  Batch 1 — the fresh
+    half of the corpus PLUS re-keyed copies of 50 batch-0 documents
+    (the testdata has no exact duplicates of its own, so the copies
+    make the post-crash ledger drop itself value-visible) — then
+    streams through the same checkpoint and must drop every copy.
+    Output: (batch, doc_id) survivors of both batches — identical to
+    the no-crash protocol by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedup import compact_ledger, start_ledger_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="ledger_crash_replay_")
+    src = f"{base}/src"
+    ledger, out = f"{base}/ledger", f"{base}/out"
+    os.makedirs(src)
+    try:
+        def run(ckpt: str) -> None:
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            q = start_ledger_dedup(
+                spark, stream, ledger_path=ledger, out_path=out,
+                checkpoint_path=f"{base}/{ckpt}",
+            )
+            q.awaitTermination(300)
+
+        docs.filter(F.col("doc_id") < 250).write.mode("append").json(src)
+        run("ckpt1")                       # batch 0 commits out + ledger
+        compact_ledger(spark, ledger)      # folds batch 0 keys -> batch=-1
+        shutil.rmtree(f"{base}/ckpt1")     # the crash: checkpoint lost
+        run("ckpt2")                       # batch 0 REPLAYED -> must no-op
+        b1 = docs.filter(F.col("doc_id") >= 250).unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + F.lit(10000)).alias("doc_id"), "text"
+            )
+        )
+        b1.write.mode("append").json(src)
+        run("ckpt2")                       # batch 1 drops vs ledger
+        surv = spark.read.parquet(out).select(
+            F.col("batch").cast("bigint").alias("batch"), "doc_id"
+        )
+        # tmpdir is removed on return — materialize off the parquet
+        return surv.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _topic_sample_sql(total: int = 256, k: int = 8, iters: int = 2,
                       dim: int = 64) -> str:
     """DuckDB twin of similarity.topic_balanced_sample: the unrolled
@@ -4046,10 +4130,11 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Round-7 head (everything NOT in the tail below) = the planner's
 # staleness order over r01..r06 evidence (`tools/rotate.py --write`,
-# VERDICT r6 #3): the EIGHT r4-green holdovers first (text_vocab,
+# VERDICT r6 #3): dedup_ledger_crash_replay (registered this round,
+# never-proven) first, then the EIGHT r4-green holdovers (text_vocab,
 # text_contamination, ts_range_read, ts_rolling_mean, ts_snap_grid,
 # tpch_q1, tpch_q6, ts_delta — last driver-green r4, two rounds ago),
-# then 42 r5-green entries.  The 57-entry tail is entirely r5/r6
+# then 41 r5-green entries.  The 58-entry tail is entirely r5/r6
 # green and ordered stalest-first, so the r5-green block rotates back
 # in at r8 — the planner printed ZERO entries that slip past the
 # two-round cadence this round.  The `# planned-on:` marker below
@@ -4065,6 +4150,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 # planned-on: r01..r06
 _TAIL_ROTATION = [
+    "corpus_pack_sequences",
     "text_classifier_quality",
     "corpus_dsir_weights",
     "emb_pq_adc_topk",

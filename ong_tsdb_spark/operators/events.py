@@ -33,18 +33,32 @@ def retention_cohorts(
     Output: (cohort, period, periods_since, n_users), n_users > 0 rows
     only.
 
-    Scale shape: project to (user, period) -> distinct (map-side
-    partial) -> min-agg per user for the cohort -> broadcast-sized
-    join back -> (cohort, period) count.  The shuffles carry
-    user x active-period rows at most — at 100 TB with events bucketed
-    by user the first two stages are co-partitioned."""
+    Scale shape (reworked per VERDICT r6 #7 — this family's 100x row
+    was the second-worst join curve at 15.8x): ONE pass over events
+    into a user-keyed ``collect_set(period)`` (map-side partial merge
+    dedups before the wire, so the shuffle carries the distinct
+    (user, active-period) mass exactly once), then cohort =
+    ``array_min`` and an explode straight into the (cohort, period)
+    count.  The previous shape moved the same distinct mass THREE
+    times (distinct exchange, per-user min aggregate, join back) and
+    scanned the projection twice; this one has no join at all and its
+    second shuffle is (cohort x period)-bounded — O(active weeks^2)
+    rows regardless of corpus size.  Per-user state is bounded by the
+    timeline's period count (~hundreds for weekly periods), never by
+    event count."""
     per = F.floor(F.col(us_col) / F.lit(int(period_us))).cast("long")
-    w = df.select(F.col(user_col), per.alias("period")).distinct()
-    first = w.groupBy(user_col).agg(F.min("period").alias("cohort"))
+    per_user = (
+        df.select(F.col(user_col), per.alias("period"))
+        .groupBy(user_col)
+        .agg(F.collect_set("period").alias("ps"))
+    )
     return (
-        w.join(first, on=user_col)
+        per_user.select(
+            F.array_min("ps").alias("cohort"),
+            F.explode("ps").alias("period"),
+        )
         .groupBy("cohort", "period")
-        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .withColumn(
             "periods_since", (F.col("period") - F.col("cohort")).cast("bigint")
         )

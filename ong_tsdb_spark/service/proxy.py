@@ -123,13 +123,15 @@ class MfaAuthProxy:
         user = form.get("username")
         expected = self.users.get(user if isinstance(user, str) else "")
         # constant-time compares, like the repo's token auth
-        # (auth.py:38) — no credential-prefix timing channel
-        pw, mfa = expected if expected is not None else ("", "")
-        ok = (
-            expected is not None
-            and hmac.compare_digest(str(form.get("password") or ""), pw)
-            & hmac.compare_digest(str(form.get("mfa_code") or ""), mfa)
-        )
+        # (auth.py:38) — no credential-prefix timing channel.  BOTH
+        # compares run even for unknown usernames (against fixed
+        # dummy credentials), then AND with the user-exists flag: a
+        # short-circuit would answer unknown users measurably faster,
+        # a username-enumeration channel (ADVICE r6).
+        pw, mfa = expected if expected is not None else ("?" * 32, "?" * 32)
+        pw_ok = hmac.compare_digest(str(form.get("password") or ""), pw)
+        mfa_ok = hmac.compare_digest(str(form.get("mfa_code") or ""), mfa)
+        ok = (expected is not None) & pw_ok & mfa_ok
         if ok:
             sid = secrets.token_hex(16)
             self._sessions[sid] = None
@@ -180,8 +182,12 @@ def negotiate_proxy_auth(
     the reference's raise points."""
     hdrs = dict(headers or {})
     status, rh, data = request("GET", probe_path, hdrs, None)
-    if status != 401:
+    if status not in (401, 407):
         return hdrs
+    # a standards-compliant proxy answers a bare HTTP 407 — run the
+    # same challenge parse as the JSON-401 flow so it surfaces as the
+    # documented ProxyNotAuthorizedError (reference client.py:201),
+    # not as a silent no-challenge success
     rh_l = {k.lower(): v for k, v in rh.items()}
     if not (rh_l.get("content-type") or "").startswith("application/json"):
         raise ProxyNotAuthorizedError(

@@ -225,3 +225,141 @@ def test_train_bpe_stale_mode_rounds_and_validity(spark):
         t = texts[r["doc_id"]]
         want = [s for w in t.split(" ") if w for s in bpe.apply_merges_py(w, got)]
         assert r["tokens"] == want
+
+
+def test_cascade_equals_sequential_and_cuts_rounds(spark):
+    """guard="cascade" must (a) produce the identical merge table to
+    the sequential loop on every parity corpus, and (b) actually
+    follow merge chains: the natural-ish fixture's 12 merges must land
+    in far fewer summary rounds than 12."""
+    corpora = [
+        ["the theatre then thens", "there is the thesis these theses",
+         "other ether tether the", "aaaa aaa aa the"],
+        ["abc abc abc abc de de"],          # created pair outranks next
+        ["xy xy xz xz qr qr"],              # tie-heavy
+        ["a\nb a\nb qa\n qa\n", "the  the", " lead trail "],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want = _py_train(texts, 12)
+        got = bpe.train_bpe_merges(df, n_merges=12, batch=64, guard="cascade")
+        assert got == want, texts
+    # chain-following: the fixture corpus has deep chains (t,h)->(th,e);
+    # it exhausts (best pair < min_count) at 9 merges, same as the
+    # reference — those 9 chained merges must land in <= 4 summary
+    # rounds (sequential needs 9 + 1 exhaustion round)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpora[0])], "doc_id long, text string"
+    )
+    got = bpe.train_bpe_merges(df, n_merges=12, batch=64, guard="cascade")
+    assert got == _py_train(corpora[0], 12)
+    assert len(got) == 9
+    assert bpe.LAST_TRAIN_ROUNDS <= 4, bpe.LAST_TRAIN_ROUNDS
+
+
+def test_cascade_randomized(spark):
+    """Seeded random skewed-alphabet corpora: cascade output must match
+    the pure-Python greedy reference on every one."""
+    import random
+
+    rng = random.Random(1234)
+    for _ in range(5):
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(4, 50))
+        ]
+        texts = [" ".join(words[i::3]) for i in range(3)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want = _py_train(texts, 10)
+        got = bpe.train_bpe_merges(df, n_merges=10, batch=64, guard="cascade")
+        assert got == want, texts
+
+
+def test_cascade_fallback_when_summary_too_small(spark, monkeypatch):
+    """With a crippled summary (top-2 grams, depth 2) the cascade can
+    prove almost nothing — the single-merge fallback must keep the
+    table identical instead of truncating training."""
+    monkeypatch.setattr(bpe, "CASCADE_G", 2)
+    monkeypatch.setattr(bpe, "CASCADE_TOPK", 2)
+    texts = ["the theatre then thens", "other ether tether the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _py_train(texts, 8)
+    got = bpe.train_bpe_merges(df, n_merges=8, batch=64, guard="cascade")
+    assert got == want
+    # this corpus exhausts at 5 merges; the crippled summary can prove
+    # almost none of them, so fallback single-merge jobs must have run
+    # (rounds > merges counts both the summary job and the fallback)
+    assert len(got) == 5
+    assert bpe.LAST_TRAIN_ROUNDS > len(got), bpe.LAST_TRAIN_ROUNDS
+
+
+def test_gram_summary_interval_soundness():
+    """Property: for random corpora and the true greedy merge
+    sequence, _GramSummary.query bounds always CONTAIN the true count
+    of every queried gram at every depth — the invariant the whole
+    cascade's exactness rests on.  Pure driver-side, no Spark."""
+    import random
+
+    rng = random.Random(99)
+
+    def brute_count(words, gram):
+        n = len(gram)
+        return sum(
+            1
+            for syms in words
+            for i in range(len(syms) - n + 1)
+            if tuple(syms[i:i + n]) == gram
+        )
+
+    for trial in range(20):
+        words = [
+            list("".join(rng.choice("abc") for _ in range(rng.randint(1, 6))))
+            for _ in range(rng.randint(3, 25))
+        ]
+        # summary at state 0
+        grams: dict[tuple, int] = {}
+        floors: dict[int, int] = {}
+        G, topk = 4, 6  # tiny => truncation paths exercised
+        for n in range(1, G + 1):
+            cnt: dict[tuple, int] = {}
+            for syms in words:
+                for i in range(len(syms) - n + 1):
+                    g = tuple(syms[i:i + n])
+                    cnt[g] = cnt.get(g, 0) + 1
+            top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            keep = top if n == 1 else top[:topk]
+            if n > 1:
+                floors[n] = keep[-1][1] if len(keep) == topk else 0
+            grams.update(keep)
+        S = bpe._GramSummary(grams, floors, G)
+        # walk the true greedy merge sequence, checking bounds per depth
+        state = [list(s) for s in words]
+        for depth in range(4):
+            cnt = {}
+            for syms in state:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    cnt[p] = cnt.get(p, 0) + 1
+            if not cnt:
+                break
+            (a, b), _n = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            if a == b or a + b in {s for syms in state for s in syms}:
+                break  # cascade ends the round here too
+            S.merges.append((a, b, a + b))
+            state = [bpe.merge_word_py(s, a, b) for s in state]
+            symset = sorted({s for syms in state for s in syms})
+            checks = [
+                (x, y) for x in symset for y in symset
+            ][:200]
+            for gram in checks:
+                lo, hi = S.query(gram)
+                true = brute_count(state, gram)
+                assert lo <= true <= hi, (trial, depth, gram, lo, true, hi)

@@ -689,3 +689,48 @@ def test_cli_curate_merges_file(spark, tmp_path, capsys):
     # 'the' tokenizes to the single merged symbol -> it must be a
     # vocabulary token in the trained-on-first-batch vocab
     assert "the" in tsh.read_vocab(str(tmp_path / "s"))
+
+
+def test_ledger_dedup_multiple_microbatches_one_query(spark, tmp_path):
+    """THREE micro-batches inside a SINGLE streaming query run
+    (maxFilesPerTrigger=1): each later batch must drop duplicates of
+    EARLIER batches committed moments before by the same query — the
+    intra-query ledger handoff that multi-run tests and batch replays
+    cannot exercise (VERDICT r6 #8)."""
+    from ong_tsdb_spark.streaming.dedup import start_ledger_dedup
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "f0.jsonl").write_text(_near_doc(1, "alpha text") + "\n")
+    (src / "f1.jsonl").write_text(
+        _near_doc(2, "alpha text") + "\n" + _near_doc(3, "beta text") + "\n"
+    )
+    (src / "f2.jsonl").write_text(
+        _near_doc(4, "beta text") + "\n" + _near_doc(5, "gamma text") + "\n"
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_ledger_dedup(
+        spark, stream, ledger_path=str(tmp_path / "ledger"),
+        out_path=str(tmp_path / "out"), checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {(r["batch"], r["doc_id"]) for r in out.collect()}
+    # file order is lexicographic: f0 -> batch 0, f1 -> 1, f2 -> 2
+    assert got == {(0, 1), (1, 3), (2, 5)}, got
+    # and the ledger holds exactly the three distinct digests
+    from ong_tsdb_spark.streaming.dedup import FINGERPRINT_COL
+
+    n = (
+        spark.read.parquet(str(tmp_path / "ledger"))
+        .select(FINGERPRINT_COL)
+        .distinct()
+        .count()
+    )
+    assert n == 3

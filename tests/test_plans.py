@@ -457,9 +457,13 @@ def test_pagerank_no_cartesian_and_checkpointed_rounds(spark, sf_dir):
 
 
 def test_retention_shuffles_are_user_or_cohort_keyed(spark, sf_dir):
-    """Retention triangle: every exchange keys on user_id (distinct +
-    first-activity cohort) or (cohort, period) — never event-sized
-    keys, so shuffle mass is user x active-period bounded."""
+    """Retention triangle (VERDICT r6 #7 shape): JOIN-FREE — one
+    user-keyed collect_set exchange carrying the distinct
+    (user, active-period) mass exactly once, then one
+    (cohort, period)-bounded count exchange.  Every exchange keys on
+    user_id or cohort/period — never event-sized keys — and there
+    must be no join operator at all (the old shape moved the same
+    distinct mass three times through a self-join)."""
     import re as _re
 
     plan = _executed_plan(entry_queries.queries()["events_retention"](spark, sf_dir))
@@ -467,6 +471,9 @@ def test_retention_shuffles_are_user_or_cohort_keyed(spark, sf_dir):
     assert keys, plan
     for k in keys:
         assert k.startswith(("user_id", "cohort", "period")), (k, plan)
+    assert "Join" not in plan, plan
+    user_keyed = [k for k in keys if k.startswith("user_id")]
+    assert len(user_keyed) <= 1, (keys, plan)
 
 
 def test_kmeans_k64_reads_id_and_vector_only(spark, sf_dir):

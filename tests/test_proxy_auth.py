@@ -122,3 +122,30 @@ def test_no_proxy_is_a_noop(spark, tmp_path):
     c = Client(app.wsgi_app)
     headers = negotiate_proxy_auth(_request_fn(c), {"username": "x"})
     assert "Cookie" not in headers
+
+
+def test_bare_407_raises_proxy_not_authorized():
+    """A standards-compliant proxy answering a plain HTTP 407 (no JSON
+    challenge) must surface as ProxyNotAuthorizedError — the
+    reference client raises on status 407 (client.py:201); silently
+    returning unchanged headers would turn the failure into a
+    confusing downstream error (ADVICE r6)."""
+    def bare_407(method, path, headers, body):
+        return 407, {"Content-Type": "text/html"}, b"Proxy Authentication Required"
+
+    with pytest.raises(ProxyNotAuthorizedError):
+        negotiate_proxy_auth(bare_407, {"username": "x", "password": "y"})
+
+
+def test_login_unknown_user_runs_constant_time_compares(proxied):
+    """Unknown usernames answer exactly like wrong passwords (401
+    json), and the compare path is exercised for both — the
+    enumeration-channel fix keeps behavior identical."""
+    c = proxied
+    for form in (
+        {"username": "nosuchuser", "password": "s3cret", "mfa_code": "424242"},
+        {"username": "alice", "password": "wrong", "mfa_code": "424242"},
+    ):
+        r = c.post("/proxy_login", json=form)
+        assert r.status_code == 200
+        assert json.loads(r.data)["http_code"] == 401
