@@ -335,10 +335,28 @@ def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("lvl", F.size(F.split(F.col("g"), " ")))
     )
-    w = Window.partitionBy("lvl").orderBy(F.col("n").desc(), F.col("g").asc())
+    # per-level top-K in TWO stages: a (lvl, partition)-local rank —
+    # exact, because after the groupBy each gram lives in exactly one
+    # partition, so the global top-K is a subset of the union of
+    # per-partition top-Ks — then the global rank over that small
+    # union.  A single Window.partitionBy("lvl") would funnel EVERY
+    # distinct gram count into <= G tasks, a skew bottleneck at
+    # corpus scale.  Level 1 (the symbol universe) is never truncated
+    # at either stage.
+    keep = (F.col("rk") <= topk) | (F.col("lvl") == 1)
+    w_local = Window.partitionBy("lvl", "pid").orderBy(
+        F.col("n").desc(), F.col("g").asc()
+    )
+    w_final = Window.partitionBy("lvl").orderBy(
+        F.col("n").desc(), F.col("g").asc()
+    )
     rows = (
-        counted.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") <= topk) | (F.col("lvl") == 1))
+        counted.withColumn("pid", F.spark_partition_id())
+        .withColumn("rk", F.row_number().over(w_local))
+        .filter(keep)
+        .drop("pid", "rk")
+        .withColumn("rk", F.row_number().over(w_final))
+        .filter(keep)
         .collect()
     )
     grams_d: dict[tuple[str, ...], int] = {}

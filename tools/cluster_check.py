@@ -71,6 +71,11 @@ DEFAULT_SUBSET = [
     # round-6 registrations exercised under multi-JVM
     "dedup_near_ledger_replay",
     "corpus_topic_sample",
+    # round-7 shapes: crash-recovery streaming replay, join-free
+    # retention, common-set-subtract novelty (reworked this round)
+    "dedup_ledger_crash_replay",
+    "events_retention",
+    "text_bigram_novelty",
 ]
 
 
