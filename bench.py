@@ -110,6 +110,7 @@ EXTENSION = [
     "emb_kmeans_k64",
     # round-7 operators
     "dedup_ledger_crash_replay",
+    "corpus_epoch_mix",
 ]
 
 # back-compat: tests and tools address the full timed set by this name

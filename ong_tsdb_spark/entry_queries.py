@@ -2973,6 +2973,56 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mixture_plan(docs)
 
 
+def _epoch_mix_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', {ppm})" for s, ppm in sorted(text.TARGET_MIX_PPM.items())
+    )
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tgt(source, target_ppm) AS (VALUES {vals}),
+    j AS (
+      SELECT COALESCE(c.source, t.source) AS source,
+             CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+             CAST(COALESCE(t.target_ppm, 0) AS BIGINT) AS target_ppm
+      FROM counts c FULL JOIN tgt t ON c.source = t.source),
+    star AS (
+      SELECT n_docs AS n_star, target_ppm AS t_star FROM j
+      WHERE target_ppm > 0
+      ORDER BY CAST(n_docs AS DOUBLE) / target_ppm, source LIMIT 1),
+    plan AS (
+      SELECT source,
+             CAST((target_ppm * n_star) // t_star AS BIGINT) AS n_keep
+      FROM j, star),
+    ranked AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix|' || doc_id::VARCHAR), doc_id
+             ) AS BIGINT) AS keep_rank
+      FROM documents)
+    SELECT r.source, r.doc_id, r.keep_rank
+    FROM ranked r JOIN plan p USING (source)
+    WHERE r.keep_rank <= p.n_keep
+    """
+
+
+@register("corpus_epoch_mix", _epoch_mix_sql())
+def corpus_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mix materialization (operators/text.epoch_mix_sample):
+    turns the corpus_mix_weights plan into the actual kept-document
+    set — per source, exactly n_keep documents chosen by a
+    deterministic md5(doc-id) ranking, so the epoch is bit-identical
+    across engines, reruns, and partitionings, and one source's
+    growth never perturbs another's picks.  One count aggregate +
+    one source-partitioned window + a |sources|-row broadcast;
+    keep_rank doubles as the round-robin interleave key, so no
+    global-ordering window exists anywhere in the plan."""
+    docs = load(spark, sf_dir, "documents")
+    return text.epoch_mix_sample(docs)
+
+
 @register(
     "ts_mad_anomaly",
     """
@@ -4130,11 +4180,12 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Round-7 head (everything NOT in the tail below) = the planner's
 # staleness order over r01..r06 evidence (`tools/rotate.py --write`,
-# VERDICT r6 #3): dedup_ledger_crash_replay (registered this round,
-# never-proven) first, then the EIGHT r4-green holdovers (text_vocab,
-# text_contamination, ts_range_read, ts_rolling_mean, ts_snap_grid,
-# tpch_q1, tpch_q6, ts_delta — last driver-green r4, two rounds ago),
-# then 41 r5-green entries.  The 58-entry tail is entirely r5/r6
+# VERDICT r6 #3): the two never-proven round-7 registrations first
+# (corpus_epoch_mix, dedup_ledger_crash_replay), then the EIGHT
+# r4-green holdovers (text_vocab, text_contamination, ts_range_read,
+# ts_rolling_mean, ts_snap_grid, tpch_q1, tpch_q6, ts_delta — last
+# driver-green r4, two rounds ago), then 40 r5-green entries.  The
+# 59-entry tail is entirely r5/r6
 # green and ordered stalest-first, so the r5-green block rotates back
 # in at r8 — the planner printed ZERO entries that slip past the
 # two-round cadence this round.  The `# planned-on:` marker below
@@ -4150,6 +4201,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 # planned-on: r01..r06
 _TAIL_ROTATION = [
+    "text_dup_spans",
     "corpus_pack_sequences",
     "text_classifier_quality",
     "corpus_dsir_weights",

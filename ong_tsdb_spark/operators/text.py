@@ -937,6 +937,50 @@ def mixture_plan(
     )
 
 
+def epoch_mix_sample(
+    df: DataFrame,
+    target_ppm: dict[str, int] | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MATERIALIZE the :func:`mixture_plan` — the step between "how
+    many documents per source" and an actual training epoch: per
+    source, keep exactly ``n_keep`` documents, chosen by a
+    deterministic content-free hash ranking (md5 of the doc id), so
+    the epoch composition is reproducible across engines, reruns, and
+    partitionings, and adding documents to one source never perturbs
+    which documents another source keeps.
+
+    Output: (source, doc_id, keep_rank) — ``keep_rank`` is the
+    1-based position within the source's hash ranking (<= n_keep).
+    The canonical interleaved epoch order is ``ORDER BY (keep_rank,
+    hash)`` — a round-robin across sources — which consumers sort by
+    at write time; this operator deliberately does NOT materialize a
+    global position: a global row_number would be a single-partition
+    window (the anti-pattern the pack_sequences prefix-sum machinery
+    exists to avoid), while per-source windows partition by
+    ``source`` and scale with the widest source.
+
+    Plan shape: one per-source count aggregate (the plan, broadcast
+    back as a |sources|-row table) + ONE window over the corpus
+    partitioned by source.  Nothing else moves."""
+    plan = mixture_plan(df, target_ppm, source_col).select(
+        source_col, "n_keep"
+    )
+    h = F.md5(
+        F.concat_ws("|", F.lit("mix"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(F.col(source_col), F.col(id_col), h.alias("__h")).withColumn(
+        "keep_rank", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(plan), on=source_col)
+        .filter(F.col("keep_rank") <= F.col("n_keep"))
+        .select(source_col, id_col, "keep_rank")
+    )
+
+
 def fertility_by_lang(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
 ) -> DataFrame:

@@ -2663,3 +2663,77 @@ def test_topic_balanced_sample_quotas_and_prototypes(spark):
         assert [m[0] for m in members] == list(range(1, len(members) + 1))
         dists = [m[2] for m in members]
         assert dists == sorted(dists)
+
+
+def test_epoch_mix_sample_quotas_and_determinism(spark):
+    """epoch_mix_sample must (a) keep exactly mixture_plan's n_keep per
+    source, (b) pick the md5(doc-id)-ranked prefix (independent Python
+    model), (c) be invariant to repartitioning, and (d) keep one
+    source's picks fixed when ANOTHER source grows (as long as the
+    binding source is unchanged)."""
+    import hashlib
+
+    from ong_tsdb_spark.operators import text as t
+
+    rows = [(i, f"src{i % 3}", f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    tgt = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+    got = {
+        (r["source"], r["doc_id"]): r["keep_rank"]
+        for r in t.epoch_mix_sample(df, target_ppm=tgt).collect()
+    }
+    plan = {
+        r["source"]: r["n_keep"]
+        for r in t.mixture_plan(df, target_ppm=tgt).collect()
+    }
+
+    def model():
+        by_src = {}
+        for i, s, _ in rows:
+            h = hashlib.md5(f"mix|{i}".encode()).hexdigest()
+            by_src.setdefault(s, []).append((h, i))
+        want = {}
+        for s, items in by_src.items():
+            for rk, (_h, i) in enumerate(sorted(items), start=1):
+                if rk <= plan.get(s, 0):
+                    want[(s, i)] = rk
+        return want
+
+    want = model()
+    assert got == want
+    from collections import Counter
+
+    kept_per_src = Counter(s for s, _ in got)
+    for s, n_keep in plan.items():
+        assert kept_per_src.get(s, 0) == n_keep, (s, n_keep)
+    # (c) partitioning invariance
+    got2 = {
+        (r["source"], r["doc_id"]): r["keep_rank"]
+        for r in t.epoch_mix_sample(df.repartition(13), target_ppm=tgt).collect()
+    }
+    assert got2 == got
+    # (d) growing src2 (non-binding: smallest n/t stays src-dependent)
+    grown = df.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, "src2", "new") for i in range(10)],
+            "doc_id long, source string, text string",
+        )
+    )
+    plan_g = {
+        r["source"]: r["n_keep"]
+        for r in t.mixture_plan(grown, target_ppm=tgt).collect()
+    }
+    if plan_g.get("src0") == plan.get("src0"):  # binding unchanged
+        got_g = {
+            k: v
+            for k, v in (
+                (
+                    (r["source"], r["doc_id"]),
+                    r["keep_rank"],
+                )
+                for r in t.epoch_mix_sample(grown, target_ppm=tgt).collect()
+            )
+            if k[0] == "src0"
+        }
+        want_src0 = {k: v for k, v in got.items() if k[0] == "src0"}
+        assert got_g == want_src0
