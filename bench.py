@@ -174,6 +174,8 @@ SCALE_FAMILIES = [
     "dedup_near_ledger_replay",
     "corpus_topic_sample",
     "emb_kmeans_k64",
+    # round-7 operators
+    "corpus_epoch_mix",
 ]
 
 

@@ -487,3 +487,22 @@ def test_kmeans_k64_reads_id_and_vector_only(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"vec_id", "embedding"}, (cols, plan)
+
+
+def test_epoch_mix_single_source_exchange_and_pruned_scan(spark, sf_dir):
+    """Epoch-mix materialization: ONE source-keyed exchange (the
+    per-source rank window), joins broadcast-only (|sources|-row plan
+    + binding row), and the scan pruned to (doc_id, source) — a mixed
+    epoch that dragged text bytes or added a global-order window
+    would not survive 100x."""
+    import re as _re
+
+    plan = _executed_plan(entry_queries.queries()["corpus_epoch_mix"](spark, sf_dir))
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert all(k.startswith("source") for k in keys), (keys, plan)
+    assert len([k for k in keys if k.startswith("source")]) <= 2, keys
+    assert "SortMergeJoin" not in plan, plan
+    m = _re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "source"}, (cols, plan)
