@@ -506,3 +506,19 @@ def test_epoch_mix_single_source_exchange_and_pruned_scan(spark, sf_dir):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"doc_id", "source"}, (cols, plan)
+
+
+def test_bigram_novelty_no_materialization_and_bounded_exchanges(spark, sf_dir):
+    """Common-set-subtract novelty (round 7): the exploded occurrence
+    table is never checkpointed (no ExistingRDD) and every exchange
+    keys on doc_id (the two per-doc aggregates) or g (the corpus
+    count) — the old shape's full count-table re-join is gone."""
+    import re as _re
+
+    df = entry_queries.queries()["text_bigram_novelty"](spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "ExistingRDD" not in plan, plan
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert keys, plan
+    for k in keys:
+        assert k.startswith(("doc_id", "g")), (k, keys)
