@@ -305,44 +305,45 @@ class _GramSummary:
         return out
 
 
-def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
-    """ONE aggregate job: per-level top-K n-gram counts of the current
-    symbol table.  Wire volume is (mappers x distinct grams) partial
-    counts into a (level-)ranked top-K — the collect is bounded by
-    G * topk rows regardless of corpus size.  Determinism: exact
-    integer counts, rank tie-broken by gram string, so the summary —
-    and therefore the whole cascade — is partitioning-independent."""
-    from pyspark.sql import Window
-
+def _ngram_expr(levels) -> F.Column:
+    """All space-joined symbol n-grams of ``syms`` for the given
+    levels, one flattened array per row."""
     syms = F.split(F.col("syms"), " ")
-    grams = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(G)),
-            lambda n: F.when(
-                F.size(syms) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - n + 1),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(syms, i, n)
+
+    def gram_at(n: int):
+        # MUST be a one-parameter lambda: pyspark's ``transform``
+        # calls a two-parameter function as (element, index), so the
+        # usual `n=n` default-arg capture would silently rebind n to
+        # the index column
+        return lambda i: F.concat_ws(" ", F.slice(syms, i, F.lit(n)))
+
+    return F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size(syms) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - n + 1),
+                        gram_at(n),
                     ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
+                ).otherwise(F.array().cast("array<string>"))
+                for n in levels
+            ]
         )
     )
-    counted = (
-        cur.select(F.explode(grams).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("lvl", F.size(F.split(F.col("g"), " ")))
-    )
-    # per-level top-K in TWO stages: a (lvl, partition)-local rank —
-    # exact, because after the groupBy each gram lives in exactly one
-    # partition, so the global top-K is a subset of the union of
-    # per-partition top-Ks — then the global rank over that small
-    # union.  A single Window.partitionBy("lvl") would funnel EVERY
-    # distinct gram count into <= G tasks, a skew bottleneck at
-    # corpus scale.  Level 1 (the symbol universe) is never truncated
-    # at either stage.
+
+
+def _ranked_topk(counted, topk: int):
+    """Per-level top-K in TWO stages: a (lvl, partition)-local rank —
+    exact, because after a groupBy each gram lives in exactly one
+    partition, so the global top-K is a subset of the union of
+    per-partition top-Ks — then the global rank over that small
+    union.  A single Window.partitionBy("lvl") would funnel EVERY
+    distinct gram count into <= G tasks, a skew bottleneck at corpus
+    scale.  Level 1 (the symbol universe) is never truncated at
+    either stage."""
+    from pyspark.sql import Window
+
     keep = (F.col("rk") <= topk) | (F.col("lvl") == 1)
     w_local = Window.partitionBy("lvl", "pid").orderBy(
         F.col("n").desc(), F.col("g").asc()
@@ -350,7 +351,7 @@ def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
     w_final = Window.partitionBy("lvl").orderBy(
         F.col("n").desc(), F.col("g").asc()
     )
-    rows = (
+    return (
         counted.withColumn("pid", F.spark_partition_id())
         .withColumn("rk", F.row_number().over(w_local))
         .filter(keep)
@@ -359,18 +360,62 @@ def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
         .filter(keep)
         .collect()
     )
+
+
+def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
+    """TWO aggregate jobs per round, prefix-filtered so the wire never
+    carries the (near-unique at corpus scale) cold-prefix high-gram
+    tail:
+
+    1. the full PAIR count — top-K ranked, floor2 = the K-th count;
+    2. levels {1} u {3..G}, with every level >= 3 gram dropped
+       MAP-SIDE unless its leading pair is in the broadcast top-K
+       pair set.  Sound because count(gram) <= count(any sub-gram):
+       a dropped gram's leading pair missed the top-K, so its count
+       <= floor2 — the per-level floor becomes max(K-th kept count,
+       floor2) and every interval stays a true bound.
+
+    Without the filter the level-6 distinct cardinality approaches
+    the corpus token count (measured: the one-job variant was ~2x
+    slower wall-clock than 17 pair-count rounds at the 10x corpus);
+    with it, job 2's aggregate is hot-prefix-bounded.  Determinism:
+    exact integer counts, ranks tie-broken by gram string — the
+    summary, and therefore the whole cascade, is
+    partitioning-independent."""
+    pair_rows = _ranked_topk(
+        cur.select(F.explode(_ngram_expr([2])).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lvl", F.lit(2)),
+        topk,
+    )
+    top_pairs = [r["g"] for r in pair_rows]
+    floor2 = (
+        min(int(r["n"]) for r in pair_rows) if len(pair_rows) == topk else 0
+    )
+    hot = (F.size(F.split(F.col("g"), " ")) <= 1) | F.substring_index(
+        F.col("g"), " ", 2
+    ).isin(top_pairs)
+    levels = [1] + list(range(3, G + 1))
+    rows = _ranked_topk(
+        cur.select(F.explode(_ngram_expr(levels)).alias("g"))
+        .filter(hot)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lvl", F.size(F.split(F.col("g"), " "))),
+        topk,
+    )
     grams_d: dict[tuple[str, ...], int] = {}
     level_rows: dict[int, list[int]] = {}
-    for r in rows:
+    for r in list(pair_rows) + list(rows):
         g = tuple(r["g"].split(" "))
         grams_d[g] = int(r["n"])
         level_rows.setdefault(r["lvl"], []).append(int(r["n"]))
-    floors = {
-        lvl: (min(ns) if (lvl > 1 and len(ns) == topk) else 0)
-        for lvl, ns in level_rows.items()
-    }
-    for lvl in range(2, G + 1):
-        floors.setdefault(lvl, 0)
+    floors = {2: floor2}
+    for lvl in range(3, G + 1):
+        ns = level_rows.get(lvl, [])
+        kth = min(ns) if len(ns) == topk else 0
+        floors[lvl] = max(kth, floor2)
     return _GramSummary(grams_d, floors, G)
 
 
