@@ -875,6 +875,7 @@ def mixture_plan(
     df: DataFrame,
     target_ppm: dict[str, int] | None = None,
     source_col: str = "source",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Downsample-only data-mixing plan: given target mixture shares
     (ppm per source), compute how many documents to KEEP from each
@@ -891,6 +892,11 @@ def mixture_plan(
     Plan shape: one per-source count aggregate (map-side combine), a
     broadcast join against the |sources|-row literal target table, and
     a broadcast of the single binding row — nothing data-sized moves.
+
+    ``counts`` lets a caller that already holds the per-source
+    (``n_docs``) table (e.g. :func:`epoch_mix_sample`, which derives
+    it from its bucket-count aggregate) supply it and skip this
+    function's own corpus scan.
     """
     from .dedup import materialize_for_self_join
 
@@ -899,7 +905,10 @@ def mixture_plan(
     tgt = spark.createDataFrame(
         sorted(rates.items()), "source string, target_ppm long"
     ).withColumnRenamed("source", source_col)
-    counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    if counts is None:
+        counts = df.groupBy(source_col).agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
     # FULL outer: an inner join would silently drop a target source
     # with zero corpus documents (the true binding constraint — the
     # only exact-mixture downsample is then the empty corpus) and a
@@ -937,11 +946,19 @@ def mixture_plan(
     )
 
 
+#: Range buckets the epoch-mix rank is computed within (power of two;
+#: the md5 prefix is 60 bits, so each bucket spans 2**(60-10) hash
+#: values).  De-skew factor for the per-source sort: the widest task
+#: is widest-source/1024 instead of the whole widest source.
+EPOCH_MIX_BUCKETS = 1024
+
+
 def epoch_mix_sample(
     df: DataFrame,
     target_ppm: dict[str, int] | None = None,
     source_col: str = "source",
     id_col: str = "doc_id",
+    n_buckets: int = EPOCH_MIX_BUCKETS,
 ) -> DataFrame:
     """MATERIALIZE the :func:`mixture_plan` — the step between "how
     many documents per source" and an actual training epoch: per
@@ -958,24 +975,86 @@ def epoch_mix_sample(
     at write time; this operator deliberately does NOT materialize a
     global position: a global row_number would be a single-partition
     window (the anti-pattern the pack_sequences prefix-sum machinery
-    exists to avoid), while per-source windows partition by
-    ``source`` and scale with the widest source.
+    exists to avoid).
 
-    Plan shape: one per-source count aggregate (the plan, broadcast
-    back as a |sources|-row table) + ONE window over the corpus
-    partitioned by source.  Nothing else moves."""
-    plan = mixture_plan(df, target_ppm, source_col).select(
-        source_col, "n_keep"
-    )
+    Scale shape — EXACT two-level rank over hash-range buckets.  A
+    plain ``row_number() over (partition by source order by hash)``
+    sorts each source in ONE task; real pretraining mixes are
+    dominated by one source (web text at 60-90% of mass), so at
+    100 TB that is a single multi-TB sort.  Instead:
+
+    1. ``bucket = top-60-bits(md5) >> (60 - log2(n_buckets))`` — a
+       RANGE bucket of the hash domain, so hash order factors exactly
+       into (bucket asc, hash-within-bucket asc): the lexicographic
+       order of the equal-length lowercase-hex md5 agrees with the
+       numeric order of its 15-hex-digit prefix.
+    2. ONE corpus aggregate counts rows per (source, bucket) — a
+       |sources| x n_buckets table, materialized once; its per-source
+       rollup feeds :func:`mixture_plan` (no second corpus scan).
+    3. Driver-small arithmetic on that table yields each bucket's
+       rank offset (exclusive prefix sum over earlier buckets) and
+       PRUNES every bucket whose offset already exceeds ``n_keep`` —
+       including entire zero-share sources — before anything wide
+       runs.
+    4. The rank window partitions by (source, bucket) over only the
+       surviving ~n_keep rows; ``keep_rank = offset + local rank`` is
+       bit-identical to the single-window rank by construction (no
+       probabilistic margin, no fallback path).
+
+    Wire cost: one (source,bucket)-keyed count aggregate over the
+    corpus + one (source,bucket)-keyed exchange of just the kept
+    candidates.  Worst task = widest-source/n_buckets."""
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= (1 << 60):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    from .dedup import materialize_for_self_join
+
+    shift = 60 - (n_buckets.bit_length() - 1)
     h = F.md5(
         F.concat_ws("|", F.lit("mix"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
-    ranked = df.select(F.col(source_col), F.col(id_col), h.alias("__h")).withColumn(
-        "keep_rank", F.row_number().over(w).cast("bigint")
+    base = df.select(
+        F.col(source_col),
+        F.col(id_col),
+        h.alias("__h"),
+        F.shiftright(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), shift
+        ).alias("__b"),
+    )
+    bcounts = materialize_for_self_join(
+        base.groupBy(source_col, "__b").agg(
+            F.count("*").cast("bigint").alias("__n")
+        )
+    )
+    plan = mixture_plan(
+        df,
+        target_ppm,
+        source_col,
+        counts=bcounts.groupBy(source_col).agg(
+            F.sum("__n").cast("bigint").alias("n_docs")
+        ),
+    ).select(source_col, "n_keep")
+    offw = (
+        Window.partitionBy(source_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep_buckets = (
+        bcounts.withColumn(
+            "__off", F.coalesce(F.sum("__n").over(offw), F.lit(0)).cast("bigint")
+        )
+        .join(F.broadcast(plan), on=source_col)
+        .filter(F.col("__off") < F.col("n_keep"))
+        .select(source_col, "__b", "__off", "n_keep")
+    )
+    w = Window.partitionBy(source_col, "__b").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
     )
     return (
-        ranked.join(F.broadcast(plan), on=source_col)
+        base.join(F.broadcast(keep_buckets), on=[source_col, "__b"])
+        .withColumn(
+            "keep_rank",
+            (F.col("__off") + F.row_number().over(w)).cast("bigint"),
+        )
         .filter(F.col("keep_rank") <= F.col("n_keep"))
         .select(source_col, id_col, "keep_rank")
     )

@@ -489,12 +489,14 @@ def test_kmeans_k64_reads_id_and_vector_only(spark, sf_dir):
     assert cols <= {"vec_id", "embedding"}, (cols, plan)
 
 
-def test_epoch_mix_single_source_exchange_and_pruned_scan(spark, sf_dir):
-    """Epoch-mix materialization: ONE source-keyed exchange (the
-    per-source rank window), joins broadcast-only (|sources|-row plan
-    + binding row), and the scan pruned to (doc_id, source) — a mixed
-    epoch that dragged text bytes or added a global-order window
-    would not survive 100x."""
+def test_epoch_mix_bucketed_rank_and_pruned_scan(spark, sf_dir):
+    """Epoch-mix materialization (round-8 de-skew): the rank window
+    must partition by (source, __b) — the hash-range bucket — never by
+    source alone (one multi-TB sort task when web text dominates the
+    mix), and its input must be bucket-PRUNED through a broadcast join
+    against the offsets table before the exchange, so only ~n_keep
+    candidate rows ever reach the sort.  Joins broadcast-only, every
+    exchange source-keyed, scan pruned to (doc_id, source)."""
     import re as _re
 
     plan = _executed_plan(entry_queries.queries()["corpus_epoch_mix"](spark, sf_dir))
@@ -502,6 +504,19 @@ def test_epoch_mix_single_source_exchange_and_pruned_scan(spark, sf_dir):
     assert all(k.startswith("source") for k in keys), (keys, plan)
     assert len([k for k in keys if k.startswith("source")]) <= 2, keys
     assert "SortMergeJoin" not in plan, plan
+    # the rank window is bucketed: partition spec contains __b
+    wm = _re.search(
+        r"Window \[row_number\(\) windowspecdefinition\(source[^,]*, (__b#\d+L)",
+        plan,
+    )
+    assert wm, plan
+    # the corpus-side exchange feeding it carries the bucket too
+    assert _re.search(r"Exchange hashpartitioning\(source[^,]*, __b#\d+L", plan), plan
+    # and the window input is bucket-pruned: a broadcast join keyed on
+    # (source, __b) sits below the rank window (prune-before-shuffle)
+    assert _re.search(
+        r"BroadcastHashJoin \[source[^,]*, __b#\d+L\]", plan
+    ), plan
     m = _re.search(r"ReadSchema: struct<([^>]*)", plan)
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
