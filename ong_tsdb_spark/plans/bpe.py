@@ -87,6 +87,15 @@ def _quote_replacement(s: str) -> str:
 #: report the batching factor without changing the trainer's API.
 LAST_TRAIN_ROUNDS = 0
 
+#: merges accepted per round in the most recent train_bpe_merges call
+#: (sums to the returned table length; a 0 entry is a cascade round
+#: that proved nothing and fell back to a single-merge round, which is
+#: the NEXT entry).  tools/bpe_scale.py reads this to report the
+#: acceptance-rate-vs-round curve — the quantity that decides whether
+#: the cascade's round reduction survives past the G-gram horizon as
+#: the symbol table grows (VERDICT r7 #3).
+LAST_TRAIN_HISTORY: list[int] = []
+
 
 def _exact_batch(
     top: list[tuple[str, int]],
@@ -189,10 +198,13 @@ def _exact_batch(
             continue
         if a == b:
             break  # self-pair: nonlinear self-interaction ends the batch
-        if a + b in prior_outputs:
-            # the merged symbol collides with an existing symbol:
-            # created occurrences would ADD to an old pair's count,
-            # voiding the new-pair bound — force a recount
+        if a + b in prior_outputs or a + b in outputs:
+            # the merged symbol collides with an existing symbol (a
+            # prior-round output, or — defense in depth — an output
+            # already accepted THIS batch, e.g. ('ab','c') then
+            # ('a','bc'), both -> 'abc'): created occurrences would
+            # ADD to that symbol's pair counts, voiding the new-pair
+            # bound (a max, not a sum) — force a recount
             break
         used.update((a, b, a + b))
         lefts.add(a)
@@ -497,6 +509,8 @@ def train_bpe_merges(
     min_count: int = 2,
     batch: int = 16,
     guard: str = "cascade",
+    cascade_g: int | None = None,
+    cascade_topk: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
     ordered merge table [(a, b), ...]; stops early when the best
@@ -529,11 +543,17 @@ def train_bpe_merges(
     The sequential loop is one Spark job pair PER MERGE — at a
     production 30k-merge vocab that is 60k+ jobs; cascade turns that
     into ~(30k / avg-provable-chain) summary jobs.
-    ``LAST_TRAIN_ROUNDS`` records the realized round count."""
+    ``LAST_TRAIN_ROUNDS`` records the realized round count;
+    ``LAST_TRAIN_HISTORY`` the merges accepted per round.
+    ``cascade_g`` / ``cascade_topk`` override the summary horizon /
+    width (default CASCADE_G=6 / CASCADE_TOPK=4096) — exactness holds
+    for any values (the simulation only accepts provable argmaxes; a
+    narrower summary just proves less per round)."""
     from ..operators.dedup import ensure_parallelism
     from ..operators.text import tokens
 
-    global LAST_TRAIN_ROUNDS
+    global LAST_TRAIN_ROUNDS, LAST_TRAIN_HISTORY
+    history: list[int] = []
     if guard not in ("cascade", "exact", "disjoint", "stale"):
         raise ValueError(
             "guard must be 'cascade', 'exact', 'disjoint' or 'stale', "
@@ -573,12 +593,15 @@ def train_bpe_merges(
     while len(merges) < n_merges:
         limit = min(batch, n_merges - len(merges))
         if guard == "cascade":
-            S = _collect_summary(cur, CASCADE_G, CASCADE_TOPK)
+            S = _collect_summary(
+                cur, cascade_g or CASCADE_G, cascade_topk or CASCADE_TOPK
+            )
             rounds += 1
             accepted, exhausted = _cascade_round(S, limit, min_count)
             if not accepted:
                 if exhausted:
                     break
+                history.append(0)
                 rounds += 1
                 accepted = _single_merge()
                 if not accepted:
@@ -611,6 +634,7 @@ def train_bpe_merges(
             )
             if not accepted:
                 break
+        history.append(len(accepted))
         merges.extend(accepted)
         syms = F.col("syms")
         # chained replaces apply IN ACCEPTANCE ORDER — required where
@@ -622,6 +646,7 @@ def train_bpe_merges(
             )
         cur = cur.select(syms.alias("syms")).localCheckpoint(eager=True)
     LAST_TRAIN_ROUNDS = rounds
+    LAST_TRAIN_HISTORY = history
     return merges
 
 

@@ -201,6 +201,7 @@ def start_ledger_dedup(
     checkpoint_path: str,
     text_col: str = "text",
     trigger_available_now: bool = True,
+    trigger_processing_time: str | None = None,
     on_batch_committed=None,
     select_batch=None,
     keys_of=None,
@@ -289,7 +290,13 @@ def start_ledger_dedup(
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
     )
-    if trigger_available_now:
+    # trigger choice is orthogonal to the protocol: availableNow
+    # (drain-and-stop, the batch-replay/test default) vs a LONG-LIVED
+    # processing-time query that keeps polling the source — same
+    # foreachBatch, same per-batch idempotent directories
+    if trigger_processing_time is not None:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    elif trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 

@@ -6,14 +6,20 @@ reference loop.
 The sf* documents corpus has a deliberately tiny word vocabulary
 (31 distinct words at sf0.1), which exhausts greedy BPE after a few
 hundred merges — so this script derives a richer symbol space from the
-SAME testdata: each adjacent word PAIR becomes one training token
-("alpha_beta"), giving ~31^2 distinct tokens and >10k learnable
-merges while keeping corpus-scale counts real.
+SAME testdata: each adjacent word n-gram becomes one training token
+("alpha_beta", ``--order`` words wide).  Measured exhaustion points at
+sf0.1: order=2 -> 1062 merges; order=3 -> >5k merges.
 
-    python tools/bpe_scale.py [n_merges] [--check-sequential]
+    python tools/bpe_scale.py [n_merges] [--check-sequential] [--g N]
+        [--order N] [--batch N]
 
 Prints one JSON line: {"n_merges", "rounds_cascade", "sec_cascade",
-"reduction" (vs one-job-pair-per-merge), "identical" (when checked)}.
+"reduction" (vs one-job-pair-per-merge), "identical" (when checked),
+"curve" (accepted merges per round, bucketed into eighths of the run
+so the line stays short), "fallback_rounds" (cascade rounds that
+proved nothing and fell back to a single-merge recount)}.  ``--g N``
+overrides the cascade's n-gram horizon (G-sensitivity row,
+VERDICT r7 #3).
 """
 
 from __future__ import annotations
@@ -29,30 +35,57 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def bigram_token_corpus(spark, sf_dir: str):
+def bigram_token_corpus(spark, sf_dir: str, order: int = 2):
+    """Adjacent word n-grams as training tokens (default bigrams —
+    ~31^2 distinct symbols at sf0.1, exhausting greedy BPE at ~1.1k
+    merges; ``order=3`` gives ~31^3 and a >5k-merge space)."""
     from ong_tsdb_spark import entry_queries
 
     docs = entry_queries.load(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
-    bigrams = F.when(
-        F.size(words) >= 2,
+
+    def gram(i):
+        parts = [F.element_at(words, (i + F.lit(k)).cast("int")) for k in range(order)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, F.lit("_"), p)
+        return out
+
+    grams = F.when(
+        F.size(words) >= order,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i.cast("int")),
-                F.lit("_"),
-                F.element_at(words, (i + F.lit(1)).cast("int")),
-            ),
+            F.sequence(F.lit(1), F.size(words) - (order - 1)), gram
         ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(
-        F.col("doc_id"), F.array_join(bigrams, " ").alias("text")
+        F.col("doc_id"), F.array_join(grams, " ").alias("text")
     )
+
+
+def _curve_eighths(history: list[int]) -> list[float]:
+    """Mean accepted-per-round over eight equal slices of the round
+    sequence — a compact acceptance-rate-vs-round curve."""
+    if not history:
+        return []
+    k = max(1, len(history) // 8)
+    return [
+        round(sum(history[i : i + k]) / len(history[i : i + k]), 1)
+        for i in range(0, len(history), k)
+    ][:8]
 
 
 def main() -> int:
     n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     check = "--check-sequential" in sys.argv
+    g = None
+    if "--g" in sys.argv:
+        g = int(sys.argv[sys.argv.index("--g") + 1])
+    order = 2
+    if "--order" in sys.argv:
+        order = int(sys.argv[sys.argv.index("--order") + 1])
+    batch = 64
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -67,20 +100,29 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from ong_tsdb_spark.plans import bpe
 
-    corpus = bigram_token_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = bigram_token_corpus(spark, sf_dir, order).localCheckpoint(eager=True)
     t0 = time.perf_counter()
-    cascade = bpe.train_bpe_merges(corpus, n_merges=n_merges, batch=64)
+    cascade = bpe.train_bpe_merges(
+        corpus, n_merges=n_merges, batch=batch, cascade_g=g
+    )
     sec = round(time.perf_counter() - t0, 2)
     rounds = bpe.LAST_TRAIN_ROUNDS
+    history = list(bpe.LAST_TRAIN_HISTORY)
     out = {
         "n_merges": len(cascade),
         "rounds_cascade": rounds,
         "sec_cascade": sec,
         "reduction": round(len(cascade) / max(rounds, 1), 1),
+        "curve": _curve_eighths(history),
+        "fallback_rounds": history.count(0),
+        "g": g or bpe.CASCADE_G,
+        "order": order,
+        "batch": batch,
         "sf": sf_dir,
     }
     print(f"[bpe-scale] cascade: {len(cascade)} merges in {rounds} rounds "
-          f"({sec}s)", file=sys.stderr)
+          f"({sec}s, G={out['g']}); accepted/round curve {out['curve']}, "
+          f"{out['fallback_rounds']} fallback rounds", file=sys.stderr)
     if check:
         t0 = time.perf_counter()
         seq = bpe.train_bpe_merges(

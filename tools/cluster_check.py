@@ -10,13 +10,21 @@ single-JVM-only state sharing that local-mode tests mask.
 
     python tools/cluster_check.py [--sf-dir /root/testdata/sf0.01]
         [--workers 2] [--cores 4] [--mem-mb 2048] [--only NAME ...]
+        [--subset-size 29] [--no-update-coverage]
 
 Exit code 0 iff every query matches its DuckDB oracle exactly (same
-canonicalization as tools/replay.py).  Default subset: one query per
-operator family, chosen to cover every execution shape — engine scan,
-window, joins, explode+agg dedup, Arrow mapInPandas (PQ/IVF training,
-multimodal), iterative jobs (connected components), driver-literal
-models (classifier/DSIR), and streaming-adjacent pack pipelines.
+canonicalization as tools/replay.py).
+
+Subset policy (VERDICT r7 #4 — staleness-rotated, like the driver
+window): a small PINNED set keeps one query per execution shape in
+every run (engine scan, Arrow mapInPandas, iterative jobs, streaming
+replay, pipeline); the rest of the subset is the least-recently-
+cluster-checked registry entries per ``tools/cluster_coverage.json``
+(never-checked first, ties in registry order).  Entries that pass are
+stamped with the run index in that ledger (committed to git), so every
+registry entry gets a multi-JVM proof on a bounded cadence —
+~(|registry| - |pinned|) / (subset - |pinned|) runs for full coverage.
+``--only`` bypasses the rotation and never updates the ledger.
 
 NOTE: shutdown of local-cluster workers logs noisy (benign) RPC errors
 after results are printed — the exit code is the signal.
@@ -25,6 +33,7 @@ after results are printed — the exit code is the signal.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -39,44 +48,41 @@ os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
 
 from ong_tsdb_spark.compare import TABLES, canon_rows  # noqa: E402
 
-#: one query per execution shape (see module docstring)
-DEFAULT_SUBSET = [
-    "ts_range_read",          # pruned scan + dtype-adaptive time
-    "ts_rolling_mean",        # chunk-parallel windows
-    "tpch_q3_topk",           # broadcast joins + TakeOrdered
-    "dedup_minhash_lsh",      # explode + wide min-agg + band join
-    "dedup_clusters",         # iterative jobs + localCheckpoint
-    "text_classifier_quality",  # plan-literal model, map-side
-    "corpus_dsir_weights",    # driver-collected counts -> literals
-    "text_bpe_pairs",         # substring generate + count agg
-    "doc_chunk_stats",        # generate + slice fan-out
-    "emb_pq_adc_topk",        # Arrow mapInPandas training + ADC
-    "emb_ivf_topk",           # integer-exact k-means + probe
-    "events_funnel",          # min-agg + user-keyed join chain
-    "corpus_pack_sequences",  # tokenize -> id-map -> pack pipeline
-    "multimodal_features",    # binary columns through mapInPandas
-    # round-6 shapes
-    "graph_pagerank",         # iterative integer joins + localCheckpoint
-    "events_interval_join",   # chunk-bucketed bin join (explode+equi)
-    "dedup_ledger_replay",    # cross-batch parquet ledger handoff
-    # r6->r7 rotation holdovers (with ts_range_read/ts_rolling_mean
-    # above, ALL eight entries that skip the r6 driver window get a
-    # value-checked multi-JVM replay this round instead)
-    "ts_snap_grid",
-    "tpch_q1",
-    "tpch_q6",
-    "ts_delta",
-    "text_contamination",
-    "text_vocab",
-    # round-6 registrations exercised under multi-JVM
-    "dedup_near_ledger_replay",
-    "corpus_topic_sample",
-    # round-7 shapes: crash-recovery streaming replay, join-free
-    # retention, common-set-subtract novelty (reworked this round)
-    "dedup_ledger_crash_replay",
-    "events_retention",
-    "text_bigram_novelty",
+COVERAGE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "cluster_coverage.json")
+
+#: always-run execution-shape anchors — one per distribution-sensitive
+#: mechanism, so a closure-serialization or Python-worker regression in
+#: any mechanism is caught in EVERY run, not once per rotation cycle
+PINNED_SHAPES = [
+    "ts_range_read",            # pruned engine scan + dtype-adaptive time
+    "dedup_minhash_lsh",        # explode + wide min-agg + band join
+    "emb_pq_adc_topk",          # Arrow mapInPandas training + ADC
+    "multimodal_features",      # binary columns through mapInPandas
+    "graph_pagerank",           # iterative integer joins + localCheckpoint
+    "dedup_ledger_crash_replay",  # real streaming + checkpoint loss
+    "corpus_pack_sequences",    # tokenize -> id-map -> pack pipeline
 ]
+
+
+def load_coverage() -> dict:
+    try:
+        with open(COVERAGE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {"runs": 0, "checked": {}}
+
+
+def pick_subset(names: list[str], size: int) -> list[str]:
+    """Pinned anchors + the least-recently-cluster-checked entries."""
+    checked = load_coverage().get("checked", {})
+    order = {n: i for i, n in enumerate(names)}
+    pinned = [n for n in PINNED_SHAPES if n in order]
+    ranked = sorted(
+        (n for n in names if n not in set(pinned)),
+        key=lambda n: (checked.get(n, 0), order[n]),
+    )
+    return pinned + ranked[: max(0, size - len(pinned))]
 
 
 def main(argv=None) -> int:
@@ -86,6 +92,8 @@ def main(argv=None) -> int:
     ap.add_argument("--cores", type=int, default=4)
     ap.add_argument("--mem-mb", type=int, default=2048)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--subset-size", type=int, default=29)
+    ap.add_argument("--no-update-coverage", action="store_true")
     args = ap.parse_args(argv)
 
     import duckdb
@@ -116,13 +124,14 @@ def main(argv=None) -> int:
     if args.only:
         names = args.only
     else:
-        names = [n for n in DEFAULT_SUBSET if n in qs]
-        for missing in (n for n in DEFAULT_SUBSET if n not in qs):
-            # a registry rotation removed a shape-covering query — the
-            # per-shape guarantee no longer holds; say so, don't shrink
-            # the sweep silently
-            print(f"SKIPPED (not in registry): {missing}", flush=True)
+        names = pick_subset(list(qs), args.subset_size)
+        for missing in (n for n in PINNED_SHAPES if n not in qs):
+            # a registry change removed a shape anchor — the per-shape
+            # guarantee no longer holds; say so, don't shrink silently
+            print(f"SKIPPED (pinned anchor not in registry): {missing}",
+                  flush=True)
     bad = []
+    passed = []
     for i, name in enumerate(names):
         t0 = time.time()
         err = None
@@ -156,7 +165,9 @@ def main(argv=None) -> int:
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             ok, err = False, f"{type(ex).__name__}: {str(ex)[:300]}"
         status = "OK" if ok else "MISMATCH"
-        if not ok:
+        if ok:
+            passed.append(name)
+        else:
             bad.append(name)
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
               flush=True)
@@ -206,6 +217,19 @@ def main(argv=None) -> int:
 
     print(f"\nRESULT: {len(names) + 1 - len(bad)}/{len(names) + 1} exact under "
           f"{master}; failures: {bad}")
+    if passed and not args.only and not args.no_update_coverage:
+        cov = load_coverage()
+        cov["runs"] = int(cov.get("runs", 0)) + 1
+        cov.setdefault("checked", {})
+        for n in passed:
+            cov["checked"][n] = cov["runs"]
+        with open(COVERAGE_PATH, "w") as f:
+            json.dump(cov, f, indent=1, sort_keys=True)
+            f.write("\n")
+        done = sum(1 for n in qs if n in cov["checked"])
+        print(f"coverage ledger: run {cov['runs']}, cumulative "
+              f"{done}/{len(qs)} registry entries cluster-proven "
+              f"({COVERAGE_PATH})")
     spark.stop()
     return 1 if bad else 0
 
