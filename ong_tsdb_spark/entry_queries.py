@@ -3747,7 +3747,7 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention",
     f"""
     WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS period
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     f AS (SELECT user_id, min(period) AS cohort FROM w GROUP BY user_id)
     SELECT f.cohort AS cohort, w.period AS period,
            CAST(w.period - f.cohort AS BIGINT) AS periods_since,

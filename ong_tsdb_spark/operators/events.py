@@ -47,8 +47,14 @@ def retention_cohorts(
     timeline's period count (~hundreds for weekly periods), never by
     event count."""
     per = F.floor(F.col(us_col) / F.lit(int(period_us))).cast("long")
+    # Null timestamps are dropped EXPLICITLY (a null period cannot
+    # cohort or count a user): collect_set would skip them silently
+    # anyway, but the filter makes the contract visible and keeps it
+    # independent of that aggregate's null behavior — an all-null
+    # user contributes no rows.
     per_user = (
         df.select(F.col(user_col), per.alias("period"))
+        .filter(F.col("period").isNotNull())
         .groupBy(user_col)
         .agg(F.collect_set("period").alias("ps"))
     )

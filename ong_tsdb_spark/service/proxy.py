@@ -178,8 +178,15 @@ def negotiate_proxy_auth(
     challenge URL (carrying its cookies), and return ``headers``
     updated with the minted session cookie.  No challenge -> headers
     unchanged.  Non-JSON challenge or failed login ->
-    :class:`ProxyNotAuthorizedError` (carrying the response), exactly
-    the reference's raise points."""
+    :class:`ProxyNotAuthorizedError` (carrying the response) — the
+    reference's raise points, with one DELIBERATE extension: the
+    reference raises ProxyNotAuthorizedException on ANY raw HTTP 407
+    (reference client.py:201), while this client negotiates a 407
+    that carries a parseable JSON challenge body exactly like the
+    json-401 flow (a proxy that both speaks the challenge protocol
+    and answers with the standards-correct status should be logged
+    into, not refused); bare/non-JSON 407s raise, matching the
+    reference."""
     hdrs = dict(headers or {})
     status, rh, data = request("GET", probe_path, hdrs, None)
     if status not in (401, 407):

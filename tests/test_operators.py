@@ -2467,6 +2467,28 @@ def test_retention_cohorts_fixture(spark):
     assert canon_rows(out.columns, out.collect()) == canon_rows(rel.columns, rel.fetchall())
 
 
+def test_retention_cohorts_drops_null_timestamps(spark):
+    """Null timestamps are dropped EXPLICITLY (ADVICE r7): a user
+    whose events all have null us contributes no rows at all, and a
+    user with a mix of null and real events is cohorted/counted from
+    the real ones only — same result as if the null rows didn't
+    exist."""
+    from ong_tsdb_spark.operators.events import WEEK_US, retention_cohorts
+
+    rows = [
+        (1, 0 * WEEK_US), (1, None), (1, 2 * WEEK_US),  # mixed
+        (2, None), (2, None),                            # all-null
+        (3, 1 * WEEK_US),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long")
+    out = retention_cohorts(df)
+    got = {(r["cohort"], r["period"]): r["n_users"] for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 1): 1}
+    # identical to the null-free projection of the same log
+    clean = retention_cohorts(df.filter(F.col("us").isNotNull()))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, clean.collect()))
+
+
 def test_interval_join_matches_naive_and_plan(spark):
     """Chunk-bucketed interval join: exact equality with the naive
     cross+filter join on a fixture with boundary hits, chunk-spanning
