@@ -176,6 +176,8 @@ SCALE_FAMILIES = [
     "emb_kmeans_k64",
     # round-7 operators
     "corpus_epoch_mix",
+    # round-8 operators
+    "corpus_epoch_shards",
 ]
 
 

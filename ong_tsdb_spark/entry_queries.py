@@ -2973,12 +2973,16 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.mixture_plan(docs)
 
 
-def _epoch_mix_sql() -> str:
+def _epoch_mix_ctes() -> str:
+    """The epoch-mix CTE chain ending in ``kept(source, doc_id,
+    keep_rank)`` — shared by the corpus_epoch_mix oracle and the
+    epoch->pack integration oracle so the mix semantics cannot drift
+    between them."""
     vals = ", ".join(
         f"('{s}', {ppm})" for s, ppm in sorted(text.TARGET_MIX_PPM.items())
     )
     return f"""
-    WITH counts AS (
+    counts AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY source),
     tgt(source, target_ppm) AS (VALUES {vals}),
@@ -3001,11 +3005,18 @@ def _epoch_mix_sql() -> str:
                PARTITION BY source
                ORDER BY md5('mix|' || doc_id::VARCHAR), doc_id
              ) AS BIGINT) AS keep_rank
-      FROM documents)
-    SELECT r.source, r.doc_id, r.keep_rank
-    FROM ranked r JOIN plan p USING (source)
-    WHERE r.keep_rank <= p.n_keep
-    """
+      FROM documents),
+    kept AS (
+      SELECT r.source, r.doc_id, r.keep_rank
+      FROM ranked r JOIN plan p USING (source)
+      WHERE r.keep_rank <= p.n_keep)"""
+
+
+def _epoch_mix_sql() -> str:
+    return (
+        "WITH " + _epoch_mix_ctes()
+        + "\n    SELECT source, doc_id, keep_rank FROM kept"
+    )
 
 
 @register("corpus_epoch_mix", _epoch_mix_sql())
@@ -3231,11 +3242,17 @@ def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_SEQ_LEN = 512
 _PACK_VOCAB = 256
-_PACK_SEQ_SQL = f"""
-    WITH tk AS (
+def _pack_chain_sql(rel: str) -> str:
+    """The concat-and-split packing CTE chain + final SELECT over any
+    relation providing (doc_id, text) — doc_id is the PACKING ORDER
+    key (the epoch integration substitutes its epoch key).  Shared by
+    corpus_pack_sequences and corpus_epoch_shards so the layout math
+    cannot drift between them."""
+    return f"""
+    tk AS (
       SELECT doc_id,
              regexp_extract_all(text, '{_bpe_re_sql()}') AS toks
-      FROM documents),
+      FROM {rel}),
     tf AS (
       SELECT u AS token, CAST(count(*) AS BIGINT) AS tf
       FROM (SELECT unnest(toks) AS u FROM tk) GROUP BY u),
@@ -3293,6 +3310,9 @@ _PACK_SEQ_SQL = f"""
            CAST(coalesce(ck.ids_checksum, 0) AS BIGINT) AS ids_checksum
     FROM sq LEFT JOIN ck USING (seq_id)
     """
+
+
+_PACK_SEQ_SQL = "WITH " + _pack_chain_sql("documents")
 
 
 _C4_SQL = (
@@ -3383,6 +3403,41 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic plus one final division."""
     docs = load(spark, sf_dir, "documents")
     return text.dup_span_stats(docs, k=4)
+
+
+def _epoch_shards_sql() -> str:
+    from .plans.tokenized_shards import EPOCH_KEY_STRIDE
+
+    return (
+        "WITH " + _epoch_mix_ctes() + f""",
+    sidx AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS s
+      FROM (SELECT DISTINCT source FROM kept)),
+    kd AS (
+      SELECT k.keep_rank * {EPOCH_KEY_STRIDE} + s.s AS doc_id, d.text
+      FROM kept k JOIN sidx s USING (source)
+      JOIN documents d ON d.doc_id = k.doc_id),
+    """
+        + _pack_chain_sql("kd")
+    )
+
+
+@register("corpus_epoch_shards", _epoch_shards_sql())
+def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-epoch-on-disk loop END TO END (VERDICT r7 #8):
+    corpus_epoch_mix picks the documents, the canonical round-robin
+    interleave (keep_rank asc, source asc) orders them, and the
+    corpus_pack_sequences machinery packs them into fixed-length
+    training sequences — one row per sequence with the
+    order-sensitive positional ids checksum, so the oracle pins
+    membership, token ids, AND concat order of the whole pipeline
+    (plans/tokenized_shards.epoch_pack_stats).  The SQL twin composes
+    the SAME two CTE chains the standalone oracles use."""
+    docs = load(spark, sf_dir, "documents")
+    return tokenized_shards.epoch_pack_stats(
+        docs, vocab_size=_PACK_VOCAB, seq_len=_PACK_SEQ_LEN
+    )
 
 
 @register("corpus_pack_sequences", _PACK_SEQ_SQL)
@@ -4201,6 +4256,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 # planned-on: r01..r07
 _TAIL_ROTATION = [
+    "text_gopher_quality",
     "emb_centroid_dist",
     "events_interval_join",
     "events_retention",

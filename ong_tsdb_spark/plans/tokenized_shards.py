@@ -303,6 +303,75 @@ def pack_sequence_stats(
     )
 
 
+#: source-index stride inside the epoch packing key: epoch_key =
+#: keep_rank * STRIDE + source_index, so the key's total order IS the
+#: canonical round-robin epoch order (keep_rank asc, source asc).
+#: Bounds the mix at 1024 sources — real pretraining recipes have
+#: tens; documented, and asserted by the integration test.
+EPOCH_KEY_STRIDE = 1024
+
+
+def epoch_pack_stats(
+    df: DataFrame,
+    target_ppm: dict[str, int] | None = None,
+    vocab_size: int = 256,
+    seq_len: int = 512,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The "training epoch on disk" loop END TO END: epoch-mix
+    materialization (text.epoch_mix_sample picks exactly n_keep docs
+    per source by deterministic hash rank) -> canonical interleaved
+    epoch ORDER -> concat-and-split packing into fixed-length
+    sequences (pack_sequence_stats), value-checkable cross-engine via
+    the order-sensitive positional ids checksum.
+
+    The epoch order is the round-robin the epoch_mix docstring
+    promises consumers: rank 1 of every source (sources alphabetical),
+    then rank 2, ...  It is encoded as ONE bigint packing key —
+    ``keep_rank * EPOCH_KEY_STRIDE + source_index`` — because the
+    chunked-prefix-sum packing layout chunks on ``floor(key / N)``,
+    so the key must be numeric and its numeric order must equal the
+    epoch order (collision-free: within a rank each source appears
+    once; across ranks the stride separates).  ``source_index`` is a
+    row_number over the |sources|-row distinct-source table (bounded
+    unpartitioned window, same class as the vocab ranking above).
+
+    Wire cost on top of the two pieces: one doc_id equi-join to fetch
+    the kept documents' text (kept set is a large fraction of the
+    corpus — not broadcastable — so this is a plain shuffled join on
+    the unique key) and the |sources|-row broadcast.  Everything else
+    is epoch_mix_sample's bucketed rank + pack_sequences' chunked
+    prefix sum, unchanged."""
+    from ong_tsdb_spark.operators.text import epoch_mix_sample
+
+    kept = epoch_mix_sample(df, target_ppm, source_col=source_col, id_col=id_col)
+    srcs = kept.select(source_col).distinct()
+    idx = srcs.withColumn(
+        "__sidx",
+        (F.row_number().over(Window.orderBy(source_col)) - 1).cast("bigint"),
+    )
+    epoch_docs = (
+        kept.join(F.broadcast(idx), on=source_col)
+        .select(
+            (F.col("keep_rank") * F.lit(EPOCH_KEY_STRIDE) + F.col("__sidx"))
+            .cast("bigint")
+            .alias("epoch_key"),
+            F.col(id_col),
+        )
+        .join(df.select(id_col, text_col), on=id_col)
+        .select("epoch_key", text_col)
+    )
+    return pack_sequence_stats(
+        epoch_docs,
+        vocab_size=vocab_size,
+        seq_len=seq_len,
+        text_col=text_col,
+        id_col="epoch_key",
+    )
+
+
 def _blob_writer(seqs: DataFrame, dtype: str, bins_per_shard: int):
     """(seq_id, ids binary, n_real_tokens, n_docs, shard_id) blobs."""
     import numpy as np

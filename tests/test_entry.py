@@ -111,8 +111,14 @@ def test_bench_and_cluster_lists_resolve():
     assert not missing, f"bench.HEADLINE names not in registry: {missing}"
     missing = [n for n in bench.SCALE_FAMILIES if n not in qs]
     assert not missing, f"bench.SCALE_FAMILIES names not in registry: {missing}"
-    missing = [n for n in cc.DEFAULT_SUBSET if n not in qs]
-    assert not missing, f"cluster_check.DEFAULT_SUBSET not in registry: {missing}"
+    missing = [n for n in cc.PINNED_SHAPES if n not in qs]
+    assert not missing, f"cluster_check.PINNED_SHAPES not in registry: {missing}"
+    # the rotated subset resolves too, and stays within the registry
+    subset = cc.pick_subset(list(qs), 29)
+    assert len(subset) == 29 and set(subset) <= qs, subset
+    # ...and the coverage ledger never references a renamed/dead entry
+    stale = [n for n in cc.load_coverage().get("checked", {}) if n not in qs]
+    assert not stale, f"cluster_coverage.json references unknown entries: {stale}"
 
 
 def test_bench_summary_line_compact():

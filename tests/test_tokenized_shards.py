@@ -536,3 +536,66 @@ def test_append_equals_oneshot_with_merges(spark, tmp_path):
     m_inc, m_one = tsh.read_tokenizer_meta(inc), tsh.read_tokenizer_meta(one)
     assert m_inc["total_tokens"] == m_one["total_tokens"]
     assert m_inc["merges"] == m_one["merges"] == [list(m) for m in merges]
+
+
+def test_epoch_pack_stats_full_pipeline_model(spark):
+    """The training-epoch-on-disk loop (VERDICT r7 #8) against a
+    pure-Python twin of the WHOLE pipeline: mix quotas (binding-source
+    integer math), md5 hash ranking per source, the canonical
+    round-robin interleave (keep_rank asc, source asc), tokenize,
+    vocab rank, concat-and-split packing — plus the packing
+    invariants (every sequence but the last exactly seq_len real
+    tokens, contiguous seq_ids, checksums order-sensitive)."""
+    import hashlib
+
+    docs = []
+    did = 0
+    for s, n in (("sa", 8), ("sb", 4), ("sc", 6)):
+        for _ in range(n):
+            did += 1
+            docs.append((did, s, f"doc {did} w{did % 3}! ab{did % 2}"))
+    tgt = {"sa": 500_000, "sb": 250_000, "sc": 250_000}
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    seq_len, vocab = 7, 10
+
+    got = {
+        r["seq_id"]: r
+        for r in tsh.epoch_pack_stats(
+            df, target_ppm=tgt, vocab_size=vocab, seq_len=seq_len
+        ).collect()
+    }
+
+    # ---- python model ----
+    ns = {"sa": 8, "sb": 4, "sc": 6}
+    star = min(tgt, key=lambda s: (ns[s] / tgt[s], s))
+    keep = {s: (tgt[s] * ns[star]) // tgt[star] for s in tgt}
+    assert keep == {"sa": 8, "sb": 4, "sc": 4}  # sc downsampled
+
+    def h(doc_id):
+        return hashlib.md5(f"mix|{doc_id}".encode()).hexdigest()
+
+    by_src: dict[str, list] = {}
+    for d, s, text in docs:
+        by_src.setdefault(s, []).append((h(d), d, text))
+    kept = {}
+    for s, lst in by_src.items():
+        lst.sort()
+        for r, (_, d, text) in enumerate(lst[: keep[s]], start=1):
+            kept[(r, s)] = text
+    texts = [kept[k] for k in sorted(kept)]  # round-robin epoch order
+    want = _model_pack(texts, vocab, seq_len)
+
+    assert set(got) == set(want)
+    for b in want:
+        real = want[b]["ids"]
+        ck = sum((p + 1) * x for p, x in enumerate(real))
+        assert got[b]["n_real_tokens"] == want[b]["n_real"], b
+        assert got[b]["n_docs"] == want[b]["n_docs"], b
+        assert got[b]["ids_checksum"] == ck, b
+    # packing invariants
+    mx = max(got)
+    assert set(got) == set(range(mx + 1))
+    for b, r in got.items():
+        if b != mx:
+            assert r["n_real_tokens"] == seq_len, b
+    assert len(ns) < tsh.EPOCH_KEY_STRIDE
