@@ -111,6 +111,8 @@ EXTENSION = [
     # round-7 operators
     "dedup_ledger_crash_replay",
     "corpus_epoch_mix",
+    # round-8 operators
+    "corpus_epoch_shards",
 ]
 
 # back-compat: tests and tools address the full timed set by this name

@@ -1,8 +1,14 @@
-"""Drift A/B (VERDICT r6 #6): are ts_cumulative_sum_chunked (r5->r6
-1.39x) and corpus_pack_stats (1.31x) real plan regressions, or
-session-position effects from the growing registry?  Measure each
-FRESH (first queries in the JVM) then LATE (after 40 other registry
-queries ran in the same session), same code, same sf0.1 data."""
+"""Drift A/B (VERDICT r6 #6, generalized for r7 #6): is a
+round-over-round per-query drift a real plan regression, or a
+session-position effect (JVM warmup / registry growth)?  Measure each
+target FRESH (first queries in the JVM) then LATE (after 40 other
+registry queries ran in the same session), same code, same sf0.1 data.
+
+    python tools/drift_ab.py [query ...]   # default: the r6 movers
+
+A real regression shows up in BOTH positions; a warmup artifact shows
+late <= fresh (JIT-compiled, code cache hot).  Pair with
+tools/bench_drift.py, which finds the movers to feed in here."""
 import sys
 import time
 
@@ -29,7 +35,10 @@ from ong_tsdb_spark import entry_queries
 
 reg = entry_queries.queries()
 sf = "/root/testdata/sf0.1"
-TARGETS = ["ts_cumulative_sum_chunked", "corpus_pack_stats"]
+TARGETS = sys.argv[1:] or ["ts_cumulative_sum_chunked", "corpus_pack_stats"]
+unknown = [n for n in TARGETS if n not in reg]
+if unknown:
+    raise SystemExit(f"not in registry: {unknown}")
 
 
 def timed(name, runs=3):
@@ -60,7 +69,5 @@ late = {n: timed(n) for n in TARGETS}
 print("late:", {k: round(v, 3) for k, v in late.items()}, flush=True)
 for n in TARGETS:
     print(f"{n}: fresh {fresh[n]:.3f}s late {late[n]:.3f}s "
-          f"late/fresh {late[n] / fresh[n]:.2f}x "
-          f"(r5 bench {0.30 if 'cum' in n else 0.34}s, r6 bench "
-          f"{0.42 if 'cum' in n else 0.44}s)", flush=True)
+          f"late/fresh {late[n] / fresh[n]:.2f}x", flush=True)
 spark.stop()
