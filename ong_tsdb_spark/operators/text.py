@@ -971,11 +971,12 @@ def epoch_mix_sample(
     Output: (source, doc_id, keep_rank) — ``keep_rank`` is the
     1-based position within the source's hash ranking (<= n_keep).
     The canonical interleaved epoch order is ``ORDER BY (keep_rank,
-    hash)`` — a round-robin across sources — which consumers sort by
-    at write time; this operator deliberately does NOT materialize a
-    global position: a global row_number would be a single-partition
-    window (the anti-pattern the pack_sequences prefix-sum machinery
-    exists to avoid).
+    source)`` — a round-robin across sources, the order
+    ``plans/tokenized_shards.epoch_pack_stats`` packs by — which
+    consumers sort by at write time; this operator deliberately does
+    NOT materialize a global position: a global row_number would be a
+    single-partition window (the anti-pattern the pack_sequences
+    prefix-sum machinery exists to avoid).
 
     Scale shape — EXACT two-level rank over hash-range buckets.  A
     plain ``row_number() over (partition by source order by hash)``

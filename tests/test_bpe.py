@@ -363,3 +363,22 @@ def test_gram_summary_interval_soundness():
                 lo, hi = S.query(gram)
                 true = brute_count(state, gram)
                 assert lo <= true <= hi, (trial, depth, gram, lo, true, hi)
+
+
+def test_train_history_sums_to_table(spark):
+    """LAST_TRAIN_HISTORY (round-8 instrumentation): per-round accepted
+    counts sum to the returned table length in every mode, and a
+    cascade fallback round records the 0-then-1 pair."""
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    for kwargs in ({"guard": "cascade", "batch": 8}, {"guard": "exact", "batch": 4},
+                   {"guard": "cascade", "batch": 8, "cascade_g": 3}):
+        got = bpe.train_bpe_merges(df, n_merges=6, **kwargs)
+        hist = list(bpe.LAST_TRAIN_HISTORY)
+        assert sum(hist) == len(got), (kwargs, hist, got)
+        assert len(hist) == bpe.LAST_TRAIN_ROUNDS or 0 in hist, (kwargs, hist)
+        # rounds counter counts fallback rounds too: history length
+        # equals rounds exactly (each entry is one aggregate round)
+        assert len(hist) == bpe.LAST_TRAIN_ROUNDS, (kwargs, hist)

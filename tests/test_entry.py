@@ -208,3 +208,31 @@ def test_rotation_planner_invariants(tmp_path):
         shutil.copyfile(src, copy)
         rot.rewrite_tail(tail, path=copy, planned_on=planned_on)
         assert open(copy).read() == open(src).read()
+
+
+def test_bench_drift_flags_movers():
+    """tools/bench_drift.drift: flags >=threshold movers in either
+    direction, ignores sub-floor noise, reports added/removed and the
+    common-total ratio."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_drift_mod", os.path.join(repo, "tools", "bench_drift.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    old = {"queries": {"a": 1.0, "b": 0.5, "tiny": 0.01, "gone": 1.0, "fast": 2.0}}
+    new = {"queries": {"a": 1.5, "b": 0.55, "tiny": 0.05, "new1": 3.0, "fast": 1.0}}
+    d = bd.drift(old, new, threshold=1.3)
+    names = [m[0] for m in d["movers"]]
+    assert "a" in names          # 1.5x regression
+    assert "fast" in names       # 0.5x improvement (both directions)
+    assert "b" not in names      # 1.1x, under threshold
+    assert "tiny" not in names   # 5x but under the 0.1s floor
+    assert d["added"] == ["new1"] and d["removed"] == ["gone"]
+    assert d["common"] == 4
+    # worst mover first
+    assert names[0] == "fast"
