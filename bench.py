@@ -113,6 +113,7 @@ EXTENSION = [
     "corpus_epoch_mix",
     # round-8 operators
     "corpus_epoch_shards",
+    "text_classifier_train",
 ]
 
 # back-compat: tests and tools address the full timed set by this name
@@ -180,6 +181,7 @@ SCALE_FAMILIES = [
     "corpus_epoch_mix",
     # round-8 operators
     "corpus_epoch_shards",
+    "text_classifier_train",
 ]
 
 

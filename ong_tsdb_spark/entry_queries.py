@@ -3486,6 +3486,46 @@ def _clf_sql() -> str:
     """
 
 
+def _clf_train_sql() -> str:
+    n, s = text.CLF_BUCKETS, 1000
+    return f"""
+    WITH st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(length(text)) AS BIGINT) AS s
+      FROM documents),
+    lab AS (
+      SELECT text, (length(text) * st.n > st.s) AS lab
+      FROM documents, st),
+    occ AS (
+      SELECT unnest(string_split(text, ' ')) AS tok, lab FROM lab),
+    agg AS (
+      SELECT {_bucket_sql("tok", n)} AS bucket,
+             CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM occ GROUP BY 1)
+    SELECT bucket, n_pos, n_neg,
+           CAST((n_pos * {s}) // (n_pos + n_neg + 1) - {s // 2} AS BIGINT)
+             AS weight
+    FROM agg
+    """
+
+
+@register("text_classifier_train", _clf_train_sql())
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier on-cluster (operators/text.
+    nb_train_weights) — closes the model-filtering loop the same way
+    corpus_epoch_shards closed the mixing loop: text_classifier_quality
+    APPLIES a weight table; this entry LEARNS one, as integer-exact
+    per-bucket purity weights over the same hash_bucket feature space
+    (Naive-Bayes-flavored, add-one smoothed, floor-div so no
+    transcendental drifts cross-engine).  Weak labels derive from the
+    corpus itself (integer-exact longer-than-mean).  One 1-row stats
+    broadcast + one bucket-keyed count aggregate: the shuffle carries
+    <= 256 rows per mapper at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    return text.nb_train_weights(docs)
+
+
 @register("text_classifier_quality", _clf_sql())
 def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (operators/text.classifier_quality):
@@ -4256,6 +4296,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 # planned-on: r01..r07
 _TAIL_ROTATION = [
+    "dedup_passage_stats",
     "text_gopher_quality",
     "emb_centroid_dist",
     "events_interval_join",

@@ -1146,6 +1146,73 @@ def classifier_pass_expr(text: Column, weights: list[int] | None = None) -> Colu
     return classifier_score_expr(text, weights) > F.lit(0)
 
 
+def nb_train_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    n_buckets: int = CLF_BUCKETS,
+    scale: int = 1000,
+) -> DataFrame:
+    """TRAIN the hashed bag-of-words quality classifier on-cluster —
+    the half of the model-filtering loop the repo previously stubbed
+    with synthetic weights: a Naive-Bayes-flavored per-bucket purity
+    weight from labeled documents, so :func:`classifier_quality` /
+    the streaming gate can score with weights learned from the corpus
+    itself (the fastText / FineWeb-Edu training step re-expressed as
+    one aggregate).
+
+    Output: (bucket, n_pos, n_neg, weight) — one row per OCCUPIED
+    feature bucket.  ``weight = (n_pos * scale) div (n_pos + n_neg
+    + 1) - scale/2`` — an integer purity score in [-scale/2,
+    scale/2], monotone in the bucket's positive-class posterior under
+    equal priors (the +1 is add-one smoothing's denominator; integer
+    floor-div keeps it bit-identical cross-engine, where a log-odds
+    formulation would hash-drift on transcendental ulps).  The bucket
+    space is :func:`hash_bucket` — the SAME feature hash scoring
+    uses, so a trained table plugs straight into
+    ``classifier_score_expr(weights=...)`` after densifying absent
+    buckets to 0.
+
+    ``label_col`` names a boolean column of (weak) labels; when None,
+    the weak label is "longer than the corpus mean" computed
+    INTEGER-EXACTLY: ``length(text) * n_docs > sum(lengths)`` — no
+    double comparison to flip on a ulp.
+
+    Scale shape: one 1-row stats aggregate (broadcast back via
+    crossJoin, the BM25 pattern), then explode tokens -> ONE
+    bucket-keyed count aggregate with map-side combine — the shuffle
+    carries <= n_buckets rows per mapper regardless of corpus size;
+    flat at 100 TB like every pure-aggregate text op."""
+    t = F.col(text_col)
+    if label_col is None:
+        stats = df.agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum(F.length(t).cast("bigint")).cast("bigint").alias("__s"),
+        )
+        d = df.crossJoin(F.broadcast(stats)).withColumn(
+            "__lab",
+            (F.length(t).cast("bigint") * F.col("__n")) > F.col("__s"),
+        )
+    else:
+        d = df.withColumn("__lab", F.col(label_col))
+    occ = d.select(F.explode(tokens(t)).alias("__tok"), "__lab")
+    agg = occ.groupBy(
+        hash_bucket(F.col("__tok"), n_buckets).alias("bucket")
+    ).agg(
+        F.sum(F.col("__lab").cast("long")).cast("bigint").alias("n_pos"),
+        F.sum((~F.col("__lab")).cast("long")).cast("bigint").alias("n_neg"),
+    )
+    s = int(scale)
+    return agg.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"(n_pos * {s}) div (n_pos + n_neg + 1) - {s // 2}"
+        ).cast("bigint").alias("weight"),
+    )
+
+
 def classifier_quality(
     df: DataFrame,
     weights: list[int] | None = None,

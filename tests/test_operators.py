@@ -2759,3 +2759,55 @@ def test_epoch_mix_sample_quotas_and_determinism(spark):
         }
         want_src0 = {k: v for k, v in got.items() if k[0] == "src0"}
         assert got_g == want_src0
+
+
+def test_nb_train_weights_fixture_and_roundtrip(spark):
+    """nb_train_weights: per-bucket counts and integer purity weights
+    against hand counts with explicit labels; the trained table,
+    densified into the classifier's weight vector, then separates the
+    classes it was trained on (the train -> score loop closes)."""
+    from ong_tsdb_spark.operators import text as t
+
+    rows = [
+        (1, "good good fine", True),
+        (2, "good fine", True),
+        (3, "bad bad junk", False),
+        (4, "bad junk", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    n_b = 64
+    out = {r["bucket"]: r for r in t.nb_train_weights(
+        df, label_col="lab", n_buckets=n_b).collect()}
+
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_b
+
+    # hand counts per token occurrence
+    want: dict[int, list[int]] = {}
+    for _, txt, lab in rows:
+        for tok in txt.split(" "):
+            b = bucket(tok)
+            pn = want.setdefault(b, [0, 0])
+            pn[0 if lab else 1] += 1
+    assert set(out) == set(want)
+    for b, (pos, neg) in want.items():
+        assert out[b]["n_pos"] == pos and out[b]["n_neg"] == neg, b
+        assert out[b]["weight"] == (pos * 1000) // (pos + neg + 1) - 500, b
+
+    # round trip: densify and score with the trained table
+    dense = [0] * n_b
+    for b, r in out.items():
+        dense[b] = r["weight"]
+    scored = df.select(
+        "doc_id", t.classifier_score_expr(F.col("text"), dense).alias("s")
+    ).collect()
+    s = {r["doc_id"]: r["s"] for r in scored}
+    assert min(s[1], s[2]) > max(s[3], s[4]), s  # classes separate
+
+    # default weak label (longer than mean, integer-exact): just shape
+    auto = t.nb_train_weights(df.select("doc_id", "text"), n_buckets=n_b)
+    cols = auto.columns
+    assert cols == ["bucket", "n_pos", "n_neg", "weight"]
+    assert auto.count() == len(want)
