@@ -787,7 +787,12 @@ def test_ledger_dedup_long_lived_processing_time_trigger(spark, tmp_path):
         assert _await(lambda: _committed(1)), "batch 1 never committed"
         # the query is STILL active after both batches — long-lived
         assert q.isActive
-        assert len([p for p in q.recentProgress if p["batchId"] >= 1]) >= 1
+        # progress events trail the foreachBatch commit (the engine
+        # records them after the batch function returns) — await, not
+        # a point-in-time read, or a loaded host flakes this
+        assert _await(
+            lambda: any(p["batchId"] >= 1 for p in q.recentProgress), 30
+        ), "no progress event for batch >= 1"
     finally:
         q.stop()
 
