@@ -537,3 +537,26 @@ def test_bigram_novelty_no_materialization_and_bounded_exchanges(spark, sf_dir):
     assert keys, plan
     for k in keys:
         assert k.startswith(("doc_id", "g")), (k, keys)
+
+
+def test_epoch_shards_assembly_exchanges_only(spark, sf_dir):
+    """corpus_epoch_shards (round 8): the FINAL assembly job must
+    shuffle only on the packing keys — seq_id (sequence assembly) and
+    __chunk (the two prefix-sum passes) — with joins broadcast-only
+    and no SortMergeJoin anywhere.  The epoch-mix rank and the kept
+    doc_id join live in the upstream materialize jobs (their shapes
+    are pinned by test_epoch_mix_bucketed_rank_and_pruned_scan and the
+    pack model tests); a seq assembly that dragged a corpus-keyed
+    exchange or a sort-merge join here would not survive 100x."""
+    import re as _re
+
+    plan = _executed_plan(
+        entry_queries.queries()["corpus_epoch_shards"](spark, sf_dir)
+    )
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert keys, plan
+    assert all(
+        k.startswith("seq_id") or k.startswith("__chunk") for k in keys
+    ), (keys, plan)
+    assert len(keys) <= 3, keys
+    assert "SortMergeJoin" not in plan, plan
