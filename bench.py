@@ -114,6 +114,7 @@ EXTENSION = [
     # round-8 operators
     "corpus_epoch_shards",
     "text_classifier_train",
+    "corpus_shuffled_shards",
 ]
 
 # back-compat: tests and tools address the full timed set by this name
@@ -182,6 +183,7 @@ SCALE_FAMILIES = [
     # round-8 operators
     "corpus_epoch_shards",
     "text_classifier_train",
+    "corpus_shuffled_shards",
 ]
 
 

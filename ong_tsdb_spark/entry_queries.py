@@ -3242,12 +3242,13 @@ def corpus_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_SEQ_LEN = 512
 _PACK_VOCAB = 256
-def _pack_chain_sql(rel: str) -> str:
-    """The concat-and-split packing CTE chain + final SELECT over any
-    relation providing (doc_id, text) — doc_id is the PACKING ORDER
-    key (the epoch integration substitutes its epoch key).  Shared by
-    corpus_pack_sequences and corpus_epoch_shards so the layout math
-    cannot drift between them."""
+def _pack_chain_ctes(rel: str) -> str:
+    """The concat-and-split packing CTE chain over any relation
+    providing (doc_id, text) — doc_id is the PACKING ORDER key (the
+    epoch integration substitutes its epoch key) — ending in
+    ``packed(seq_id, n_real_tokens, n_docs, ids_checksum)``.  Shared
+    by corpus_pack_sequences, corpus_epoch_shards, and
+    corpus_shuffled_shards so the layout math cannot drift."""
     return f"""
     tk AS (
       SELECT doc_id,
@@ -3303,13 +3304,17 @@ def _pack_chain_sql(rel: str) -> str:
       SELECT seq_id, unnest(ids) AS id, unnest(range(len(ids))) AS ord FROM sq),
     ck AS (
       SELECT seq_id, CAST(sum((ord + 1) * id) AS BIGINT) AS ids_checksum
-      FROM un GROUP BY seq_id)
-    SELECT sq.seq_id,
-           CAST(len(sq.ids) AS BIGINT) AS n_real_tokens,
-           sq.n_docs,
-           CAST(coalesce(ck.ids_checksum, 0) AS BIGINT) AS ids_checksum
-    FROM sq LEFT JOIN ck USING (seq_id)
-    """
+      FROM un GROUP BY seq_id),
+    packed AS (
+      SELECT sq.seq_id,
+             CAST(len(sq.ids) AS BIGINT) AS n_real_tokens,
+             sq.n_docs,
+             CAST(coalesce(ck.ids_checksum, 0) AS BIGINT) AS ids_checksum
+      FROM sq LEFT JOIN ck USING (seq_id))"""
+
+
+def _pack_chain_sql(rel: str) -> str:
+    return _pack_chain_ctes(rel) + "\n    SELECT * FROM packed"
 
 
 _PACK_SEQ_SQL = "WITH " + _pack_chain_sql("documents")
@@ -3437,6 +3442,64 @@ def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return tokenized_shards.epoch_pack_stats(
         docs, vocab_size=_PACK_VOCAB, seq_len=_PACK_SEQ_LEN
+    )
+
+
+_SHUFFLE_BINS = 8  # sequences per shard at the registry's toy seq_len
+
+
+def _shuffled_shards_sql() -> str:
+    from .plans.tokenized_shards import EPOCH_KEY_STRIDE
+
+    return (
+        "WITH " + _epoch_mix_ctes() + f""",
+    sidx AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS s
+      FROM (SELECT DISTINCT source FROM kept)),
+    kd AS (
+      SELECT k.keep_rank * {EPOCH_KEY_STRIDE} + s.s AS doc_id, d.text
+      FROM kept k JOIN sidx s USING (source)
+      JOIN documents d ON d.doc_id = k.doc_id),
+    """
+        + _pack_chain_ctes("kd")
+        + f""",
+    sh AS (
+      SELECT seq_id,
+             CAST(row_number() OVER (
+               ORDER BY md5('shuffle|' || seq_id::VARCHAR), seq_id
+             ) AS BIGINT) AS shuffle_rank
+      FROM packed)
+    SELECT p.seq_id, p.n_real_tokens, p.n_docs, p.ids_checksum,
+           s.shuffle_rank,
+           CAST((s.shuffle_rank - 1) // {_SHUFFLE_BINS} AS BIGINT) AS shard_id
+    FROM packed p JOIN sh s USING (seq_id)
+    """
+    )
+
+
+@register("corpus_shuffled_shards", _shuffled_shards_sql())
+def corpus_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL step of the epoch-on-disk loop: mix -> order -> pack
+    (corpus_epoch_shards) -> deterministic EPOCH SHUFFLE
+    (plans/tokenized_shards.shuffled_shard_layout) — every training
+    sequence gets a pseudo-random global position (md5 rank, computed
+    as a bucketed two-level rank, never a global window) and a
+    size-balanced shard that is a uniform random sample of the epoch,
+    so a loader reading shards sequentially reads shuffled data.
+    Re-salting permutes independently per epoch.  The oracle composes
+    all three CTE chains, so mix, packing, and shuffle semantics are
+    pinned together end to end."""
+    from ong_tsdb_spark.operators.dedup import materialize_for_self_join
+
+    docs = load(spark, sf_dir, "documents")
+    packed = materialize_for_self_join(
+        tokenized_shards.epoch_pack_stats(
+            docs, vocab_size=_PACK_VOCAB, seq_len=_PACK_SEQ_LEN
+        )
+    )
+    return tokenized_shards.shuffled_shard_layout(
+        packed, bins_per_shard=_SHUFFLE_BINS
     )
 
 
@@ -4296,6 +4359,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
 # planned-on: r01..r07
 _TAIL_ROTATION = [
+    "dedup_clusters",
     "dedup_passage_stats",
     "text_gopher_quality",
     "emb_centroid_dist",

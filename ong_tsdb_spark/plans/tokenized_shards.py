@@ -372,6 +372,75 @@ def epoch_pack_stats(
     )
 
 
+def shuffled_shard_layout(
+    seqs: DataFrame,
+    id_col: str = "seq_id",
+    bins_per_shard: int = 64,
+    n_buckets: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE of training sequences — the last
+    step of the epoch-on-disk loop: training wants sequences in
+    pseudo-random order, not packing order, but a
+    ``row_number() over (order by hash)`` is a single-task global sort
+    at 12B sequences (100 TB / 4k-token rows).  Same cure as
+    epoch_mix_sample's rank: hash-range buckets make the global hash
+    order factor exactly into (bucket, within-bucket) order, so
+    ``shuffle_rank = bucket_offset + local_rank`` is bit-identical to
+    the global rank with the widest task at 1/n_buckets of the table.
+
+    Adds (shuffle_rank, shard_id) to the input: ``shuffle_rank`` is
+    the 1-based position in md5(salt|id) order (ties by id),
+    ``shard_id = (shuffle_rank - 1) div bins_per_shard`` — shards stay
+    size-balanced AND each holds a uniform random sample of the
+    epoch, so sequential shard reads ARE shuffled reads.  Re-salting
+    gives an independent permutation per epoch.
+
+    Wire cost: one bucket-count aggregate over the seq table (the
+    |n_buckets|-row offsets table broadcasts back) + one
+    bucket-keyed exchange for the rank windows.  The offsets prefix
+    sum is an unpartitioned window over the n_buckets-row aggregate —
+    bounded, same class as the vocab ranking."""
+    if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= (1 << 60):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    base = seqs.withColumn("__h", h).withColumn(
+        "__b",
+        F.shiftright(
+            F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("bigint"),
+            shift,
+        ),
+    )
+    offw = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("__b")
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__n").over(offw), F.lit(0)).cast("bigint")
+        )
+        .select("__b", "__off")
+    )
+    w = Window.partitionBy("__b").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.join(F.broadcast(offsets), on="__b")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("__off") + F.row_number().over(w)).cast("bigint"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"(shuffle_rank - 1) div {int(bins_per_shard)}").cast("bigint"),
+        )
+        .drop("__h", "__b", "__off")
+    )
+
+
 def _blob_writer(seqs: DataFrame, dtype: str, bins_per_shard: int):
     """(seq_id, ids binary, n_real_tokens, n_docs, shard_id) blobs."""
     import numpy as np

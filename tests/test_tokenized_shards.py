@@ -599,3 +599,44 @@ def test_epoch_pack_stats_full_pipeline_model(spark):
         if b != mx:
             assert r["n_real_tokens"] == seq_len, b
     assert len(ns) < tsh.EPOCH_KEY_STRIDE
+
+
+def test_shuffled_shard_layout_is_exact_global_hash_rank(spark):
+    """shuffled_shard_layout: shuffle_rank is exactly the 1..N global
+    md5-order rank (bucketed two-level rank == single global sort,
+    verified against a driver-side model), shards are size-balanced
+    (every shard full except the last), and a different salt yields a
+    different permutation of the SAME rank set."""
+    import hashlib
+
+    n = 100
+    seqs = spark.createDataFrame(
+        [(i, i * 10) for i in range(n)], "seq_id long, payload long"
+    )
+    out = tsh.shuffled_shard_layout(
+        seqs, bins_per_shard=16, n_buckets=8
+    ).collect()
+
+    def h(salt, i):
+        return hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+
+    want_order = sorted(range(n), key=lambda i: (h("shuffle", i), i))
+    want_rank = {i: r + 1 for r, i in enumerate(want_order)}
+    got_rank = {r["seq_id"]: r["shuffle_rank"] for r in out}
+    assert got_rank == want_rank
+    # payload columns ride along untouched
+    assert all(r["payload"] == r["seq_id"] * 10 for r in out)
+    # shard balance: every shard exactly 16 sequences, last gets 100%16
+    from collections import Counter
+
+    sizes = Counter(r["shard_id"] for r in out)
+    assert sizes == {0: 16, 1: 16, 2: 16, 3: 16, 4: 16, 5: 16, 6: 4}
+    # independent permutation per salt
+    out2 = {
+        r["seq_id"]: r["shuffle_rank"]
+        for r in tsh.shuffled_shard_layout(
+            seqs, bins_per_shard=16, n_buckets=8, salt="epoch2"
+        ).collect()
+    }
+    assert sorted(out2.values()) == list(range(1, n + 1))
+    assert out2 != got_rank
