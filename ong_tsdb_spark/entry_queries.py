@@ -4357,70 +4357,70 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r07
+# planned-on: r01..r08
 _TAIL_ROTATION = [
-    "dedup_clusters",
-    "dedup_passage_stats",
-    "text_gopher_quality",
-    "emb_centroid_dist",
-    "events_interval_join",
-    "events_retention",
-    "graph_pagerank",
-    "text_bigram_novelty",
-    "dedup_ledger_replay",
-    "dedup_near_ledger_replay",
-    "corpus_topic_sample",
-    "emb_kmeans_k64",
-    "ts_range_read",
-    "ts_snap_grid",
-    "ts_checksum_nansum",
-    "tpch_q1",
-    "tpch_q3_topk",
-    "tpch_q5ish",
-    "top_orders",
-    "part_brand_agg",
-    "dedup_simhash",
-    "dedup_simhash32",
-    "text_tokens",
-    "text_fingerprint",
-    "emb_label_centroids",
-    "emb_quantized_topk",
-    "ts_delta",
-    "tpch_rollup",
-    "events_json_extract",
-    "ts_rolling_mean",
-    "tpch_q6",
-    "emb_neardup_numpy",
-    "orders_with_late_lines",
-    "customers_without_recent_orders",
-    "users_set_ops",
-    "tpch_cube",
-    "text_pii_scrub",
     "text_repetition",
     "top_orders_per_priority",
     "emb_ivf_topk",
-    "text_vocab",
-    "text_contamination",
-    "corpus_sample_stats",
     "dedup_keep_best",
-    "doc_length_band",
-    "text_rare_tokens",
-    "corpus_pack_stats",
-    "dedup_ledger_backfill",
     "emb_ann_recall",
     "emb_ivf_recall",
     "dedup_semantic",
-    "text_bm25_topk",
     "ts_ewma",
-    "corpus_mix_weights",
-    "corpus_epoch_mix",
     "ts_mad_anomaly",
     "dedup_minhash_error",
     "corpus_curation_report",
-    "text_fertility",
     "corpus_delta_stats",
-    "text_c4_quality",
-    "dedup_ledger_crash_replay",
+    "ts_last_timestamp",
+    "ts_downsample_first",
+    "ts_upsert_last_wins",
+    "ts_usage_stats",
+    "ts_ingest_grouping",
+    "influx_roundtrip",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_langid",
+    "emb_cosine_topk",
+    "emb_neardup_blocked",
+    "emb_neardup_lsh",
+    "ts_asof_join",
+    "ts_gap_fill",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "ts_sessionize",
+    "ts_time_weighted_avg",
+    "ts_ohlc",
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_value_histogram",
+    "part_type_like",
+    "customers_above_nation_avg",
+    "ts_cumulative_sum",
+    "ts_cumulative_sum_chunked",
+    "doc_stats_by_lang",
+    "emb_ann_lsh",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "ts_moving_range_avg",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "dedup_winnow",
+    "ts_zscore_anomaly",
+    "text_dup_spans",
+    "corpus_epoch_shards",
+    "corpus_shuffled_shards",
+    "corpus_pack_sequences",
+    "text_classifier_train",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "emb_pq_adc_topk",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
+    "emb_pq_recall",
+    "events_funnel",
 ]
 # --- TAIL_ROTATION END ---
 

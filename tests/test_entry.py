@@ -236,3 +236,45 @@ def test_bench_drift_flags_movers():
     assert d["common"] == 4
     # worst mover first
     assert names[0] == "fast"
+
+
+def test_rotation_code_change_ranking():
+    """VERDICT r8 #7: an entry whose implementing module changed AFTER
+    its last driver-green round must outrank an untouched entry with
+    OLDER evidence — so post-green code edits can never ride on stale
+    driver rows silently.  Pure-ranking unit test plus a live check
+    that the r8 module edits (text.py, streaming/dedup.py,
+    operators/events.py) flag their dependents."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_mod2", os.path.join(repo, "tools", "rotate.py")
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    names = ["untouched_r7", "touched_r8", "fresh_r8", "never"]
+    green = {"untouched_r7": 7, "touched_r8": 8, "fresh_r8": 8}
+    changed = {"touched_r8": ["ong_tsdb_spark/operators/text.py"]}
+    ranked = rot.rank_entries(names, green, changed)
+    # never-proven first, then the code-touched r8 entry BEFORE the
+    # untouched r7 one, untouched fresh last
+    assert ranked.index("never") == 0
+    assert ranked.index("touched_r8") < ranked.index("untouched_r7")
+    assert ranked[-1] == "fresh_r8"
+
+    # live detection over committed history: the four entries the r8
+    # verdict named as changed-after-green must be flagged
+    green_live = rot.last_green_rounds(max_round=8)
+    changed_live = rot.changed_since_green(green_live, 8)
+    for entry in (
+        "corpus_epoch_mix",
+        "events_retention",
+        "dedup_ledger_replay",
+        "dedup_near_ledger_replay",
+    ):
+        assert entry in changed_live, f"{entry} should be flagged as code-changed"
+    # and an untouched-module entry must NOT be flagged
+    assert "graph_pagerank" not in changed_live

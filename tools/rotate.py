@@ -30,6 +30,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,6 +38,183 @@ sys.path.insert(0, REPO)
 
 BEGIN = "# --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---"
 END = "# --- TAIL_ROTATION END ---"
+
+# package-relative paths of modules referenced by entry_queries bodies
+# via the top-level aliases imported at entry_queries.py:34-37
+_ALIAS_FILES = {
+    "dedup": "ong_tsdb_spark/operators/dedup.py",
+    "downsample": "ong_tsdb_spark/operators/downsample.py",
+    "similarity": "ong_tsdb_spark/operators/similarity.py",
+    "text": "ong_tsdb_spark/operators/text.py",
+    "tokenized_shards": "ong_tsdb_spark/plans/tokenized_shards.py",
+    "influx_src": "ong_tsdb_spark/sources/influx.py",
+}
+# schema-adaptive epoch helpers every ts_* body leans on
+_TS_HELPER_FILE = "ong_tsdb_spark/functions/timeseries.py"
+_INLINE_IMPORT_RE = re.compile(
+    r"from\s+(\.[.\w]*|ong_tsdb_spark[.\w]*)\s+import\s+\(?([\w,\s]+)\)?"
+)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def round_close_commit(rnd: int) -> str | None:
+    """Commit that ADDED CORRECTNESS_r0N.json — the snapshot the round-N
+    driver evidence was gathered against (the driver commits evidence at
+    round close, before any round-N+1 code lands)."""
+    try:
+        out = _git(
+            "log", "--diff-filter=A", "--format=%H", "--",
+            f"CORRECTNESS_r{rnd:02d}.json",
+        ).strip().splitlines()
+    except subprocess.CalledProcessError:
+        return None
+    return out[-1] if out else None
+
+
+def _resolve_module(dotted: str, names: str) -> list[str]:
+    """`from <dotted> import <names>` -> repo-relative candidate files."""
+    dotted = dotted.replace("ong_tsdb_spark", "", 1).lstrip(".")
+    base = os.path.join("ong_tsdb_spark", *dotted.split(".")) if dotted else "ong_tsdb_spark"
+    found = []
+    mod_file = base + ".py"
+    if os.path.exists(os.path.join(REPO, mod_file)):
+        found.append(mod_file)
+    for name in re.split(r"[,\s]+", names.strip()):
+        sub = os.path.join(base, f"{name}.py")
+        if name and os.path.exists(os.path.join(REPO, sub)):
+            found.append(sub)
+    return found
+
+
+def entry_impl_files() -> dict[str, set[str]]:
+    """entry name -> repo-relative operator/plan files its body touches
+    (top-level aliases + inline `from .x import y` statements + the
+    shared epoch helpers).  entry_queries.py itself is handled
+    separately via a per-function body diff, because the managed
+    rotation block mutates every round."""
+    import inspect
+
+    import __spark_entry__  # noqa: F401 — ensures package import path
+    from ong_tsdb_spark.entry_queries import REGISTRY
+
+    out: dict[str, set[str]] = {}
+    for name, q in REGISTRY.items():
+        try:
+            src = inspect.getsource(q.fn)
+        except OSError:
+            out[name] = set(_ALIAS_FILES.values())  # unknowable -> conservative
+            continue
+        files: set[str] = set()
+        for alias, path in _ALIAS_FILES.items():
+            if re.search(rf"\b{alias}\.\w", src):
+                files.add(path)
+        for m in _INLINE_IMPORT_RE.finditer(src):
+            files.update(_resolve_module(m.group(1), m.group(2)))
+        if re.search(r"\b(_us|_sec|_ns|nan_sum|epoch_us|epoch_sec|epoch_ns)\(", src):
+            files.add(_TS_HELPER_FILE)
+        out[name] = files
+    return out
+
+
+def _fn_chunks(src: str) -> dict[str, str]:
+    """Split an entry_queries.py source into per-@register chunks keyed
+    by the registered function's name (decorator + oracle SQL + body)."""
+    chunks: dict[str, str] = {}
+    parts = re.split(r"(?m)^(?=@register\()", src)
+    for part in parts[1:]:
+        m = re.search(r"(?m)^def (\w+)\(", part)
+        if not m:
+            continue
+        # keep decorator + first def block only: cut at the next col-0 def
+        tail = part[m.start():]
+        nxt = re.search(r"(?m)^(?=def |# ==|_\w+ =)", tail[1:])
+        fn_src = part[: m.start()] + (tail[: nxt.start() + 1] if nxt else tail)
+        chunks[m.group(1)] = re.sub(r"\s+", " ", fn_src).strip()
+    return chunks
+
+
+def changed_since_green(
+    green: dict[str, int], planned_on: int
+) -> dict[str, list[str]]:
+    """entry -> evidence-invalidating changes: impl files (or the
+    entry's own @register block in entry_queries.py) that differ
+    between the close commit of the entry's last-green round and the
+    close commit of ``planned_on``.  Deterministic over committed
+    history, so the committed rotation stays reproducible (the test
+    re-plans over the same planned-on window).  VERDICT r8 #7."""
+    import inspect
+
+    import __spark_entry__  # noqa: F401
+    from ong_tsdb_spark.entry_queries import REGISTRY
+
+    close: dict[int, str | None] = {}
+    for rnd in set(green.values()) | {planned_on}:
+        close[rnd] = round_close_commit(rnd)
+    upper = close.get(planned_on)
+    impl = entry_impl_files()
+    # one git-diff + one old-source fetch per distinct stale round
+    diff_cache: dict[int, set[str]] = {}
+    chunk_cache: dict[int, dict[str, str]] = {}
+    eq_rel = "ong_tsdb_spark/entry_queries.py"
+    # compare the two round-close COMMITS (not the working tree) so the
+    # plan is reproducible over its planned-on window even while the
+    # current round edits entry bodies
+    try:
+        head_chunks = _fn_chunks(_git("show", f"{upper}:{eq_rel}")) if upper else {}
+    except subprocess.CalledProcessError:
+        head_chunks = {}
+    out: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        rnd = green.get(name)
+        if rnd is None or rnd >= planned_on:
+            continue
+        lower = close.get(rnd)
+        if lower is None or upper is None or lower == upper:
+            continue
+        if rnd not in diff_cache:
+            diff_cache[rnd] = set(
+                _git("diff", "--name-only", f"{lower}..{upper}").splitlines()
+            )
+            try:
+                old_src = _git("show", f"{lower}:{eq_rel}")
+            except subprocess.CalledProcessError:
+                old_src = ""
+            chunk_cache[rnd] = _fn_chunks(old_src)
+        reasons = sorted(impl.get(name, set()) & diff_cache[rnd])
+        fname = q.fn.__name__
+        if chunk_cache[rnd].get(fname) != head_chunks.get(fname):
+            reasons.append(f"{eq_rel}:{fname}")
+        if reasons:
+            out[name] = reasons
+    return out
+
+
+def rank_entries(
+    names: list[str],
+    green: dict[str, int],
+    changed: dict[str, list[str]] | None = None,
+) -> list[str]:
+    """Staleness order with the code-change override: never-proven
+    first, then entries whose impl changed after their last green
+    driver row (newest-green LAST within that class — oldest evidence
+    still leads), then untouched entries oldest-green-first.  A
+    code-touched r8-green entry therefore outranks an untouched
+    r7-green one (VERDICT r8 #7)."""
+    changed = changed or {}
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if (n not in green or n in changed) else green[n],
+            green.get(n, 0),
+            order[n],
+        ),
+    )
 
 
 def last_green_rounds(max_round: int | None = None) -> dict[str, int]:
@@ -76,16 +254,18 @@ def plan(
 
     names = list(entry_mod.queries())
     green = last_green_rounds(max_round)
-    # staleness order: never-green first (round 0), then oldest green;
-    # ties broken by current registry order so the plan is stable
-    order = {n: i for i, n in enumerate(names)}
-    ranked = sorted(names, key=lambda n: (green.get(n, 0), order[n]))
+    planned_on = max(green.values(), default=0)
+    try:
+        changed = changed_since_green(green, planned_on)
+    except Exception as ex:  # noqa: BLE001 — degrade to staleness-only
+        print(f"WARNING: code-change scan unavailable ({ex}); "
+              "ranking by staleness only", file=sys.stderr)
+        changed = {}
+    ranked = rank_entries(names, green, changed)
     head = ranked[:head_size]
     # tail: most-recently-proven LAST (nearest the window boundary)
-    tail = sorted(
-        (n for n in names if n not in set(head)),
-        key=lambda n: (green.get(n, 0), order[n]),
-    )
+    tail = [n for n in ranked if n not in set(head)]
+    plan.last_changed = changed  # for main()'s report
     return head, tail, green
 
 
@@ -126,12 +306,24 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     head, tail, green = plan(args.head_size)
+    changed = getattr(plan, "last_changed", {})
     latest = max(green.values(), default=0)
     print(f"registry={len(head) + len(tail)} head={len(head)} tail={len(tail)} "
           f"latest_round=r{latest:02d}")
+    # staleness histogram over the whole registry (VERDICT r8 #6): the
+    # driver proves <=50 entries/round, so with >100 entries worst-case
+    # cadence is ceil(registry/50) rounds — watch it here every run.
+    hist: dict[str, int] = {}
+    for n in head + tail:
+        key = f"r{green[n]:02d}" if n in green else "never"
+        hist[key] = hist.get(key, 0) + 1
+    print("staleness histogram: "
+          + " ".join(f"{k}={hist[k]}" for k in sorted(hist)))
     for n in head:
         why = (
             "never-proven" if n not in green
+            else f"CODE-CHANGED after r{green[n]:02d} green ({', '.join(changed[n])})"
+            if n in changed
             else f"stale-since-r{green[n]:02d}"
         )
         print(f"  head: {n} ({why})")
