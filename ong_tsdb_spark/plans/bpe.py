@@ -544,7 +544,10 @@ def train_bpe_merges(
     production 30k-merge vocab that is 60k+ jobs; cascade turns that
     into ~(30k / avg-provable-chain) summary jobs.
     ``LAST_TRAIN_ROUNDS`` records the realized round count;
-    ``LAST_TRAIN_HISTORY`` the merges accepted per round.
+    ``LAST_TRAIN_HISTORY`` the merges accepted per round —
+    ``len(LAST_TRAIN_HISTORY) == LAST_TRAIN_ROUNDS`` on EVERY exit
+    path (exhaustion/empty-batch breaks append a trailing 0 round), so
+    acceptance-curve tooling never drops the final probe round.
     ``cascade_g`` / ``cascade_topk`` override the summary horizon /
     width (default CASCADE_G=6 / CASCADE_TOPK=4096) — exactness holds
     for any values (the simulation only accepts provable argmaxes; a
@@ -600,11 +603,15 @@ def train_bpe_merges(
             accepted, exhausted = _cascade_round(S, limit, min_count)
             if not accepted:
                 if exhausted:
+                    # final probe round accepted nothing: record it so
+                    # len(history) == rounds holds on every exit path
+                    history.append(0)
                     break
                 history.append(0)
                 rounds += 1
                 accepted = _single_merge()
                 if not accepted:
+                    history.append(0)
                     break
         else:
             # collect enough of the ranking that the batch rule has
@@ -633,6 +640,7 @@ def train_bpe_merges(
                 prior_outputs=frozenset(a + b for a, b in merges),
             )
             if not accepted:
+                history.append(0)
                 break
         history.append(len(accepted))
         merges.extend(accepted)

@@ -307,7 +307,10 @@ def pack_sequence_stats(
 #: keep_rank * STRIDE + source_index, so the key's total order IS the
 #: canonical round-robin epoch order (keep_rank asc, source asc).
 #: Bounds the mix at 1024 sources — real pretraining recipes have
-#: tens; documented, and asserted by the integration test.
+#: tens.  Enforced at RUNTIME by epoch_pack_stats (raises ValueError
+#: when the distinct-source count reaches the stride — key collisions
+#: would silently corrupt epoch order otherwise) and asserted by the
+#: integration test.
 EPOCH_KEY_STRIDE = 1024
 
 
@@ -348,6 +351,18 @@ def epoch_pack_stats(
 
     kept = epoch_mix_sample(df, target_ppm, source_col=source_col, id_col=id_col)
     srcs = kept.select(source_col).distinct()
+    # runtime guard (not just a test assertion): with >= STRIDE sources
+    # the packed epoch keys collide across ranks and the epoch order is
+    # silently corrupted.  The distinct-source table is driver-small
+    # (map-side combine reduces it to |sources| rows), so this is one
+    # cheap bounded count before any heavy work runs.
+    n_sources = srcs.count()
+    if n_sources >= EPOCH_KEY_STRIDE:
+        raise ValueError(
+            f"epoch_pack_stats supports at most {EPOCH_KEY_STRIDE - 1} distinct "
+            f"sources (EPOCH_KEY_STRIDE={EPOCH_KEY_STRIDE}); got {n_sources} — "
+            "epoch keys would collide and corrupt the epoch order"
+        )
     idx = srcs.withColumn(
         "__sidx",
         (F.row_number().over(Window.orderBy(source_col)) - 1).cast("bigint"),

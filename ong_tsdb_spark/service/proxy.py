@@ -171,26 +171,35 @@ def negotiate_proxy_auth(
     proxy_auth_body: dict,
     headers: Mapping[str, str] | None = None,
     probe_path: str = "/",
+    negotiate_json_407: bool = False,
 ) -> dict[str, str]:
     """Client-side proxy negotiation (reference client.py:95-160):
-    probe a protected path; on the 401/json/407 challenge, POST the
+    probe a protected path; on the 401/json challenge, POST the
     challenge's form fields merged with ``proxy_auth_body`` to the
     challenge URL (carrying its cookies), and return ``headers``
     updated with the minted session cookie.  No challenge -> headers
     unchanged.  Non-JSON challenge or failed login ->
-    :class:`ProxyNotAuthorizedError` (carrying the response) — the
-    reference's raise points, with one DELIBERATE extension: the
-    reference raises ProxyNotAuthorizedException on ANY raw HTTP 407
-    (reference client.py:201), while this client negotiates a 407
-    that carries a parseable JSON challenge body exactly like the
-    json-401 flow (a proxy that both speaks the challenge protocol
-    and answers with the standards-correct status should be logged
-    into, not refused); bare/non-JSON 407s raise, matching the
-    reference."""
+    :class:`ProxyNotAuthorizedError` (carrying the response).
+
+    Raw HTTP 407s match the reference EXACTLY by default: the
+    reference raises ProxyNotAuthorizedException on ANY status-407
+    response (reference client.py:201), whatever its body.  The
+    OPT-IN extension ``negotiate_json_407=True`` (ADVICE r8: default
+    must be reference behavior) additionally negotiates a 407 whose
+    body carries a parseable JSON challenge exactly like the json-401
+    flow — for proxies that both speak the challenge protocol and
+    answer with the standards-correct status; bare/non-JSON 407s
+    raise either way."""
     hdrs = dict(headers or {})
     status, rh, data = request("GET", probe_path, hdrs, None)
     if status not in (401, 407):
         return hdrs
+    if status == 407 and not negotiate_json_407:
+        # reference-exact: any raw 407 is a hard refusal
+        raise ProxyNotAuthorizedError(
+            "proxy authentication required (HTTP 407)",
+            response=(status, rh, data),
+        )
     # a standards-compliant proxy answers a bare HTTP 407 — run the
     # same challenge parse as the JSON-401 flow so it surfaces as the
     # documented ProxyNotAuthorizedError (reference client.py:201),

