@@ -614,6 +614,26 @@ def write_tokenized_shards(
         df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
         tokens_fn=tokens_fn,
     )
+    return _commit_packed_shards(
+        seqs, out_dir, vmap, dtype, seq_len, bins_per_shard,
+        last_doc_id=int(max_doc), merges=merges,
+    )
+
+
+def _commit_packed_shards(
+    seqs: DataFrame,
+    out_dir: str,
+    vmap: dict[str, int],
+    dtype: str,
+    seq_len: int,
+    bins_per_shard: int,
+    last_doc_id: int | None,
+    merges: list[tuple[str, str]] | None = None,
+    extra_meta: dict | None = None,
+) -> int:
+    """Shared commit tail of the shard writers: blob-encode, one
+    shard-partitioned sorted parquet write, then the vocab/meta
+    sidecars derived from ONE aggregate over the written shards."""
     blobs = _blob_writer(seqs, dtype, bins_per_shard)
     (
         blobs.repartition(F.col("shard_id"))
@@ -624,7 +644,7 @@ def write_tokenized_shards(
     )
     # sidecars AFTER the parquet job: mode("overwrite") clears out_dir
     _write_vocab(out_dir, vmap)
-    spark = df.sparkSession
+    spark = seqs.sparkSession
     # ONE aggregate over the written shards for every meta field
     s = spark.read.parquet(out_dir).agg(
         F.coalesce(F.sum("n_real_tokens"), F.lit(0)).alias("t"),
@@ -653,11 +673,73 @@ def write_tokenized_shards(
                 else None
             ),
             # append batches must continue the doc_id order — enforced
-            "last_doc_id": int(max_doc) if max_doc is not None else None,
+            "last_doc_id": last_doc_id,
             **({"merges": [list(m) for m in merges]} if merges else {}),
+            **(extra_meta or {}),
         },
     )
     return int(s["nsh"])
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    out_dir: str,
+    vocab_size: int = 65_000,
+    seq_len: int = 4096,
+    bins_per_shard: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | dict[str, int] | None = None,
+    merges: list[tuple[str, str]] | None = None,
+    salt: str = "shuffle",
+    n_buckets: int = 1024,
+) -> int:
+    """The epoch-on-disk loop's WRITE step in SHUFFLED order: pack the
+    corpus (:func:`pack_sequences`, corpus order), permute it with
+    :func:`shuffled_shard_layout`'s deterministic bucketed md5 rank,
+    and renumber ``seq_id := shuffle_rank - 1`` before committing — so
+    the on-disk layout (ascending shards, sorted files) IS the
+    shuffled training order and sequential consumption
+    (:func:`iter_training_sequences`) needs no changes.  Re-salting
+    writes an independent permutation of the SAME sequence set per
+    epoch.  The directory passes :func:`verify_shards` (contiguous
+    renumbered ids, shard-assignment law, token totals) like any other
+    shard dir; the applied ``salt`` is recorded in the meta.  A
+    shuffled epoch is a one-shot artifact:
+    :func:`append_tokenized_shards` refuses it (``last_doc_id`` is
+    absent — appending would interleave unshuffled data)."""
+    tokens_fn = _merges_tokens_fn(merges) if merges else None
+    if vocab is None:
+        vocab = vocab_table(
+            df, vocab_size=vocab_size, text_col=text_col, tokens_fn=tokens_fn
+        )
+    vmap = (
+        dict(vocab)
+        if isinstance(vocab, dict)
+        else {r["token"]: int(r["id"]) for r in vocab.collect()}
+    )
+    max_id = max(vmap.values(), default=FIRST_ID - 1)
+    dtype = "<u2" if max_id < 65_536 else "<i4"
+    seqs = pack_sequences(
+        df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
+        tokens_fn=tokens_fn,
+    )
+    shuffled = (
+        shuffled_shard_layout(
+            seqs, bins_per_shard=bins_per_shard, salt=salt, n_buckets=n_buckets
+        )
+        .select(
+            (F.col("shuffle_rank") - 1).cast("bigint").alias("seq_id"),
+            "ids",
+            "n_real_tokens",
+            "n_docs",
+        )
+    )
+    return _commit_packed_shards(
+        shuffled, out_dir, vmap, dtype, seq_len, bins_per_shard,
+        last_doc_id=None, merges=merges,
+        extra_meta={"shuffled": {"salt": salt, "n_buckets": int(n_buckets)}},
+    )
 
 
 def append_tokenized_shards(
@@ -685,6 +767,14 @@ def append_tokenized_shards(
 
     spark = df_new.sparkSession
     meta = read_tokenizer_meta(out_dir)
+    if meta.get("shuffled") is not None:
+        raise ValueError(
+            "cannot append to a SHUFFLED shard directory (written by "
+            "write_shuffled_shards): its on-disk order is a permuted "
+            "epoch snapshot — appending would interleave unshuffled "
+            "data.  Re-run write_shuffled_shards over the full corpus "
+            "(optionally with a new salt) instead."
+        )
     vmap = read_vocab(out_dir)
     # a directory written with a learned merge table records it in the
     # meta — the append MUST tokenize identically or sequence content

@@ -660,3 +660,66 @@ def test_epoch_pack_stats_rejects_stride_many_sources(spark):
     ppm = {f"src{i:04d}": 1_000_000 // n for i in range(n)}
     with _pytest.raises(ValueError, match="sources"):
         tsh.epoch_pack_stats(docs, target_ppm=ppm, vocab_size=64, seq_len=16)
+
+
+def test_shuffled_shards_byte_roundtrip(spark, tmp_path):
+    """VERDICT r8 #4: write a SHUFFLED epoch through the shard writer
+    and byte-verify the blobs in shuffle order — the full composition
+    shuffled_shard_layout -> blob writer -> verify_shards ->
+    iter_training_sequences, asserting CONTENT equality in
+    shuffle_rank order, plus re-salting giving a different permutation
+    of the same blob multiset and the append-refusal contract."""
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 7} alpha beta tok{i % 5} gamma " * 3) for i in range(40)],
+    )
+    seq_len, bps = 16, 4
+    vocab = {t: tsh.FIRST_ID + i for i, t in enumerate(
+        sorted({f" tok{k}" for k in range(7)} | {f"tok{k}" for k in range(7)}
+               | {" alpha", " beta", " gamma", "alpha"})
+    )}
+    # expected: corpus-order packing permuted by the layout's rank
+    seqs = tsh.pack_sequences(docs, seq_len=seq_len, vocab=vocab)
+    layout = tsh.shuffled_shard_layout(
+        seqs, bins_per_shard=bps, salt="epoch1"
+    ).collect()
+    by_rank = sorted(layout, key=lambda r: r["shuffle_rank"])
+    expected = [
+        (np.asarray(r["ids"], dtype="<u2"), int(r["n_real_tokens"]))
+        for r in by_rank
+    ]
+    assert [r["seq_id"] for r in by_rank] != sorted(
+        r["seq_id"] for r in by_rank
+    ), "permutation degenerate — pick different salt/corpus"
+
+    out = str(tmp_path / "shuffled")
+    n_sh = tsh.write_shuffled_shards(
+        docs, out, seq_len=seq_len, bins_per_shard=bps,
+        vocab=vocab, salt="epoch1",
+    )
+    assert n_sh == (len(expected) + bps - 1) // bps
+    rep = tsh.verify_shards(spark, out)
+    assert rep["ok"], rep
+    got = list(tsh.iter_training_sequences(out))
+    assert [sid for sid, _, _ in got] == list(range(len(expected)))
+    for (sid, ids, nr), (eids, enr) in zip(got, expected):
+        assert nr == enr, sid
+        assert np.array_equal(ids, eids), f"blob content mismatch at rank {sid}"
+
+    # a different salt: same blob multiset, different order
+    out2 = str(tmp_path / "shuffled2")
+    tsh.write_shuffled_shards(
+        docs, out2, seq_len=seq_len, bins_per_shard=bps,
+        vocab=vocab, salt="epoch2",
+    )
+    got2 = list(tsh.iter_training_sequences(out2))
+    assert sorted(x.tobytes() for _, x, _ in got) == sorted(
+        x.tobytes() for _, x, _ in got2
+    )
+    assert [x.tobytes() for _, x, _ in got] != [x.tobytes() for _, x, _ in got2]
+
+    # one-shot artifact: appends must refuse
+    with pytest.raises(ValueError, match="SHUFFLED"):
+        tsh.append_tokenized_shards(
+            _docs(spark, [(100, "alpha beta")]), out
+        )

@@ -11,7 +11,14 @@ SAME testdata: each adjacent word n-gram becomes one training token
 sf0.1: order=2 -> 1062 merges; order=3 -> >5k merges.
 
     python tools/bpe_scale.py [n_merges] [--check-sequential] [--g N]
-        [--order N] [--batch N]
+        [--order N] [--batch N] [--natural]
+
+``--natural`` trains on the documents table's RAW text
+(character-initialized words, exactly the production tokenizer path)
+instead of the synthetic n-gram symbol space — the corpus word
+vocabulary bounds the learnable merge count, so this run documents the
+MEASURED exhaustion point and the acceptance curve on the way there
+(VERDICT r8 #3).
 
 Prints one JSON line: {"n_merges", "rounds_cascade", "sec_cascade",
 "reduction" (vs one-job-pair-per-merge), "identical" (when checked),
@@ -88,6 +95,7 @@ def main() -> int:
     order = 2
     if "--order" in sys.argv:
         order = int(sys.argv[sys.argv.index("--order") + 1])
+    natural = "--natural" in sys.argv
     batch = 64
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
@@ -105,7 +113,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from ong_tsdb_spark.plans import bpe
 
-    corpus = bigram_token_corpus(spark, sf_dir, order).localCheckpoint(eager=True)
+    if natural:
+        from ong_tsdb_spark import entry_queries
+
+        corpus = entry_queries.load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).localCheckpoint(eager=True)
+    else:
+        corpus = bigram_token_corpus(spark, sf_dir, order).localCheckpoint(eager=True)
     t0 = time.perf_counter()
     cascade = bpe.train_bpe_merges(
         corpus, n_merges=n_merges, batch=batch, cascade_g=g
@@ -121,7 +136,8 @@ def main() -> int:
         "curve": _curve_eighths(history),
         "fallback_rounds": history.count(0),
         "g": g or bpe.CASCADE_G,
-        "order": order,
+        "natural": natural,
+        "order": None if natural else order,
         "batch": batch,
         "sf": sf_dir,
     }
