@@ -347,9 +347,18 @@ def epoch_pack_stats(
     the unique key) and the |sources|-row broadcast.  Everything else
     is epoch_mix_sample's bucketed rank + pack_sequences' chunked
     prefix sum, unchanged."""
+    from ong_tsdb_spark.operators.dedup import materialize_for_self_join
     from ong_tsdb_spark.operators.text import epoch_mix_sample
 
-    kept = epoch_mix_sample(df, target_ppm, source_col=source_col, id_col=id_col)
+    # materialize the kept set ONCE: it feeds three consumers (the
+    # stride-guard count, the broadcast source index, and the join's
+    # probe side) and Catalyst gives them no common subplan — without
+    # this the bucketed-rank mix re-runs per consumer.  3 slim columns
+    # (source, doc_id, keep_rank), a corpus fraction — same storage
+    # contract as the dedup pair-generator indexes.
+    kept = materialize_for_self_join(
+        epoch_mix_sample(df, target_ppm, source_col=source_col, id_col=id_col)
+    )
     srcs = kept.select(source_col).distinct()
     # runtime guard (not just a test assertion): with >= STRIDE sources
     # the packed epoch keys collide across ranks and the epoch order is
