@@ -306,11 +306,11 @@ def pack_sequence_stats(
 #: source-index stride inside the epoch packing key: epoch_key =
 #: keep_rank * STRIDE + source_index, so the key's total order IS the
 #: canonical round-robin epoch order (keep_rank asc, source asc).
-#: Bounds the mix at 1024 sources — real pretraining recipes have
-#: tens.  Enforced at RUNTIME by epoch_pack_stats (raises ValueError
-#: when the distinct-source count reaches the stride — key collisions
-#: would silently corrupt epoch order otherwise) and asserted by the
-#: integration test.
+#: Collision-free while source_index < STRIDE, i.e. for UP TO 1024
+#: distinct sources (index 1024 would alias the next rank's index 0)
+#: — real pretraining recipes have tens.  Enforced at RUNTIME by
+#: epoch_pack_stats (raises ValueError when the distinct-source count
+#: EXCEEDS the stride) and asserted by the integration test.
 EPOCH_KEY_STRIDE = 1024
 
 
@@ -360,15 +360,18 @@ def epoch_pack_stats(
         epoch_mix_sample(df, target_ppm, source_col=source_col, id_col=id_col)
     )
     srcs = kept.select(source_col).distinct()
-    # runtime guard (not just a test assertion): with >= STRIDE sources
-    # the packed epoch keys collide across ranks and the epoch order is
-    # silently corrupted.  The distinct-source table is driver-small
-    # (map-side combine reduces it to |sources| rows), so this is one
-    # cheap bounded count before any heavy work runs.
+    # runtime guard (not just a test assertion): with > STRIDE sources
+    # (source_index would reach the stride and alias the next rank's
+    # index 0) the packed epoch keys collide and the epoch order is
+    # silently corrupted.  Exactly STRIDE sources is fine: indexes span
+    # 0..STRIDE-1.  Counting the checkpointed kept table is one cheap
+    # bounded job; the mix itself has already run — the guard protects
+    # the PACKING key construction downstream, and the failure path
+    # deliberately pays the mix, not the (much larger) pack.
     n_sources = srcs.count()
-    if n_sources >= EPOCH_KEY_STRIDE:
+    if n_sources > EPOCH_KEY_STRIDE:
         raise ValueError(
-            f"epoch_pack_stats supports at most {EPOCH_KEY_STRIDE - 1} distinct "
+            f"epoch_pack_stats supports at most {EPOCH_KEY_STRIDE} distinct "
             f"sources (EPOCH_KEY_STRIDE={EPOCH_KEY_STRIDE}); got {n_sources} — "
             "epoch keys would collide and corrupt the epoch order"
         )
@@ -580,6 +583,38 @@ def write_tokenized_shards(
             "(an empty trained vocab would map every later-appended "
             "token to UNK forever)"
         )
+    vmap, dtype = _resolve_vocab_dtype(
+        df, vocab, vocab_size, text_col, tokens_fn
+    )
+    if max_doc is None:
+        # empty corpus: a valid, appendable-to directory with no rows —
+        # with the same overwrite semantics as the non-empty path
+        # (pre-existing shard data is cleared, not silently orphaned
+        # under zeroed meta)
+        return _write_empty_dir(
+            out_dir, vmap, dtype, seq_len, bins_per_shard, merges
+        )
+    seqs = pack_sequences(
+        df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
+        tokens_fn=tokens_fn,
+    )
+    return _commit_packed_shards(
+        seqs, out_dir, vmap, dtype, seq_len, bins_per_shard,
+        last_doc_id=int(max_doc), merges=merges,
+    )
+
+
+def _resolve_vocab_dtype(
+    df: DataFrame,
+    vocab: DataFrame | dict[str, int] | None,
+    vocab_size: int,
+    text_col: str,
+    tokens_fn,
+) -> tuple[dict[str, int], str]:
+    """Shared writer head: train-or-accept the vocabulary and derive
+    the blob dtype from the REAL id space (ids dense from FIRST_ID) —
+    '<u2' iff the max id fits uint16, else '<i4'.  ONE home for the
+    dtype law so the writers can never diverge."""
     if vocab is None:
         vocab = vocab_table(
             df, vocab_size=vocab_size, text_col=text_col, tokens_fn=tokens_fn
@@ -589,44 +624,45 @@ def write_tokenized_shards(
         if isinstance(vocab, dict)
         else {r["token"]: int(r["id"]) for r in vocab.collect()}
     )
-    # dtype from the REAL id space (ids are dense from FIRST_ID)
     max_id = max(vmap.values(), default=FIRST_ID - 1)
-    dtype = "<u2" if max_id < 65_536 else "<i4"
-    if max_doc is None:
-        # empty corpus: a valid, appendable-to directory with no rows —
-        # with the same overwrite semantics as the non-empty path
-        # (pre-existing shard data is cleared, not silently orphaned
-        # under zeroed meta)
-        import shutil
+    return vmap, ("<u2" if max_id < 65_536 else "<i4")
 
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(out_dir, exist_ok=True)
-        _write_vocab(out_dir, vmap)
-        _write_meta(
-            out_dir,
-            {
-                "dtype": dtype,
-                "seq_len": int(seq_len),
-                "vocab_size": len(vmap),
-                "pad_id": PAD_ID,
-                "unk_id": UNK_ID,
-                "first_id": FIRST_ID,
-                "bins_per_shard": int(bins_per_shard),
-                "total_tokens": 0,
-                "boundary": None,
-                "last_doc_id": None,
-                **({"merges": [list(m) for m in merges]} if merges else {}),
-            },
-        )
-        return 0
-    seqs = pack_sequences(
-        df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
-        tokens_fn=tokens_fn,
+
+def _write_empty_dir(
+    out_dir: str,
+    vmap: dict[str, int],
+    dtype: str,
+    seq_len: int,
+    bins_per_shard: int,
+    merges: list[tuple[str, str]] | None = None,
+    extra_meta: dict | None = None,
+) -> int:
+    """Empty-corpus commit: a valid, verify_shards-clean directory with
+    zero rows — with the same overwrite semantics as the non-empty path
+    (pre-existing shard data is cleared, not silently orphaned)."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    _write_vocab(out_dir, vmap)
+    _write_meta(
+        out_dir,
+        {
+            "dtype": dtype,
+            "seq_len": int(seq_len),
+            "vocab_size": len(vmap),
+            "pad_id": PAD_ID,
+            "unk_id": UNK_ID,
+            "first_id": FIRST_ID,
+            "bins_per_shard": int(bins_per_shard),
+            "total_tokens": 0,
+            "boundary": None,
+            "last_doc_id": None,
+            **({"merges": [list(m) for m in merges]} if merges else {}),
+            **(extra_meta or {}),
+        },
     )
-    return _commit_packed_shards(
-        seqs, out_dir, vmap, dtype, seq_len, bins_per_shard,
-        last_doc_id=int(max_doc), merges=merges,
-    )
+    return 0
 
 
 def _commit_packed_shards(
@@ -718,17 +754,23 @@ def write_shuffled_shards(
     :func:`append_tokenized_shards` refuses it (``last_doc_id`` is
     absent — appending would interleave unshuffled data)."""
     tokens_fn = _merges_tokens_fn(merges) if merges else None
-    if vocab is None:
-        vocab = vocab_table(
-            df, vocab_size=vocab_size, text_col=text_col, tokens_fn=tokens_fn
+    shuffled_meta = {"shuffled": {"salt": salt, "n_buckets": int(n_buckets)}}
+    max_doc = df.agg(F.max(F.col(id_col)).alias("m")).first()["m"]
+    if max_doc is None and vocab is None:
+        raise ValueError(
+            "cannot train a vocabulary on an empty corpus — pass a "
+            "pre-trained vocab= to write an empty shuffled directory"
         )
-    vmap = (
-        dict(vocab)
-        if isinstance(vocab, dict)
-        else {r["token"]: int(r["id"]) for r in vocab.collect()}
+    vmap, dtype = _resolve_vocab_dtype(
+        df, vocab, vocab_size, text_col, tokens_fn
     )
-    max_id = max(vmap.values(), default=FIRST_ID - 1)
-    dtype = "<u2" if max_id < 65_536 else "<i4"
+    if max_doc is None:
+        # empty epoch: a valid zero-row directory (still refuses
+        # appends via the recorded shuffled meta)
+        return _write_empty_dir(
+            out_dir, vmap, dtype, seq_len, bins_per_shard, merges,
+            extra_meta=shuffled_meta,
+        )
     seqs = pack_sequences(
         df, vocab_size, seq_len, text_col, id_col, vocab=vmap,
         tokens_fn=tokens_fn,
@@ -746,8 +788,7 @@ def write_shuffled_shards(
     )
     return _commit_packed_shards(
         shuffled, out_dir, vmap, dtype, seq_len, bins_per_shard,
-        last_doc_id=None, merges=merges,
-        extra_meta={"shuffled": {"salt": salt, "n_buckets": int(n_buckets)}},
+        last_doc_id=None, merges=merges, extra_meta=shuffled_meta,
     )
 
 

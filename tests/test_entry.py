@@ -278,3 +278,36 @@ def test_rotation_code_change_ranking():
         assert entry in changed_live, f"{entry} should be flagged as code-changed"
     # and an untouched-module entry must NOT be flagged
     assert "graph_pagerank" not in changed_live
+
+
+def test_rotation_inline_import_regex_consecutive():
+    """Code-review r9: two consecutive unparenthesized inline imports
+    must BOTH be tracked (the old greedy names-class swallowed the
+    second statement's `from` keyword), and a parenthesized multi-line
+    import resolves its module too."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_mod3", os.path.join(repo, "tools", "rotate.py")
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+
+    src = (
+        "def q(spark, sf):\n"
+        "    from .operators.asof import asof_join\n"
+        "    from .operators.gapfill import gap_fill_ffill\n"
+        "    from .streaming.dedup import (\n"
+        "        FINGERPRINT_COL,\n"
+        "        content_fingerprint,\n"
+        "    )\n"
+        "    return None\n"
+    )
+    files = set()
+    for m in rot._INLINE_IMPORT_RE.finditer(src):
+        files.update(rot._resolve_module(m.group(1), m.group(2)))
+    assert "ong_tsdb_spark/operators/asof.py" in files
+    assert "ong_tsdb_spark/operators/gapfill.py" in files
+    assert "ong_tsdb_spark/streaming/dedup.py" in files

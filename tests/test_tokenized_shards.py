@@ -644,14 +644,16 @@ def test_shuffled_shard_layout_is_exact_global_hash_rank(spark):
 
 def test_epoch_pack_stats_rejects_stride_many_sources(spark):
     """EPOCH_KEY_STRIDE runtime guard (VERDICT r8 #2 / ADVICE): with
-    >= 1024 distinct sources the packed epoch keys would collide across
-    keep-ranks and silently corrupt the epoch order, so
-    epoch_pack_stats must refuse BEFORE any heavy work — a production
+    MORE than 1024 distinct sources the source index reaches the
+    stride and aliases the next keep-rank's index 0 — the packed epoch
+    keys collide and silently corrupt the epoch order — so
+    epoch_pack_stats must refuse before the packing runs: a production
     caller with a pathological source column gets a ValueError, not a
-    wrong epoch."""
+    wrong epoch.  Exactly 1024 sources is collision-free (indexes span
+    0..1023) and must still work."""
     import pytest as _pytest
 
-    n = tsh.EPOCH_KEY_STRIDE  # exactly the first colliding count
+    n = tsh.EPOCH_KEY_STRIDE + 1  # the first colliding count
     docs = spark.createDataFrame(
         [(i, f"src{i:04d}", "hello world") for i in range(n)],
         "doc_id long, source string, text string",
@@ -660,6 +662,18 @@ def test_epoch_pack_stats_rejects_stride_many_sources(spark):
     ppm = {f"src{i:04d}": 1_000_000 // n for i in range(n)}
     with _pytest.raises(ValueError, match="sources"):
         tsh.epoch_pack_stats(docs, target_ppm=ppm, vocab_size=64, seq_len=16)
+
+    # boundary: exactly STRIDE sources packs fine (off-by-one guard)
+    m = tsh.EPOCH_KEY_STRIDE
+    docs_ok = spark.createDataFrame(
+        [(i, f"src{i:04d}", "hello world") for i in range(m)],
+        "doc_id long, source string, text string",
+    )
+    ppm_ok = {f"src{i:04d}": 1_000_000 // m for i in range(m)}
+    rows = tsh.epoch_pack_stats(
+        docs_ok, target_ppm=ppm_ok, vocab_size=64, seq_len=16
+    ).collect()
+    assert rows and all(r["n_docs"] >= 1 for r in rows)
 
 
 def test_shuffled_shards_byte_roundtrip(spark, tmp_path):
@@ -722,4 +736,25 @@ def test_shuffled_shards_byte_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="SHUFFLED"):
         tsh.append_tokenized_shards(
             _docs(spark, [(100, "alpha beta")]), out
+        )
+
+
+def test_write_shuffled_shards_empty_corpus(spark, tmp_path):
+    """Code-review r9: an empty corpus must produce a valid zero-row
+    shuffled directory (verify_shards ok, appends still refused) when a
+    vocab is pinned, and a clear error when one is not — never a
+    half-committed directory with sidecars missing."""
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL").limit(0)
+    out = str(tmp_path / "empty_shuf")
+    with pytest.raises(ValueError, match="empty corpus"):
+        tsh.write_shuffled_shards(empty, out, seq_len=8)
+    vocab = {"a": tsh.FIRST_ID}
+    n = tsh.write_shuffled_shards(empty, out, seq_len=8, vocab=vocab)
+    assert n == 0
+    rep = tsh.verify_shards(spark, out)
+    assert rep["ok"] and rep["n_sequences"] == 0, rep
+    assert tsh.read_tokenizer_meta(out)["shuffled"]["salt"] == "shuffle"
+    with pytest.raises(ValueError, match="SHUFFLED"):
+        tsh.append_tokenized_shards(
+            _docs(spark, [(1, "a")]), out
         )

@@ -134,7 +134,12 @@ def main() -> int:
         "sec_cascade": sec,
         "reduction": round(len(cascade) / max(rounds, 1), 1),
         "curve": _curve_eighths(history),
-        "fallback_rounds": history.count(0),
+        # a fallback is a 0-accepted cascade round FOLLOWED by another
+        # round (the single-merge recount it triggered); a TRAILING 0
+        # is the terminal empty probe (exhaustion / empty batch), not a
+        # fallback — train_bpe_merges records it since round 9 so
+        # len(history) == rounds on every exit path
+        "fallback_rounds": sum(1 for x in history[:-1] if x == 0),
         "g": g or bpe.CASCADE_G,
         "natural": natural,
         "order": None if natural else order,

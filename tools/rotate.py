@@ -52,7 +52,13 @@ _ALIAS_FILES = {
 # schema-adaptive epoch helpers every ts_* body leans on
 _TS_HELPER_FILE = "ong_tsdb_spark/functions/timeseries.py"
 _INLINE_IMPORT_RE = re.compile(
-    r"from\s+(\.[.\w]*|ong_tsdb_spark[.\w]*)\s+import\s+\(?([\w,\s]+)\)?"
+    # one import statement per match, names bounded to the line (or the
+    # parenthesized group) so consecutive imports can't swallow each
+    # other's `from` keyword — names like `[\w,\s]+` are greedy across
+    # newlines and would eat the next statement's keyword, silently
+    # dropping its module from the impl-file map
+    r"(?m)^\s*from\s+(\.[.\w]*|ong_tsdb_spark[.\w]*)\s+import\s+"
+    r"(\([^)]*\)|[^\n]+)"
 )
 
 
@@ -78,6 +84,7 @@ def round_close_commit(rnd: int) -> str | None:
 
 def _resolve_module(dotted: str, names: str) -> list[str]:
     """`from <dotted> import <names>` -> repo-relative candidate files."""
+    names = names.strip().strip("()")
     dotted = dotted.replace("ong_tsdb_spark", "", 1).lstrip(".")
     base = os.path.join("ong_tsdb_spark", *dotted.split(".")) if dotted else "ong_tsdb_spark"
     found = []
