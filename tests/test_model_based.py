@@ -268,3 +268,45 @@ def test_gap_fill_ffill_matches_model(spark, rows, chunk_ticks):
     want = sorted(want, key=repr)
     got = sorted(got, key=repr)
     assert got == want
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    n=st.integers(min_value=0, max_value=120),
+    salt=st.sampled_from(["a", "epoch-1", "xyz"]),
+    n_buckets=st.sampled_from([2, 8, 64, 1024]),
+    bins=st.sampled_from([1, 7, 64]),
+)
+def test_shuffled_shard_layout_matches_global_rank_model(
+    spark, n, salt, n_buckets, bins
+):
+    """Property twin of the fixed-size layout test: for ANY table
+    size (including empty), salt, power-of-two bucket count, and shard
+    width, the bucketed two-level shuffle_rank equals the rank of a
+    driver-side global sort by (md5(salt|id), id), and shard_id obeys
+    (rank-1) div bins — the exactness claim the byte-level shard
+    writer rides on, at randomized shapes instead of one."""
+    import hashlib
+
+    from ong_tsdb_spark.plans.tokenized_shards import shuffled_shard_layout
+
+    seqs = spark.range(n).selectExpr("id AS seq_id")
+    got = {
+        r["seq_id"]: (r["shuffle_rank"], r["shard_id"])
+        for r in shuffled_shard_layout(
+            seqs, bins_per_shard=bins, n_buckets=n_buckets, salt=salt
+        ).collect()
+    }
+    order = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(f"{salt}|{i}".encode()).hexdigest(), i),
+    )
+    want = {
+        sid: (rank + 1, rank // bins) for rank, sid in enumerate(order)
+    }
+    assert got == want

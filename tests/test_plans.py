@@ -560,3 +560,36 @@ def test_epoch_shards_assembly_exchanges_only(spark, sf_dir):
     ), (keys, plan)
     assert len(keys) <= 3, keys
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_shuffled_shard_layout_no_global_window(spark):
+    """shuffled_shard_layout's scale contract: the per-row rank window
+    partitions by the hash bucket __b (never a global unpartitioned
+    window over the sequence table — a single-task sort at 12B rows),
+    the ONLY unpartitioned window in the plan is the offsets prefix
+    sum over the n_buckets-row aggregate, and the offsets table comes
+    back as a broadcast, not a shuffle."""
+    import re as _re
+
+    from ong_tsdb_spark.plans.tokenized_shards import shuffled_shard_layout
+
+    seqs = spark.range(500).selectExpr(
+        "id AS seq_id", "id * 2 AS n_real_tokens"
+    )
+    df = shuffled_shard_layout(seqs, bins_per_shard=8, n_buckets=16)
+    plan = _executed_plan(df)
+    # every row_number window is bucket-partitioned
+    for wm in _re.finditer(
+        r"Window \[row_number\(\) windowspecdefinition\(([^,)]*)", plan
+    ):
+        assert wm.group(1).startswith("__b"), (wm.group(0), plan)
+    # exactly one unpartitioned window (the bounded offsets prefix sum
+    # over the 16-row bucket aggregate), recognizable by its sum spec
+    unpart = _re.findall(
+        r"Window \[sum\([^)]*\) windowspecdefinition\(__b#\d+L ASC", plan
+    )
+    assert len(unpart) == 1, (unpart, plan)
+    # offsets ride a broadcast join; the big side exchanges on __b only
+    assert "BroadcastHashJoin [__b" in plan, plan
+    keys = _re.findall(r"Exchange hashpartitioning\(([a-z_#0-9]+)", plan)
+    assert all(k.startswith("__b") for k in keys), (keys, plan)
