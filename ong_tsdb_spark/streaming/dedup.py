@@ -88,8 +88,15 @@ def _is_orderable(dt) -> bool:
 
 
 def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the md5 content digest (map-side, 16 bytes)."""
-    return df.withColumn(FINGERPRINT_COL, F.md5(F.col(text_col)))
+    """Attach the md5 content digest (map-side, 16 bytes).  NULL text
+    digests as the empty string: md5(NULL) is NULL, and NULL join keys
+    never match, so null-text documents would bypass every ledger tier
+    FOREVER (re-emitted each batch, NULL rows accumulating in the
+    ledger).  Treating them as '' dedups them against each other and
+    against genuinely empty documents — the only consistent reading."""
+    return df.withColumn(
+        FINGERPRINT_COL, F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
 
 
 def content_dedup_stream(
@@ -250,8 +257,12 @@ def start_ledger_dedup(
     if keys_of is None:
 
         def keys_of(docs_df, text_col):
+            # same null handling as content_fingerprint — the replay
+            # path re-derives keys with this and they must agree
             return docs_df.select(
-                F.md5(F.col(text_col)).alias(FINGERPRINT_COL)
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                    FINGERPRINT_COL
+                )
             ).distinct()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -323,6 +334,16 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
     are sequential, rerunnable jobs, and the streaming layout is the
     durable protocol."""
     fs = _fs(spark, ledger_path)
+    # a missing or not-yet-committed ledger is a benign no-op for a
+    # maintenance job (ops pre-created the dir, or compaction cron ran
+    # before the first streaming commit) — the same bootstrap semantics
+    # _read_ledger implements for the batch path; real wreckage (data
+    # files that cannot be read) still raises through _read_ledger
+    if not fs.exists(ledger_path):
+        return 0
+    ledger = _read_ledger(spark, ledger_path, exclude_batch=None)
+    if ledger is None:
+        return 0
     entries = fs.listdir(ledger_path)
     batch_dirs = [d for d in entries if d.startswith("batch=")]
     committed = [
@@ -330,12 +351,7 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
         for d in batch_dirs
         if fs.exists(f"{ledger_path}/{d}/_SUCCESS")
     ]
-    distinct = (
-        spark.read.parquet(ledger_path)
-        .select(FINGERPRINT_COL)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    distinct = ledger.distinct().localCheckpoint(eager=True)
     n = distinct.count()
     if batch_dirs:
         neg = [
@@ -394,7 +410,13 @@ def near_band_keys_table(
     exact tier's digests."""
     from ..operators.dedup import shingle_table, wide_minhash_table
 
-    base = df.select(F.col(id_col), F.col(text_col))
+    # NULL text -> '' up front: split(NULL) is NULL so the short-doc
+    # filter below would drop null-text docs from BOTH paths, leaving
+    # them keyless — unmatchable forever (same rationale as
+    # content_fingerprint's coalesce)
+    base = df.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
     sh = shingle_table(base, text_col=text_col, id_col=id_col, n=shingle_k)
     wide = wide_minhash_table(sh, id_col=id_col, num_hashes=num_hashes)
     n_bands = num_hashes // band_size
@@ -430,7 +452,8 @@ def near_dedup_batch_against_ledger(
     text_col: str = "text",
     id_col: str = "doc_id",
     exclude_batch: int | None = None,
-) -> DataFrame:
+    return_keys: bool = False,
+):
     """One micro-batch of the NEAR-DUP ledger protocol: exact
     within-batch dedup (content-digest representative, as the exact
     tier), then drop every document sharing >= 1 band key with the
@@ -446,19 +469,32 @@ def near_dedup_batch_against_ledger(
     Scale shape: one batch-sized minhash aggregate, the band-key
     semi-join against the ledger (32-hex keys x n_bands per doc) and
     the id anti-join back — document text crosses the wire once, to
-    its output file."""
+    its output file.
+
+    With ``return_keys`` the CHECKPOINTED (id, __fp) band-key table of
+    the batch representatives comes back too (None when no ledger
+    exists yet and keys were never built) — so the ledger-write step
+    can derive the survivors' keys by an id semi-join instead of
+    re-running the whole shingle+minhash aggregate, the dominant
+    per-batch cost (code-review r9)."""
     fp = content_fingerprint(batch_df, text_col)
     reps = _representatives(fp).drop(FINGERPRINT_COL)
     ledger = _read_ledger(spark, ledger_path, exclude_batch)
     if ledger is None:
-        return reps
-    keys = near_band_keys_table(reps, text_col, id_col)
+        return (reps, None) if return_keys else reps
+    # checkpoint: the keys table feeds the dup-id semi-join now AND
+    # (via return_keys) the survivors' ledger keys after the output
+    # write — without it the minhash aggregate runs once per consumer
+    keys = near_band_keys_table(reps, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     dup_ids = (
         keys.join(ledger, on=FINGERPRINT_COL, how="left_semi")
         .select(id_col)
         .distinct()
     )
-    return reps.join(dup_ids, on=id_col, how="left_anti")
+    out = reps.join(dup_ids, on=id_col, how="left_anti")
+    return (out, keys) if return_keys else out
 
 
 def near_keys_of(
@@ -483,22 +519,46 @@ def start_near_ledger_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger_available_now: bool = True,
+    trigger_processing_time: str | None = None,
     on_batch_committed=None,
 ):
     """:func:`start_ledger_dedup` with the NEAR-DUP tier plugged in:
     the ledger stores MinHash band keys, so re-drops catch documents
     that are merely similar (edited boilerplate, templated pages)
     across the whole ingest history, not just byte-identical ones.
-    Same crash/replay protocol, same compact_ledger maintenance —
-    only the key function differs."""
+    Same crash/replay protocol (incl. the long-lived
+    ``trigger_processing_time`` option), same compact_ledger
+    maintenance — only the key function differs.
+
+    Hot-path cost: the batch's band keys are computed ONCE — the
+    select hook checkpoints them, and the ledger-key hook derives the
+    survivors' keys by an id semi-join on the same table.  Only the
+    REPLAY path (committed output found, select never ran) re-derives
+    keys from the committed documents, where a recompute is the
+    protocol's correctness requirement."""
+    batch_keys: dict[str, DataFrame] = {}
 
     def select_batch(spark, batch_df, ledger_path, text_col, exclude_batch):
-        return near_dedup_batch_against_ledger(
-            spark, batch_df, ledger_path, text_col, id_col, exclude_batch
+        docs, keys = near_dedup_batch_against_ledger(
+            spark, batch_df, ledger_path, text_col, id_col, exclude_batch,
+            return_keys=True,
         )
+        if keys is not None:
+            batch_keys["k"] = keys
+        return docs
 
     def keys_of(docs_df, text_col):
-        return near_keys_of(docs_df, text_col, id_col)
+        keys = batch_keys.pop("k", None)
+        if keys is None:
+            # replay (or first-ever batch): derive from the documents
+            return near_keys_of(docs_df, text_col, id_col)
+        return (
+            keys.join(
+                docs_df.select(id_col), on=id_col, how="left_semi"
+            )
+            .select(FINGERPRINT_COL)
+            .distinct()
+        )
 
     return start_ledger_dedup(
         spark,
@@ -508,6 +568,7 @@ def start_near_ledger_dedup(
         checkpoint_path=checkpoint_path,
         text_col=text_col,
         trigger_available_now=trigger_available_now,
+        trigger_processing_time=trigger_processing_time,
         on_batch_committed=on_batch_committed,
         select_batch=select_batch,
         keys_of=keys_of,

@@ -11,7 +11,13 @@ mapping: any line-delimited stream source (file dir, socket, Kafka)
 No watermark is used *by design*: a watermark would drop late rows,
 which the reference never does.  The upsert is idempotent per
 (ts, metric, value), so at-least-once delivery from checkpointed
-sources yields exactly-once visible state.
+sources yields exactly-once visible state — for rows that CARRY a
+timestamp.  Rows without one get the server-default "now" (the
+reference's server_utils.py:16 semantic), which is processing-time:
+a micro-batch replayed after a crash re-stamps those rows at the
+replay time, so timestamp-less lines are at-least-once, not
+exactly-once (documented caveat; the reference's synchronous HTTP
+path has the same property when a client retries).
 """
 
 from __future__ import annotations
@@ -71,7 +77,8 @@ def upsert_parsed_batch(
 ) -> None:
     """Upsert a parsed long-form batch (db, sensor, metric, value,
     ts_ns).  Missing ts -> current time (server default,
-    server_utils.py:16).  ``key`` is checked per sensor by the upsert
+    server_utils.py:16; processing-time — see the module docstring's
+    replay caveat).  ``key`` is checked per sensor by the upsert
     (reference: per-sensor write keys, database.py:170-187).
     ``refresh_rollups`` incrementally refreshes registered rollups of
     each written sensor over the batch's [min_ts, max_ts] span."""
@@ -81,11 +88,19 @@ def upsert_parsed_batch(
             F.col("ts_ns").isNotNull(), F.col("ts_ns").cast("double") / F.lit(1e9)
         ).otherwise(F.unix_timestamp(F.current_timestamp()).cast("double")),
     )
+    # parse_lines yields EMPTY STRINGS, not nulls, for absent parts
+    # (regexp_extract no-match -> ''; split('')[0] -> '') — nullif
+    # first or the defaults would be dead and rows would target a
+    # sensor literally named ''
     if default_db is not None:
-        parsed = parsed.withColumn("db", F.coalesce(F.col("db"), F.lit(default_db)))
+        parsed = parsed.withColumn(
+            "db",
+            F.coalesce(F.nullif(F.col("db"), F.lit("")), F.lit(default_db)),
+        )
     if default_sensor is not None:
         parsed = parsed.withColumn(
-            "sensor", F.coalesce(F.col("sensor"), F.lit(default_sensor))
+            "sensor",
+            F.coalesce(F.nullif(F.col("sensor"), F.lit("")), F.lit(default_sensor)),
         )
     # group by (db, sensor): tiny driver loop over *distinct sensors in
     # this batch* (bounded by catalog size, not data size), exactly the
@@ -123,14 +138,25 @@ def _refresh_rollups_of(
 
     if lo_ts is None or hi_ts is None:
         return
+    import warnings
+
     for cand in engine.catalog.get_sensors(db):
         try:
-            md = engine.catalog.get_config(db, cand).metadata
-        except Exception:
+            cfg = engine.catalog.get_config(db, cand)
+        except Exception as ex:  # noqa: BLE001 — keep the stream alive, loudly
+            # a sensor listed by the catalog but unreadable is a real
+            # config problem: skipping silently would let a registered
+            # rollup go stale with no signal anywhere
+            warnings.warn(
+                f"rollup refresh: cannot read config of {db}/{cand} "
+                f"({ex}); its rollup (if any) was NOT refreshed",
+                stacklevel=2,
+            )
             continue
+        md = cfg.metadata
         if md.get("rollup_of") != sensor:
             continue
-        freq = engine.catalog.get_config(db, cand).freq
+        freq = cfg.freq
         rollup_sensor(
             engine, db, sensor, cand,
             freq=freq, agg=md.get("rollup_agg", "avg"),

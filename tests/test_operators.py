@@ -2811,3 +2811,84 @@ def test_nb_train_weights_fixture_and_roundtrip(spark):
     cols = auto.columns
     assert cols == ["bucket", "n_pos", "n_neg", "weight"]
     assert auto.count() == len(want)
+
+
+def test_streaming_ingest_default_sensor_on_tagless_lines(eng, tmp_path):
+    """Code-review r9: parse_lines yields EMPTY STRINGS (not nulls)
+    for absent parts, so the default_db/default_sensor coalesce was
+    dead and tagless lines targeted a sensor literally named ''.
+    A line with no ,key= tag must land in the configured default."""
+    from ong_tsdb_spark.sources.influx import parse_lines
+    from ong_tsdb_spark.streaming.ingest import upsert_parsed_batch
+
+    eng.create_sensor("d", "s1", "1s", ["temp"])
+    lines = eng.spark.createDataFrame(
+        [("d temp=1.5 1672617600000000000",)], "line string"
+    )
+    upsert_parsed_batch(
+        eng,
+        parse_lines(lines),
+        default_db="d",
+        default_sensor="s1",
+    )
+    out = eng.read_pandas("d", "s1")
+    assert len(out) == 1 and out["temp"].iloc[0] == 1.5
+
+
+def test_ewma_updater_chunked_nan_and_warmup():
+    """Code-review r9, three contracts of the stateful EWMA updater,
+    driven directly (pure function + a state stub):
+    1. multiple Arrow chunks whose time ranges interleave are
+       concatenated and sorted ONCE (per-chunk sorting corrupts the
+       recursion order);
+    2. a NaN value passes through without poisoning state;
+    3. the second sample of a series never flags (zero observed
+       variance makes any deviation z=inf) — warmup suppresses it."""
+    import pandas as pd
+
+    from ong_tsdb_spark.streaming.stateful import make_ewma_updater
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.saved = None
+
+        @property
+        def get(self):
+            return self.saved
+
+        def update(self, v):
+            self.saved = v
+            self.exists = True
+
+    up = make_ewma_updater(alpha=0.5, z_threshold=2.0, warmup=3)
+
+    # (1) chunks interleave in time: chunk1 has ts 0,2 chunk2 has ts 1
+    st = FakeState()
+    c1 = pd.DataFrame({"ts_sec": [0.0, 2.0], "value": [10.0, 30.0]})
+    c2 = pd.DataFrame({"ts_sec": [1.0], "value": [20.0]})
+    frames = list(up(("s",), iter([c1, c2]), st))
+    out = pd.concat(frames, ignore_index=True)
+    assert out["ts_sec"].tolist() == [0.0, 1.0, 2.0]
+    # processed in global time order: ewma after 10,20 is 15, not the
+    # 10,30,20 order per-chunk sorting would produce
+    assert out["value"].tolist() == [10.0, 20.0, 30.0]
+    assert out["ewma"].tolist()[1] == 15.0
+
+    # (2) NaN neither flags nor poisons
+    st2 = FakeState()
+    pdf = pd.DataFrame(
+        {"ts_sec": [0.0, 1.0, 2.0], "value": [10.0, float("nan"), 12.0]}
+    )
+    out2 = pd.concat(list(up(("s",), iter([pdf]), st2)), ignore_index=True)
+    assert out2["is_anomaly"].tolist() == [0, 0, 0]
+    ewma_saved, ewmvar_saved, count_saved = st2.saved
+    assert ewma_saved == ewma_saved  # not NaN
+    assert count_saved == 2  # the NaN row did not advance the count
+
+    # (3) second-sample inf z is reported but not flagged under warmup
+    st3 = FakeState()
+    pdf3 = pd.DataFrame({"ts_sec": [0.0, 1.0], "value": [20.0, 20.0001]})
+    out3 = pd.concat(list(up(("s",), iter([pdf3]), st3)), ignore_index=True)
+    assert out3["zscore"].tolist()[1] == float("inf")
+    assert out3["is_anomaly"].tolist() == [0, 0]

@@ -806,3 +806,46 @@ def test_ledger_dedup_long_lived_processing_time_trigger(spark, tmp_path):
         for r in led.groupBy("batch").agg(F.count("*").alias("n")).collect()
     }
     assert per_batch == {0: 2, 1: 1}, per_batch
+
+
+def test_ledger_null_text_and_empty_compaction(spark, tmp_path):
+    """Code-review r9: (a) NULL-text documents must not bypass the
+    ledger forever — md5(NULL) was NULL and NULL join keys never
+    match, so they were re-emitted as first-seen every batch; they now
+    digest as '' and dedup against each other / empty docs.  (b)
+    compact_ledger on a missing or pre-created-empty ledger directory
+    is a benign 0, not an AnalysisException (maintenance cron racing
+    the first streaming commit)."""
+    from ong_tsdb_spark.streaming.dedup import (
+        FINGERPRINT_COL,
+        compact_ledger,
+        dedup_batch_against_ledger,
+        near_keys_of,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    # (b) missing path
+    assert compact_ledger(spark, ledger) == 0
+    # (b) pre-created empty dir
+    (tmp_path / "ledger").mkdir()
+    assert compact_ledger(spark, ledger) == 0
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, None)], "doc_id long, text string"
+    )
+    out1 = dedup_batch_against_ledger(spark, b1, ledger)
+    # null-text docs carry a non-null fingerprint and dedup together
+    assert all(r[FINGERPRINT_COL] is not None for r in out1.collect())
+    kept1 = {r["doc_id"] for r in out1.collect()}
+    assert 2 in kept1 and len(kept1 & {1, 3}) == 1  # one null-text rep
+    out1.select(FINGERPRINT_COL).distinct().write.mode("append").parquet(ledger)
+
+    # a later null-text doc is dropped by the ledger, not re-emitted
+    b2 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert dedup_batch_against_ledger(spark, b2, ledger).count() == 0
+
+    # near tier: null text yields a usable exact key, never a NULL key
+    keys = near_keys_of(
+        spark.createDataFrame([(1, None)], "doc_id long, text string")
+    ).collect()
+    assert keys and all(r[FINGERPRINT_COL] is not None for r in keys)
