@@ -120,6 +120,11 @@ class MfaAuthProxy:
             form = json.loads(environ["wsgi.input"].read(size) or b"{}")
         except (ValueError, KeyError):
             form = {}
+        if not isinstance(form, dict):
+            # valid JSON but not an object ('[]', '123', 'null') —
+            # .get() below would AttributeError into a 500; treat as
+            # an empty (failing) form instead
+            form = {}
         user = form.get("username")
         expected = self.users.get(user if isinstance(user, str) else "")
         # constant-time compares, like the repo's token auth
@@ -224,10 +229,18 @@ def negotiate_proxy_auth(
             "unauthorized and not a proxy challenge",
             response=(status, rh, data),
         )
+    login_url = js.get("url")
+    if not isinstance(login_url, str) or not login_url:
+        # challenge without a login URL: malformed — keep the
+        # documented error contract (a bare KeyError would escape it)
+        raise ProxyNotAuthorizedError(
+            "proxy challenge lacks a login url",
+            response=(status, rh, data),
+        )
     body = dict(js.get("form") or {})
     body.update(proxy_auth_body)
     login_hdrs = dict(hdrs, **_cookie_header_from(rh))
-    status2, rh2, data2 = request("POST", js["url"], login_hdrs, body)
+    status2, rh2, data2 = request("POST", login_url, login_hdrs, body)
     ok = False
     rh2_l = {k.lower(): v for k, v in rh2.items()}
     if data2 and (rh2_l.get("content-type") or "").startswith("application/json"):

@@ -152,13 +152,41 @@ def create_app(engine: OngTsdbSpark) -> Flask:
     def _body_bytes() -> bytes:
         data = request.get_data()
         if request.headers.get("Content-Encoding", "") == "gzip":
-            data = zlib.decompress(data)
+            # MAX_WBITS|32 auto-detects zlib AND real gzip (RFC 1952)
+            # streams — plain decompress() rejects gzip's 1f 8b header,
+            # 500ing every standard client that honors the label
+            data = zlib.decompress(data, zlib.MAX_WBITS | 32)
         return data
+
+    def _parse_fill(fill_value):
+        """URL fill segment -> float, or None for a 400 (a bare
+        ValueError would 500)."""
+        try:
+            return (
+                float("nan")
+                if str(fill_value).lower() == "nan"
+                else float(fill_value)
+            )
+        except ValueError:
+            return None
+
+    def _anon_write_rejected():
+        """Cheap pre-Spark gate: when auth is enabled, a request with
+        NO token can never pass any key check — reject it before
+        building DataFrames and running jobs (the reference checks
+        auth first via its route decorator, server.py:214-293).
+        Requests WITH a token still get the per-sensor key check
+        inside the upsert, which is the real authority."""
+        return engine.admin_key is not None and _token() is None
 
     @app.post("/influx", defaults={"fill_value": 0.0})
     @app.post("/influx/<fill_value>")
     def influx(fill_value):
-        fv = float("nan") if str(fill_value).lower() == "nan" else float(fill_value)
+        fv = _parse_fill(fill_value)
+        if fv is None:
+            return jsonify(ok=False, error=f"bad fill_value {fill_value!r}"), 400
+        if _anon_write_rejected():
+            return jsonify(ok=False, error="authentication required"), 401
         lines = _body_bytes().decode().splitlines()
         lines = [l for l in lines if l.strip()]
         if not lines:
@@ -179,7 +207,11 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         jobs — an N-sensor payload costs ~ the slowest sensor, not N
         serialized jobs (the reference loops serially,
         server.py:214-293)."""
-        fv = float("nan") if str(fill_value).lower() == "nan" else float(fill_value)
+        fv = _parse_fill(fill_value)
+        if fv is None:
+            return jsonify(ok=False, error=f"bad fill_value {fill_value!r}"), 400
+        if _anon_write_rejected():
+            return jsonify(ok=False, error="authentication required"), 401
         try:
             tuples = _unpack_msgpack(_body_bytes())
         except Exception as e:  # malformed payload
@@ -232,8 +264,6 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         # keyed by len(dates_bytes); ALL metrics are returned (the
         # reference client slices columns client-side), zlib-compressed
         # past the threshold when the caller advertises gzip.
-        import numpy as np
-
         df = engine.read(
             db, sensor, start_ts=body.get("start_ts"), end_ts=body.get("end_ts"),
             key=_token(),
@@ -311,12 +341,24 @@ def create_app(engine: OngTsdbSpark) -> Flask:
         the auth token is intentionally not echoed back."""
         return jsonify(db=db, sensor=sensor)
 
+    def _range_ts(v) -> float:
+        """Grafana range bound -> epoch seconds.  Real Grafana JSON
+        datasources send ISO-8601 strings ('2026-08-15T10:00:00.000Z');
+        numeric epochs (the reference's own tests) pass through."""
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            import pandas as pd
+
+            return pd.Timestamp(v).timestamp()
+
     @app.post("/<db>/<sensor>/query")
     def query(db: str, sensor: str):
         body = request.get_json(force=True)
-        start = float(body["range"]["from"])
-        end = float(body["range"]["to"])
-        maxdp = int(body.get("maxDataPoints", 100))
+        start = _range_ts(body["range"]["from"])
+        end = _range_ts(body["range"]["to"])
+        # 0/negative maxDataPoints would divide by zero in the spread
+        maxdp = max(1, int(body.get("maxDataPoints", 100)))
         targets = [t["target"] for t in body.get("targets", [])] or None
         df = engine.read_downsampled(
             db, sensor, start, end, maxdp, metrics=targets, key=_token()

@@ -30,7 +30,12 @@ class MsgpackError(ValueError):
 # ----------------------------------------------------------------------
 def packb(obj: Any) -> bytes:
     out = bytearray()
-    _pack(obj, out)
+    try:
+        _pack(obj, out)
+    except struct.error as ex:
+        # length/width overflow (str/bin/array >= 2**32, int past
+        # uint64) — same consistent MsgpackError contract as decode
+        raise MsgpackError(f"value too large to encode: {ex}") from ex
     return bytes(out)
 
 
@@ -226,7 +231,12 @@ def _unpack(mv: memoryview, pos: int) -> tuple[Any, int]:
 def _unpack_str(mv: memoryview, pos: int, n: int) -> tuple[str, int]:
     if pos + n > len(mv):
         raise MsgpackError("truncated string")
-    return bytes(mv[pos : pos + n]).decode("utf-8"), pos + n
+    try:
+        return bytes(mv[pos : pos + n]).decode("utf-8"), pos + n
+    except UnicodeDecodeError as ex:
+        # keep the consistent-error contract: every decode failure is
+        # a MsgpackError callers can map to a 400
+        raise MsgpackError(f"invalid utf-8 in str: {ex}") from ex
 
 
 def _unpack_bin(mv: memoryview, pos: int, n: int) -> tuple[bytes, int]:
@@ -248,5 +258,8 @@ def _unpack_map(mv: memoryview, pos: int, n: int) -> tuple[dict, int]:
     for _ in range(n):
         k, pos = _unpack(mv, pos)
         v, pos = _unpack(mv, pos)
-        out[k] = v
+        try:
+            out[k] = v
+        except TypeError as ex:  # unhashable key (array/map) — same contract
+            raise MsgpackError(f"unhashable map key of type {type(k).__name__}") from ex
     return out, pos

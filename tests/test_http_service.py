@@ -303,3 +303,121 @@ def test_write_points_multi_runs_sensors_concurrently(spark, tmp_path, monkeypat
     elapsed = time.perf_counter() - t0
     assert state["peak"] >= 2, "writes never overlapped"
     assert elapsed < 4 * 0.25, f"batch serialized: {elapsed:.2f}s"
+
+
+def test_http_hardening_gzip_auth_and_bad_inputs(client):
+    """Code-review r9 service fixes, at the route surface:
+    - Content-Encoding: gzip bodies decode real RFC-1952 gzip streams
+      (plain zlib.decompress rejected the 1f 8b header -> 500);
+    - anonymous writes are rejected 401 BEFORE any Spark work when
+      auth is enabled;
+    - a non-numeric fill_value segment and maxDataPoints=0 are 4xx /
+      handled, not 500s;
+    - Grafana ISO-8601 range bounds parse."""
+    import gzip as _gzip
+
+    client.post("/db/iot", headers=_auth("admintoken"))
+    client.post(
+        "/db/iot/sensor/power",
+        json={"period": "1s", "metrics": ["active"]},
+        headers=_auth("admintoken"),
+    )
+    t0 = 1672617600
+    body = _gzip.compress(f"iot,key=power active=7.5 {t0 * 10**9}\n".encode())
+    r = client.post(
+        "/influx",
+        data=body,
+        headers={**_auth("admintoken"), "Content-Encoding": "gzip"},
+    )
+    assert r.status_code == 200, r.get_data()
+
+    # anonymous write: 401 up front (auth enabled in this fixture)
+    r = client.post("/influx", data=b"iot,key=power active=1 1\n")
+    assert r.status_code == 401
+
+    # malformed fill_value -> 400, not 500
+    assert client.post(
+        "/influx/abc", data=b"x", headers=_auth("admintoken")
+    ).status_code == 400
+    assert client.post(
+        "/influx_binary/abc", data=b"x", headers=_auth("admintoken")
+    ).status_code == 400
+
+    # grafana: ISO bounds + maxDataPoints 0 must not 500
+    r = client.post(
+        "/iot/power/query",
+        json={
+            "range": {
+                "from": "2023-01-01T23:55:00.000Z",
+                "to": "2023-01-02T00:10:00.000Z",
+            },
+            "maxDataPoints": 0,
+            "targets": [{"target": "active"}],
+        },
+        headers=_auth("admintoken"),
+    )
+    assert r.status_code == 200, r.get_data()
+    dps = r.get_json()[0]["datapoints"]
+    assert [v for v, _ in dps] == [7.5]
+
+
+def test_msgpack_lite_error_contract():
+    """Every decode/encode failure is a MsgpackError (ValueError), so
+    callers can map codec failures to 400s: invalid UTF-8 in str,
+    unhashable map keys, and encode-side width overflows."""
+    import pytest as _pytest
+
+    from ong_tsdb_spark.sources.msgpack_lite import MsgpackError, packb, unpackb
+
+    with _pytest.raises(MsgpackError):
+        unpackb(b"\xa1\xff")  # fixstr len 1, invalid utf-8
+    with _pytest.raises(MsgpackError):
+        unpackb(b"\x81\x90\xc0")  # map keyed by an array
+    with _pytest.raises(MsgpackError):
+        packb(2**70)  # past uint64
+
+
+def test_proxy_malformed_bodies_no_500():
+    """Proxy robustness: a JSON-but-not-object login body fails as bad
+    credentials (not AttributeError->500), and a challenge lacking a
+    login url raises the documented ProxyNotAuthorizedError."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ong_tsdb_spark.service.proxy import (
+        MfaAuthProxy,
+        ProxyNotAuthorizedError,
+        negotiate_proxy_auth,
+    )
+
+    proxy = MfaAuthProxy(
+        lambda e, s: [b""], users={"u": ("pw", "mfa")}
+    )
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+
+    import io
+
+    for bad in (b"[]", b"123", b'"x"', b"null"):
+        env = {
+            "REQUEST_METHOD": "POST",
+            "PATH_INFO": proxy.login_path,
+            "CONTENT_LENGTH": str(len(bad)),
+            "wsgi.input": io.BytesIO(bad),
+        }
+        out = b"".join(proxy(env, start_response))
+        assert captured["status"].startswith("200")
+        assert _json.loads(out)["http_code"] == 401  # bad creds, not a crash
+
+    def challenge_without_url(method, path, headers, body):
+        return (
+            401,
+            {"Content-Type": "application/json"},
+            _json.dumps({"http_code": 407, "form": {}}).encode(),
+        )
+
+    with _pytest.raises(ProxyNotAuthorizedError, match="login url"):
+        negotiate_proxy_auth(challenge_without_url, {"username": "u"})
