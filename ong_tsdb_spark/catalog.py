@@ -34,7 +34,10 @@ from .grid import Grid, parse_freq
 CONFIG_NAME = "_sensor.json"
 DATA_DIR = "data"
 
-_SAFE_NAME = re.compile(r"^[A-Za-z0-9_\-.]+$")
+#: dots allowed inside names ('sensor.v2') but the pure-dot names '.'
+#: and '..' are path aliases — db_path would escape the catalog root
+#: and delete_db('..') would rmtree the PARENT directory (r9 review)
+_SAFE_NAME = re.compile(r"^(?!\.+$)[A-Za-z0-9_\-.]+$")
 
 
 class ElementAlreadyExistsError(Exception):
@@ -50,6 +53,24 @@ def _check_name(name: str) -> str:
     if not _SAFE_NAME.match(name):
         raise ValueError(f"invalid db/sensor name: {name!r}")
     return name
+
+
+#: storage-schema column names (engine.TS_COL / engine.PART_COL) — a
+#: metric with one of these names would be silently clobbered by the
+#: write path (chunk_start overwritten by the partition key, ts_sec
+#: filtered out as the timestamp), so reject at config-write time
+RESERVED_COLUMNS = frozenset({"ts_sec", "chunk_start"})
+
+
+def _check_metrics(metrics: Metrics) -> None:
+    from .pandas_edge import flatten_metrics
+
+    bad = RESERVED_COLUMNS.intersection(flatten_metrics(metrics))
+    if bad:
+        raise ValueError(
+            f"metric names {sorted(bad)} collide with reserved storage "
+            f"columns {sorted(RESERVED_COLUMNS)}"
+        )
 
 
 Metrics = list  # list[str] | list[list[str]] (multiindex)
@@ -172,6 +193,7 @@ class Catalog:
     def _write_config(self, db: str, sensor: str, config: SensorConfig) -> None:
         # atomic: temp + os.replace, like the reference's safe_createfile
         # (fileutils.py:325-376)
+        _check_metrics(config.metrics)  # one chokepoint: create + growth
         path = self._config_path(db, sensor)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

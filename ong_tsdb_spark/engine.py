@@ -34,6 +34,7 @@ import threading
 from typing import Any, Iterable
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -184,7 +185,13 @@ class OngTsdbSpark:
         from .auth import Action
 
         self._auth(Action.WRITE, db=db, sensor=sensor, key=key)
-        self.catalog.update_metadata(db, sensor, metadata)
+        # under the SAME locks as the write path: update_metadata is a
+        # read-modify-write of _sensor.json, and an unlocked one racing
+        # a concurrent write's schema growth would write back a stale
+        # config without the new metric + fill — making freshly written
+        # data invisible to reads (code-review r9)
+        with self._sensor_lock(db, sensor), self._file_lock(db, sensor):
+            self.catalog.update_metadata(db, sensor, metadata)
 
     # ------------------------------------------------------------------
     # write path (M1 upsert + M2 schema evolution)
@@ -521,8 +528,18 @@ class OngTsdbSpark:
             return self.spark.read.schema(schema).parquet(
                 self.catalog.data_path(db, sensor)
             )
-        except Exception:
-            return None
+        except AnalysisException as ex:
+            # ONLY a vanished path (raced a concurrent delete) is
+            # "no data".  Anything else must RAISE: write_spark_df
+            # interprets None as "sensor empty" and skips the cellwise
+            # merge, so masking a transient listing/permission failure
+            # here would let a dynamic partition overwrite silently
+            # replace existing chunks with the new batch alone —
+            # irreversible data loss on a read blip (code-review r9).
+            msg = str(ex)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     def read(
         self,
@@ -775,7 +792,17 @@ class OngTsdbSpark:
             sensors = self.catalog.get_sensors(db)
         except Exception:
             return None
-        want = None if metrics is None else set(flatten_metrics(metrics))
+        # with no explicit projection the caller gets ALL of the raw
+        # sensor's metrics — a rollup created before later schema
+        # growth must NOT serve then, or grown columns silently vanish
+        # from the result (code-review r9)
+        raw_metrics = set(flatten_metrics(self.catalog.get_config(db, sensor).metrics))
+        want = raw_metrics if metrics is None else set(flatten_metrics(metrics))
+        # loop-invariant: ONE raw last-timestamp lookup, not one per
+        # candidate (each lookup lists partitions + reads footer stats)
+        raw_last = self.get_last_timestamp(db, sensor, key=self.admin_key)
+        if raw_last is None:
+            return None
         best: tuple[float, str] | None = None
         for cand in sensors:
             if cand == sensor:
@@ -793,15 +820,12 @@ class OngTsdbSpark:
             tick = int(tick)
             if spread % tick or int(start_ts) % tick or start_ts != int(start_ts):
                 continue
-            if want is not None and not want <= set(flatten_metrics(cfg.metrics)):
+            if not want <= set(flatten_metrics(cfg.metrics)):
                 continue
             # freshness: the rollup must cover everything raw has in
             # range (internal lookups — the caller's READ auth on the
             # raw sensor was already checked by read_downsampled)
-            raw_last = self.get_last_timestamp(db, sensor, key=self.admin_key)
             roll_last = self.get_last_timestamp(db, cand, key=self.admin_key)
-            if raw_last is None:
-                continue
             horizon = min(float(end_ts), raw_last)
             if roll_last is None or roll_last < cfg.grid.snap(horizon):
                 continue
@@ -894,10 +918,19 @@ class OngTsdbSpark:
         scan + one window pass; output size is bounded by
         max_datapoints regardless of the range size.
 
-        When a materialized 'first' rollup (plans/rollup.py) can serve
-        the request EXACTLY (tick divides the spread, aligned phase,
-        refreshed through the range), the scan reads the rollup sensor
-        instead of raw — O(range/tick) rows instead of O(range/grid)."""
+        When a qualifying materialized 'first' rollup (plans/rollup.py)
+        exists (tick divides the spread, aligned phase, metric
+        coverage, refreshed through the range), the scan reads the
+        rollup sensor instead of raw — O(range/tick) rows instead of
+        O(range/grid).  DOCUMENTED SEMANTICS DELTA (code-review r9): a
+        rollup-served result carries bucket-aligned timestamps and
+        per-metric first-non-NaN values (what the rollup's coarse grid
+        can store), while the raw scan emits the first stored ROW per
+        bucket with its real timestamp and that row's cells (NaNs
+        included).  Identical whenever buckets start on a stored
+        sample and rows are metric-dense — the dashboard case this
+        path serves; pass ``use_rollups=False`` for raw-row-exact
+        output."""
         from .auth import Action
         from .operators.downsample import downsample_max_datapoints
 
@@ -912,18 +945,30 @@ class OngTsdbSpark:
             )
             if picked is not None:
                 source = picked
-        df = self.read(db, source, start_ts, end_ts, metrics, key=self.admin_key)
+        # project the RAW sensor's metric list even when a rollup
+        # serves: the rollup may carry extra columns or a different
+        # column order than the raw sensor the caller asked about
+        eff_metrics = metrics
+        if source != sensor and eff_metrics is None:
+            eff_metrics = self.catalog.get_config(db, sensor).metrics
+        df = self.read(db, source, start_ts, end_ts, eff_metrics, key=self.admin_key)
         if df is None:
             return None
         value_cols = [c for c in df.columns if c != TS_COL]
         out = downsample_max_datapoints(
-            df.withColumn("__ts_l", F.col(TS_COL).cast("long")),
+            # floor, not cast: cast('long') truncates toward zero,
+            # shifting pre-1970 bucket assignment by one second
+            df.withColumn("__ts_l", F.floor(F.col(TS_COL)).cast("long")),
             ts_sec_col="__ts_l",
             start_sec=int(start_ts),
             end_sec=int(end_ts),
             max_datapoints=max_datapoints,
             series_cols=[],
             value_cols=[TS_COL, *value_cols],
+            # sub-second grids: several rows share one truncated second
+            # — the real (double) timestamp breaks the tie so 'first'
+            # is the true earliest row, not shuffle order
+            tiebreak_cols=[TS_COL],
         )
         return out.drop("bucket_s").orderBy(TS_COL)
 

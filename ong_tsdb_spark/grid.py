@@ -95,7 +95,17 @@ def parse_freq(freq: str) -> float:
         raise InvalidFrequencyError(f"cannot parse frequency: {freq!r}")
     mult_s, unit = m.groups()
     # Case-sensitive lookup first (T=min vs t invalid; S==s anyway),
-    # falling back to lowercase for spellings like "Min".
+    # falling back to lowercase for spellings like "Min" — EXCEPT the
+    # pandas calendar aliases 'MS'/'M' (month-start/month-end), which
+    # the lowercase fallback would silently read as milliseconds /
+    # minutes: a caller asking for a monthly grid would get a 1 ms
+    # tick and one partition directory per ~16 s of data.  Calendar
+    # frequencies have no fixed tick and are unsupported — raise.
+    if unit in ("MS", "M"):
+        raise InvalidFrequencyError(
+            f"calendar frequency {freq!r} (pandas month alias) has no "
+            "fixed tick — use a fixed-width unit (ms, s, min, h, d, w)"
+        )
     if unit in _UNIT_SECONDS:
         unit_s = _UNIT_SECONDS[unit]
     elif unit.lower() in _UNIT_SECONDS:

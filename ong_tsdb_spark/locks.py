@@ -78,6 +78,7 @@ class SensorFileLock:
         self.heartbeat_every = max(stale_after / 4.0, 0.05)
         self._hb_stop: threading.Event | None = None
         self._hb_thread: threading.Thread | None = None
+        self._payload: bytes | None = None  # written once at acquire
         # last (payload, mtime) a waiter saw stale; break only on a
         # second sighting of the exact same state
         self._observed: tuple[bytes, float] | None = None
@@ -87,10 +88,12 @@ class SensorFileLock:
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                payload = f"{os.getpid()} {time.time()} {id(self)}\n".encode()
                 try:
-                    os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                    os.write(fd, payload)
                 finally:
                     os.close(fd)
+                self._payload = payload
                 self._start_heartbeat()
                 return
             except FileExistsError:
@@ -109,6 +112,13 @@ class SensorFileLock:
         def beat() -> None:
             while not stop.wait(self.heartbeat_every):
                 try:
+                    # ownership check: after a stale break the path may
+                    # hold a NEW holder's lock — touching it would keep
+                    # someone else's (possibly crashed) lock looking
+                    # live forever (code-review r9)
+                    with open(self.path, "rb") as f:
+                        if f.read() != self._payload:
+                            return  # not ours anymore — stand down
                     os.utime(self.path, None)  # live: keep mtime fresh
                 except OSError:
                     return  # released (or broken) — nothing to keep alive
@@ -149,6 +159,16 @@ class SensorFileLock:
             self._hb_thread.join(timeout=2.0)
             self._hb_stop = self._hb_thread = None
         try:
+            # unlink ONLY our own lockfile: if this holder stalled past
+            # the stale horizon (VM pause/SIGSTOP), a waiter has broken
+            # the lock and acquired its own — unconditionally unlinking
+            # here would delete the NEW holder's lock and let a third
+            # writer in alongside it (code-review r9).  The payload is
+            # written once at acquire and never changes (the heartbeat
+            # touches mtime only), so it identifies the owner.
+            with open(self.path, "rb") as f:
+                if f.read() != self._payload:
+                    return  # someone else's lock now — leave it alone
             os.unlink(self.path)
         except FileNotFoundError:
             pass

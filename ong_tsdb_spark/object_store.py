@@ -172,6 +172,13 @@ class HadoopSensorLock:
         def beat() -> None:
             while not stop.wait(self.heartbeat_every):
                 try:
+                    # ownership check first: if this holder stalled past
+                    # the stale horizon and a waiter broke + re-acquired
+                    # the lock, blindly rewriting would clobber the NEW
+                    # holder's lock and silently re-admit us alongside
+                    # it (code-review r9)
+                    if self.fs.read_bytes(self.path) != self._payload:
+                        return  # lock is someone else's now — stand down
                     # rewrite with our own payload: refreshes mtime on
                     # every Hadoop FS (no portable utime equivalent)
                     self.fs.write_bytes(self.path, self._payload, overwrite=True)
@@ -206,7 +213,14 @@ class HadoopSensorLock:
             self._hb_stop.set()
             self._hb_thread.join(timeout=2.0)
             self._hb_stop = self._hb_thread = None
-        self.fs.delete(self.path, False)
+        try:
+            # delete only OUR lock (see locks.SensorFileLock.release):
+            # after a stale break the file belongs to a new holder
+            if self.fs.read_bytes(self.path) != self._payload:
+                return
+            self.fs.delete(self.path, False)
+        except Exception:
+            pass
 
     def __enter__(self) -> "HadoopSensorLock":
         self.acquire()
@@ -296,6 +310,9 @@ class HadoopCatalog(Catalog):
         )
 
     def _write_config(self, db: str, sensor: str, config: SensorConfig) -> None:
+        from .catalog import _check_metrics
+
+        _check_metrics(config.metrics)  # same chokepoint as the local catalog
         self.fs.write_bytes_atomic(
             self._config_path(db, sensor), json.dumps(config.to_json()).encode()
         )

@@ -17,15 +17,20 @@ from ..engine import PART_COL, TS_COL, OngTsdbSpark
 from ..grid import Grid
 from ..pandas_edge import flatten_metrics
 
-#: supported per-metric aggregations (column-expr factories)
+#: supported per-metric aggregations — factories over (clean_value,
+#: ts).  'first'/'last' are TIME-ordered via min/max over a (ts,
+#: value) struct (lexicographic; ts unique per row), NOT F.first/
+#: F.last, whose result in a groupBy depends on post-shuffle row
+#: order — the same refresh could materialize different values
+#: run-to-run (code-review r9)
 _AGGS = {
-    "avg": lambda c: F.avg(c),
-    "sum": lambda c: F.sum(c),
-    "min": lambda c: F.min(c),
-    "max": lambda c: F.max(c),
-    "first": lambda c: F.first(c, ignorenulls=True),
-    "last": lambda c: F.last(c, ignorenulls=True),
-    "count": lambda c: F.count(c),
+    "avg": lambda c, ts: F.avg(c),
+    "sum": lambda c, ts: F.sum(c),
+    "min": lambda c, ts: F.min(c),
+    "max": lambda c, ts: F.max(c),
+    "first": lambda c, ts: F.min(F.when(c.isNotNull(), F.struct(ts.alias("t"), c.alias("v"))))["v"],
+    "last": lambda c, ts: F.max(F.when(c.isNotNull(), F.struct(ts.alias("t"), c.alias("v"))))["v"],
+    "count": lambda c, ts: F.count(c),
 }
 
 
@@ -90,6 +95,14 @@ def rollup_sensor(
     for m in metrics:
         c = F.col(f"`{m}`")
         clean = F.when(~F.isnan(c) & c.isNotNull(), c)  # NaN cell = absent
-        aggs.append(fn(clean).cast("double").alias(m))
-    rolled = src.select(bucket, *[F.col(f"`{m}`") for m in metrics]).groupBy(TS_COL).agg(*aggs)
+        aggs.append(fn(clean, F.col("__src_ts")).cast("double").alias(m))
+    rolled = (
+        src.select(
+            bucket,
+            F.col(TS_COL).alias("__src_ts"),
+            *[F.col(f"`{m}`") for m in metrics],
+        )
+        .groupBy(TS_COL)
+        .agg(*aggs)
+    )
     engine.write_spark_df(db, dst_sensor, rolled)

@@ -230,3 +230,67 @@ def test_10k_point_round_trip(eng):
     )
     assert len(mid) == 101
     assert mid["active"].iloc[0] == 5000.0
+
+
+def test_lock_release_checks_ownership(tmp_path):
+    """Code-review r9: a holder whose lock was stale-broken (VM pause
+    past the horizon) must NOT unlink the NEW holder's lock on resume
+    — release only deletes the file when its payload is our own; the
+    heartbeat likewise stands down on a foreign payload."""
+    import os
+
+    from ong_tsdb_spark.locks import SensorFileLock
+
+    sensor_dir = str(tmp_path)
+    a = SensorFileLock(sensor_dir, stale_after=300.0)
+    a.acquire()
+    # simulate the stale break + re-acquire while A is 'paused'
+    if a._hb_stop is not None:  # stop A's heartbeat like a paused VM
+        a._hb_stop.set()
+        a._hb_thread.join(timeout=2.0)
+        a._hb_stop = a._hb_thread = None
+    os.unlink(a.path)
+    b = SensorFileLock(sensor_dir, stale_after=300.0)
+    b.acquire()
+    b_payload = open(b.path, "rb").read()
+    # A resumes and releases: B's lock must survive
+    a.release()
+    assert os.path.exists(b.path), "resumed stale holder deleted B's lock"
+    assert open(b.path, "rb").read() == b_payload
+    # B's own release still works
+    b.release()
+    assert not os.path.exists(b.path)
+
+
+def test_catalog_rejects_path_alias_names(tmp_path, spark):
+    """Code-review r9: '.' and '..' matched _SAFE_NAME, so
+    delete_db('..') would rmtree the PARENT of the catalog root. Pure
+    -dot names must be invalid; dotted names stay fine."""
+    import pytest as _pytest
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "tsdb"))
+    for bad in (".", "..", "..."):
+        with _pytest.raises(ValueError):
+            eng.create_db(bad)
+        with _pytest.raises(ValueError):
+            eng.delete_db(bad)
+    eng.create_db("ok.v2")  # interior dots remain legal
+    assert eng.exist_db("ok.v2")
+
+
+def test_create_sensor_rejects_reserved_metric_names(tmp_path, spark):
+    """Code-review r9: metrics named after the storage columns
+    (ts_sec, chunk_start) would be silently clobbered/dropped by the
+    write path — reject at config-write time."""
+    import pytest as _pytest
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "tsdb2"))
+    eng.create_db("d")
+    for bad in (["chunk_start"], ["v", "ts_sec"]):
+        with _pytest.raises(ValueError, match="reserved"):
+            eng.create_sensor("d", "s", "1s", bad)
+    eng.create_sensor("d", "s", "1s", ["v"])  # sane names still fine

@@ -93,3 +93,21 @@ def test_grid_exprs_match_scalar(spark):
         assert row["cs"] == g.chunk_start(row["ts_sec"])
         assert row["snap"] == g.snap(row["ts_sec"])
         assert row["pos"] == g.pos(row["ts_sec"])
+
+
+def test_parse_freq_rejects_pandas_calendar_aliases():
+    """Code-review r9: 'MS' (pandas month-start) silently hit the
+    lowercase fallback and parsed as MILLISECONDS (1 ms tick, one
+    partition dir per ~16 s of data); 'M' (month-end) as minutes.
+    Calendar frequencies have no fixed tick — both must raise."""
+    import pytest as _pytest
+
+    from ong_tsdb_spark.grid import InvalidFrequencyError, parse_freq
+
+    for bad in ("MS", "M", "1MS", "2M"):
+        with _pytest.raises(InvalidFrequencyError):
+            parse_freq(bad)
+    # the fixed-width spellings stay valid, any case
+    assert parse_freq("ms") == 1e-3
+    assert parse_freq("Min") == 60.0
+    assert parse_freq("T") == 60.0

@@ -2892,3 +2892,72 @@ def test_ewma_updater_chunked_nan_and_warmup():
     out3 = pd.concat(list(up(("s",), iter([pdf3]), st3)), ignore_index=True)
     assert out3["zscore"].tolist()[1] == float("inf")
     assert out3["is_anomaly"].tolist() == [0, 0]
+
+
+def test_downsample_subsecond_tiebreak_deterministic(eng):
+    """Code-review r9: read_downsampled truncated ts to whole seconds
+    for bucketing AND ordering, so on sub-second grids every row in a
+    second tied and 'first' was shuffle-order. The real timestamp now
+    breaks the tie: the true earliest row of each bucket wins, every
+    run."""
+    # 250 ms: exactly representable in binary floats, so grid snap
+    # at epoch magnitudes is collision-free (0.1 s steps are not)
+    eng.create_sensor("d", "sub", "250ms", ["v"])
+    t0 = 1672617600
+    rows = [("v", float(i), t0 + i * 0.25) for i in range(4)]  # 4 rows in 1 s
+    rows += [("v", float(100 + i), t0 + 1 + i * 0.25) for i in range(4)]
+    eng.write_points("d", "sub", rows)
+    for _ in range(3):  # determinism across replans
+        out = eng.read_downsampled(
+            "d", "sub", t0, t0 + 1.9, max_datapoints=2, use_rollups=False
+        ).collect()
+        assert [r["v"] for r in out] == [0.0, 100.0]
+        assert [round(r["ts_sec"], 1) for r in out] == [t0, t0 + 1]
+
+
+def test_rollup_skips_when_schema_grew(eng):
+    """Code-review r9: with metrics=None a rollup created BEFORE later
+    schema growth must not serve the downsampled read (it lacks the
+    grown column) — the raw scan serves and the new metric is
+    present."""
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+
+    eng.create_sensor("d", "raw1", "1s", ["a"])
+    t0 = 1672617600
+    eng.write_points("d", "raw1", [("a", float(i), t0 + i) for i in range(120)])
+    rollup_sensor(eng, "d", "raw1", "raw1_1m", freq="60s", agg="first")
+    # grow the raw schema with metric b
+    eng.write_points("d", "raw1", [("b", 7.5, t0 + 50)])
+    out = eng.read_downsampled("d", "raw1", t0, t0 + 119, max_datapoints=2)
+    cols = out.columns
+    assert "b" in cols, f"grown metric missing (served from stale rollup): {cols}"
+    rows = out.collect()
+    assert len(rows) == 2
+
+
+def test_rollup_first_is_time_ordered(eng):
+    """Code-review r9: the 'first' rollup aggregation is min-by-time
+    over non-null cells (deterministic), not F.first's post-shuffle
+    row order; a bucket whose earliest cell is NaN takes the earliest
+    NON-NULL value."""
+    import math as _math
+
+    from ong_tsdb_spark.plans.rollup import rollup_sensor
+
+    eng.create_sensor("d", "raw2", "1s", ["x", "y"])
+    t0 = 1672617600
+    # bucket [t0, t0+60): x written late with a SMALLER value at an
+    # earlier... craft: x at t0+5 = 9.0 (earliest non-null), x at
+    # t0+40 = 1.0; y only at t0+30
+    eng.write_points("d", "raw2", [("x", 1.0, t0 + 40), ("x", 9.0, t0 + 5)])
+    eng.write_points("d", "raw2", [("y", 3.0, t0 + 30)])
+    rollup_sensor(eng, "d", "raw2", "raw2_1m", freq="60s", agg="first")
+    row = eng.read("d", "raw2_1m").collect()[0]
+    assert row["x"] == 9.0  # earliest-by-time, not min or shuffle order
+    assert row["y"] == 3.0
+    assert row["ts_sec"] == t0
+    # the 'last' twin
+    rollup_sensor(eng, "d", "raw2", "raw2_1m_last", freq="60s", agg="last")
+    row = eng.read("d", "raw2_1m_last").collect()[0]
+    assert row["x"] == 1.0 and row["y"] == 3.0
+    assert not _math.isnan(row["x"])
