@@ -77,10 +77,16 @@ def exact_duplicates_keep_best(
     can't crown a null-score copy (Spark sorts the null field FIRST,
     diverging from the oracle's ``ORDER BY score DESC`` nulls-last);
     an all-null group still falls back to the lowest id.  The
-    negation runs in DECIMAL(20,0) — wide enough that no long score
-    (including LONG_MIN) can overflow it, where ``-bigint`` would
-    wrap (or throw under ANSI) at the boundary."""
-    neg = (-F.col(score_col).cast("decimal(20,0)")).alias("neg_score")
+    negation runs in DECIMAL(38,18) — wide enough that no long score
+    (including LONG_MIN, 19 integer digits) can overflow it, where
+    ``-bigint`` would wrap (or throw under ANSI) at the boundary, and
+    PRECISE enough that fractional scores rank exactly: the old
+    ``cast('long')`` before ranking truncated every double score (two
+    quality scores 0.12 vs 0.98 tied at 0 and the keeper degenerated
+    to lowest-id — the exact failure this function exists to prevent;
+    code-review r9).  ``keeper_score`` stays bigint in the OUTPUT
+    contract (truncating only the report, never the ranking)."""
+    neg = (-F.col(score_col).cast("decimal(38,18)")).alias("neg_score")
     best = F.min(
         F.struct(
             F.when(F.col(score_col).isNull(), F.lit(1))
@@ -94,7 +100,7 @@ def exact_duplicates_keep_best(
         df.select(
             F.md5(F.col(text_col)).alias("fingerprint"),
             F.col(id_col),
-            F.col(score_col).cast("long").alias(score_col),
+            F.col(score_col),
         )
         .groupBy("fingerprint")
         .agg(best.alias("__b"), F.count("*").alias("n_copies"))
@@ -346,43 +352,6 @@ def ngram_jaccard_pairs(
 HASHES_PER_DIGEST = 4  # one md5 yields four independent 32-bit minhashes
 
 
-def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
-) -> DataFrame:
-    """(id, seed, h): per-doc min of the i-th hash of each shingle.
-
-    Hash family: seed s (s = i div 4) selects an md5 of
-    ``s || '|' || shingle``; the digest's four 8-hex-char substrings
-    are four independent 32-bit hash functions.  One md5 per shingle
-    per *digest-seed* instead of per hash — 4x less hashing, the
-    dominant cost of MinHash at corpus scale.  md5+substr exist in the
-    oracle engine with identical semantics (binary collation min)."""
-    n_seeds = (num_hashes + HASHES_PER_DIGEST - 1) // HASHES_PER_DIGEST
-    digests = sh.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle"))).alias(f"_d{s}")
-            for s in range(n_seeds)
-        ],
-    )
-    entries = []
-    for s in range(n_seeds):
-        for j in range(HASHES_PER_DIGEST):
-            i = s * HASHES_PER_DIGEST + j
-            if i >= num_hashes:
-                break
-            entries.append(
-                F.struct(
-                    F.lit(i).alias("seed"),
-                    F.substring(F.col(f"_d{s}"), j * 8 + 1, 8).alias("h"),
-                )
-            )
-    exploded = digests.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("e")
-    ).select(F.col(id_col), F.col("e.seed").alias("seed"), F.col("e.h").alias("h"))
-    return exploded.groupBy(id_col, "seed").agg(F.min("h").alias("h"))
-
-
 def wide_minhash_table(
     sh: DataFrame,
     id_col: str = "doc_id",
@@ -417,6 +386,14 @@ def band_structs_expr(num_hashes: int, band_size: int) -> Column:
     """The LSH band keys as an array of (band, sig) structs over the
     wide signature columns — plain column concats, no per-hash row
     explosion."""
+    if num_hashes % band_size:
+        # a silent floor would drop the trailing hashes: the caller
+        # paid to compute them and the realized (bands, rows) collision
+        # curve would differ from the configured one with no signal
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by band_size "
+            f"({band_size}) — trailing hashes would be silently dropped"
+        )
     n_bands = num_hashes // band_size
     return F.array(
         *[
@@ -750,7 +727,11 @@ def passage_dup_stats(
         .select(
             F.col(id_col),
             F.md5(F.col("e.p")).alias("h"),
-            (F.col(id_col) * F.lit(1_000_000) + F.col("e.pos")).alias("k"),
+            # long cast FIRST: an int32 id column would overflow the
+            # *1e6 at doc_id >= 2148 (throwing under ANSI, silently
+            # wrapping negative otherwise — corrupting the MIN-based
+            # first-occurrence order; code-review r9)
+            (F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("e.pos")).alias("k"),
         )
     )
     firsts = occ.groupBy("h").agg(F.min("k").alias("first_k"))

@@ -113,7 +113,8 @@ def cosine_pairs_blocked(
     Norms are computed once per *vector* (O(n)) and joined through, so
     each pair evaluates only one unrolled dot product (O(pairs)) —
     cosine = dot/(norm_a*norm_b) is the same expression either way."""
-    dim = _infer_dim(df, vec_col)
+    dim = None  # the fold-based _dot/_norm never consume it — an
+    # _infer_dim here cost one extra Spark job per call (r9 review)
     # materialized once: the projection carries computed expressions
     # (quantizer block keys, the norm fold), and the three consumers
     # (size census, both self-join sides) get no ReusedExchange from
@@ -133,8 +134,12 @@ def cosine_pairs_blocked(
         keep = sizes.filter(F.col("__bn") <= max_block_size).select("__blk")
         slim = slim.join(F.broadcast(keep), on="__blk")
     a, b = slim.alias("a"), slim.alias("b")
-    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim) / (
-        F.col("a.__nrm") * F.col("b.__nrm")
+    # try_divide, not '/': under ANSI mode (Spark 4 default) a plain
+    # Divide THROWS on a zero-norm vector in the block; NULL cosine
+    # falls out of the threshold filter like cosine_similarity's
+    cos = F.try_divide(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim),
+        F.col("a.__nrm") * F.col("b.__nrm"),
     )
     return (
         a.join(b, on="__blk")
@@ -466,7 +471,15 @@ def _nearest_centroid(vec_col: Column, centroids: list[list[float]], dim: int) -
     entries = []
     for i, c in enumerate(centroids):
         nc = math.sqrt(sum(x * x for x in c)) or 1.0
-        dist = F.lit(1.0) - _dot(vec_col, _centroid_literal(c), dim) / (nv * F.lit(nc))
+        # try_divide: a zero-norm vector makes every cosine NULL (not
+        # an ANSI DIVIDE_BY_ZERO job kill); coalesce to distance 1.0
+        # so such rows still get a deterministic nearest cluster
+        dist = F.lit(1.0) - F.coalesce(
+            F.try_divide(
+                _dot(vec_col, _centroid_literal(c), dim), nv * F.lit(nc)
+            ),
+            F.lit(0.0),
+        )
         entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
     return F.array_min(F.array(*entries))["idx"]
 
@@ -483,12 +496,23 @@ def train_ivf_centroids(
     mean are distributed (posexplode + groupBy avg — one shuffle of
     k x dim cells per iteration, independent of corpus size).
     Deterministic: init = the k lowest-id vectors, no RNG."""
-    dim = _infer_dim(df, vec_col)
-    init = (
-        df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    # drop NULL vectors / null-element vectors from training — they
+    # cannot seed or update a centroid (same guard as the integer
+    # twin train_ivf_centroids_exact; float(None) died here before)
+    clean = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
+    init = clean.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
-    slim = df.select(F.col(id_col), F.col(vec_col)).persist()
+    # fewer vectors than k: train with what exists (the update loop
+    # previously indexed centroids[i] past the collected count —
+    # the exact same IndexError the integer twin fixed)
+    k = len(centroids)
+    if k == 0:
+        return []
+    dim = len(centroids[0])
+    slim = clean.select(F.col(id_col), F.col(vec_col)).persist()
     try:
         for _ in range(iters):
             assigned = slim.withColumn(
@@ -519,8 +543,11 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the coarse-quantizer cluster id (the IVF list key)."""
-    dim = _infer_dim(df, vec_col)
-    return df.withColumn("ivf_cluster", _nearest_centroid(F.col(vec_col), centroids, dim))
+    # dim is unused by the fold-based distance exprs — no _infer_dim
+    # job on the assignment hot path (r9 review)
+    return df.withColumn(
+        "ivf_cluster", _nearest_centroid(F.col(vec_col), centroids, None)
+    )
 
 
 def ivf_topk(
@@ -572,7 +599,6 @@ def quantize_embeddings(
     absmax = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
-    scale = F.lit(127.0) / absmax
     return (
         df.select(F.col(id_col), F.col(vec_col), absmax.alias("__am"))
         .filter(F.col("__am") > 0)
@@ -849,9 +875,23 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("ivf_cluster").applyInPandas(
-        block, f"{id_col} long, cid int, keep boolean"
+    # NULL clusters (null vectors / null-element vectors get no
+    # assignment) cannot enter the Arrow blocks: astype('int32') on
+    # the null key and np.array over None vectors both kill the job.
+    # Route them around the matmul with keep=True / cid=NULL — the
+    # exact same answer the use_blas=False reference path gives them
+    # (code-review r9; the two paths are parity-pinned)
+    nulls = assigned.filter(F.col("ivf_cluster").isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(True).alias("keep"),
     )
+    deduped = (
+        assigned.filter(F.col("ivf_cluster").isNotNull())
+        .groupBy("ivf_cluster")
+        .applyInPandas(block, f"{id_col} long, cid int, keep boolean")
+    )
+    return deduped.unionByName(nulls)
 
 
 def centroid_distances(
@@ -1232,7 +1272,13 @@ def _adc_rank(
     pq_adc_topk_persisted and ivfpq_topk_persisted."""
     adc = None
     for s, tbl in enumerate(tables):
-        t = F.element_at(
+        # try_element_at, NOT element_at: on the pinned Spark a NULL
+        # index (NULL pq code from a null/dirty vector) makes
+        # element_at return the LAST array element — a bogus but
+        # valid-looking distance that ranks dirty rows among real
+        # neighbors; try_element_at gives NULL, and the isNotNull
+        # filter below drops those rows from the ranking entirely
+        t = F.try_element_at(
             F.array(*[F.lit(int(d)).cast("long") for d in tbl]),
             (F.col(f"pq_code_{s}") + F.lit(1)).cast("int"),
         )
@@ -1240,6 +1286,11 @@ def _adc_rank(
     scored = coded.select(F.col(id_col), adc.cast("long").alias("adc_dist"))
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    # rows with NULL codes (null vectors / null elements from
+    # pq_encode_exact) have NULL adc_dist — plain asc() is NULLS FIRST
+    # in Spark, so they would crowd ranks 1..m out of every top-k
+    # (code-review r9); they are not comparable, drop them
+    scored = scored.filter(F.col("adc_dist").isNotNull())
     order = [F.col("adc_dist").asc(), F.col(id_col).asc()]
     top = scored.orderBy(*order).limit(topk)
     w = Window.orderBy(*order)

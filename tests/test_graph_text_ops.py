@@ -256,3 +256,86 @@ def test_sequence_pack_stats(spark):
     }
     for k in got:
         assert tuple(got[k]) == tuple(got1[k])
+
+
+def test_similarity_null_vector_robustness(spark):
+    """Code-review r9: NULL vectors (or null-element vectors) must not
+    crash or pollute the ANN/dedup paths — ADC top-k drops NULL-code
+    rows instead of ranking them FIRST (asc() is nulls-first), the
+    float IVF trainer skips them and tolerates n < k, semantic_dedup's
+    BLAS path routes them around the matmul with the same keep=True /
+    cid=NULL answer as the reference path, and a zero-norm vector in a
+    blocked pair yields NULL cosine (not an ANSI divide error)."""
+    from ong_tsdb_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        pq_adc_topk,
+        semantic_dedup,
+        train_ivf_centroids,
+        train_pq_codebooks_exact,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0, 0.0], "a"),
+        (3, None, "a"),
+        (4, [0.0, 1.0, None, 0.0], "a"),
+        (5, [0.0, 0.0, 0.0, 0.0], "a"),  # zero norm
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    # trainer: null-safe, n < k returns what exists
+    cents = train_ivf_centroids(df, k=8, iters=1)
+    assert 1 <= len(cents) <= 3
+
+    # ADC: null-code rows never appear in the ranking
+    books = train_pq_codebooks_exact(df, m=2, k=2, iters=1)
+    top = pq_adc_topk(df, books, [1.0, 0.0, 0.0, 0.0], topk=5)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert 3 not in ids and 4 not in ids
+    assert ids[0] in (1, 2)
+
+    # semantic dedup: BLAS and reference paths agree on null rows
+    blas = {r["vec_id"]: (r["cid"], r["keep"])
+            for r in semantic_dedup(df, k=2, iters=1, use_blas=True).collect()}
+    ref = {r["vec_id"]: (r["cid"], r["keep"])
+           for r in semantic_dedup(df, k=2, iters=1, use_blas=False).collect()}
+    assert set(blas) == set(ref) == {1, 2, 3, 4, 5}
+    assert blas[3] == (None, True) and blas[4] == (None, True)
+    assert blas[3] == ref[3] and blas[4] == ref[4]
+
+    # blocked pairs: zero-norm cosine is NULL, job survives
+    pairs = cosine_pairs_blocked(
+        df.withColumn("blk", F.lit(1)), block_col="blk", threshold=-2.0
+    )
+    got = {(r["d1"], r["d2"]): r["cosine"] for r in pairs.collect()}
+    assert any(v is None for k, v in got.items() if 5 in k) or not any(
+        5 in k for k in got
+    )
+
+
+def test_keep_best_fractional_scores(spark):
+    """Code-review r9: fractional quality scores must rank exactly —
+    the old cast('long') truncated 0.12 and 0.98 both to 0 and the
+    keeper degenerated to lowest-id."""
+    from ong_tsdb_spark.operators.dedup import exact_duplicates_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 0.12),
+            (2, "same text", 0.98),
+            (3, "same text", None),
+        ],
+        "doc_id long, text string, score double",
+    )
+    row = exact_duplicates_keep_best(df, score_col="score").collect()[0]
+    assert row["keeper_id"] == 2  # highest REAL score, not lowest id
+    assert row["n_copies"] == 3
+
+
+def test_band_structs_rejects_indivisible(spark):
+    from ong_tsdb_spark.operators.dedup import band_structs_expr
+
+    with pytest.raises(ValueError, match="divisible"):
+        band_structs_expr(16, 3)
