@@ -4357,18 +4357,30 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08
+# planned-on: r01..r08 @ a55a5761d478
 _TAIL_ROTATION = [
-    "text_repetition",
+    "ts_range_read",
+    "ts_snap_grid",
+    "ts_checksum_nansum",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "tpch_q5ish",
+    "top_orders",
+    "part_brand_agg",
+    "emb_label_centroids",
+    "ts_delta",
+    "tpch_rollup",
+    "events_json_extract",
+    "ts_rolling_mean",
+    "tpch_q6",
+    "orders_with_late_lines",
+    "customers_without_recent_orders",
+    "users_set_ops",
+    "tpch_cube",
     "top_orders_per_priority",
-    "emb_ivf_topk",
-    "dedup_keep_best",
     "emb_ann_recall",
     "emb_ivf_recall",
-    "dedup_semantic",
     "ts_ewma",
-    "ts_mad_anomaly",
-    "dedup_minhash_error",
     "corpus_curation_report",
     "corpus_delta_stats",
     "ts_last_timestamp",
@@ -4377,14 +4389,8 @@ _TAIL_ROTATION = [
     "ts_usage_stats",
     "ts_ingest_grouping",
     "influx_roundtrip",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "text_quality",
     "text_langid",
-    "emb_cosine_topk",
-    "emb_neardup_blocked",
-    "emb_neardup_lsh",
     "ts_asof_join",
     "ts_gap_fill",
     "ts_pivot_daily",
@@ -4400,23 +4406,17 @@ _TAIL_ROTATION = [
     "ts_cumulative_sum",
     "ts_cumulative_sum_chunked",
     "doc_stats_by_lang",
-    "emb_ann_lsh",
     "multimodal_features",
     "corpus_clean_pipeline",
     "ts_moving_range_avg",
     "multimodal_frame_sample",
     "text_rolling_fingerprint",
     "text_bpe_tokens",
-    "dedup_winnow",
     "ts_zscore_anomaly",
     "text_dup_spans",
-    "corpus_epoch_shards",
-    "corpus_shuffled_shards",
-    "corpus_pack_sequences",
     "text_classifier_train",
     "text_classifier_quality",
     "corpus_dsir_weights",
-    "emb_pq_adc_topk",
     "text_bpe_pairs",
     "doc_chunk_stats",
     "emb_pq_recall",

@@ -186,11 +186,14 @@ def test_rotation_planner_invariants(tmp_path):
         "never-proven entries must be in the committed head"
     )
     # plan-equality, pinned to the committed rotation's evidence window
+    # AND its code-scan commit (the `@ sha` marker suffix): both are
+    # needed to reproduce the plan after further commits land
     planned_on = rot.read_planned_on()
     assert planned_on is not None, (
         "managed block lacks a planned-on marker: run tools/rotate.py --write"
     )
-    head, tail, _green = rot.plan(50, max_round=planned_on)
+    code_upper = rot.read_code_upper()
+    head, tail, _green = rot.plan(50, max_round=planned_on, code_upper=code_upper)
     assert set(head) == set(current_head), (
         f"committed rotation diverged from tools/rotate.py output over its "
         f"planned-on window r01..r{planned_on:02d} — run tools/rotate.py "
@@ -206,7 +209,8 @@ def test_rotation_planner_invariants(tmp_path):
     with tempfile.TemporaryDirectory() as td:
         copy = os.path.join(td, "entry_queries.py")
         shutil.copyfile(src, copy)
-        rot.rewrite_tail(tail, path=copy, planned_on=planned_on)
+        rot.rewrite_tail(tail, path=copy, planned_on=planned_on,
+                         code_upper=code_upper)
         assert open(copy).read() == open(src).read()
 
 
@@ -278,6 +282,27 @@ def test_rotation_code_change_ranking():
         assert entry in changed_live, f"{entry} should be flagged as code-changed"
     # and an untouched-module entry must NOT be flagged
     assert "graph_pagerank" not in changed_live
+
+    # mid-round scan (code_upper past the close commit): r8-green
+    # entries over modules edited THIS round must flag immediately —
+    # without code_upper they are invisible until the r10 replan (the
+    # one-round lag the r8 verdict called out).  Window: r8 close
+    # commit .. the r9 commit that hardened operators/dedup.py.
+    changed_now = rot.changed_since_green(green_live, 8, code_upper="HEAD")
+    import subprocess
+
+    r8_close = rot.round_close_commit(8)
+    touched = subprocess.run(
+        ["git", "diff", "--name-only", f"{r8_close}..HEAD"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    if "ong_tsdb_spark/operators/dedup.py" in touched:
+        assert "dedup_exact" in changed_now, (
+            "r8-green entry over a module edited after the r8 close must "
+            "be flagged by the mid-round scan"
+        )
+    # legacy scan (no code_upper) must NOT flag same-round-green entries
+    assert all(green_live.get(n, 0) < 8 for n in changed_live)
 
 
 def test_rotation_inline_import_regex_consecutive():

@@ -146,14 +146,23 @@ def _fn_chunks(src: str) -> dict[str, str]:
 
 
 def changed_since_green(
-    green: dict[str, int], planned_on: int
+    green: dict[str, int], planned_on: int, code_upper: str | None = None
 ) -> dict[str, list[str]]:
     """entry -> evidence-invalidating changes: impl files (or the
     entry's own @register block in entry_queries.py) that differ
     between the close commit of the entry's last-green round and the
     close commit of ``planned_on``.  Deterministic over committed
     history, so the committed rotation stays reproducible (the test
-    re-plans over the same planned-on window).  VERDICT r8 #7."""
+    re-plans over the same planned-on window).  VERDICT r8 #7.
+
+    ``code_upper`` (a commit sha) extends the diff window past the
+    ``planned_on`` close commit to the CURRENT round's tip — without
+    it, edits landed mid-round ride on same-round driver green until
+    the NEXT rotation notices (the exact one-round lag the r8 verdict
+    called out on corpus_epoch_mix).  With it, entries green in
+    ``planned_on`` itself are also eligible: their window is
+    close(planned_on)..code_upper.  The sha is recorded in the
+    planned-on marker so the invariants test replans identically."""
     import inspect
 
     import __spark_entry__  # noqa: F401
@@ -162,7 +171,10 @@ def changed_since_green(
     close: dict[int, str | None] = {}
     for rnd in set(green.values()) | {planned_on}:
         close[rnd] = round_close_commit(rnd)
-    upper = close.get(planned_on)
+    if code_upper is not None:
+        upper = _git("rev-parse", code_upper).strip()
+    else:
+        upper = close.get(planned_on)
     impl = entry_impl_files()
     # one git-diff + one old-source fetch per distinct stale round
     diff_cache: dict[int, set[str]] = {}
@@ -176,9 +188,12 @@ def changed_since_green(
     except subprocess.CalledProcessError:
         head_chunks = {}
     out: dict[str, list[str]] = {}
+    # without a code_upper the window tops out at close(planned_on),
+    # so same-round-green entries have a zero-length window — skip them
+    newest_eligible = planned_on if code_upper is not None else planned_on - 1
     for name, q in REGISTRY.items():
         rnd = green.get(name)
-        if rnd is None or rnd >= planned_on:
+        if rnd is None or rnd > newest_eligible:
             continue
         lower = close.get(rnd)
         if lower is None or upper is None or lower == upper:
@@ -255,7 +270,9 @@ def last_green_rounds(max_round: int | None = None) -> dict[str, int]:
 
 
 def plan(
-    head_size: int, max_round: int | None = None
+    head_size: int,
+    max_round: int | None = None,
+    code_upper: str | None = None,
 ) -> tuple[list[str], list[str], dict[str, int]]:
     import __spark_entry__ as entry_mod
 
@@ -263,7 +280,7 @@ def plan(
     green = last_green_rounds(max_round)
     planned_on = max(green.values(), default=0)
     try:
-        changed = changed_since_green(green, planned_on)
+        changed = changed_since_green(green, planned_on, code_upper)
     except Exception as ex:  # noqa: BLE001 — degrade to staleness-only
         print(f"WARNING: code-change scan unavailable ({ex}); "
               "ranking by staleness only", file=sys.stderr)
@@ -276,21 +293,36 @@ def plan(
     return head, tail, green
 
 
-PLANNED_ON_RE = re.compile(r"^# planned-on: r(\d+)\.\.r(\d+)$", re.M)
+PLANNED_ON_RE = re.compile(
+    r"^# planned-on: r(\d+)\.\.r(\d+)(?: @ ([0-9a-f]{7,40}))?$", re.M
+)
 
 
 def read_planned_on(path: str | None = None) -> int | None:
     """Return the upper round of the committed rotation's evidence
-    window (the ``# planned-on: rN..rM`` marker inside the managed
-    block), or None for a pre-marker file."""
+    window (the ``# planned-on: rN..rM [@ sha]`` marker inside the
+    managed block), or None for a pre-marker file."""
     if path is None:
         path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
     m = PLANNED_ON_RE.search(open(path).read())
     return int(m.group(2)) if m else None
 
 
+def read_code_upper(path: str | None = None) -> str | None:
+    """The commit sha the committed rotation's code-change scan was
+    planned against (the ``@ sha`` marker suffix), or None for a
+    marker written before the mid-round scan existed."""
+    if path is None:
+        path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
+    m = PLANNED_ON_RE.search(open(path).read())
+    return m.group(3) if m else None
+
+
 def rewrite_tail(
-    tail: list[str], path: str | None = None, planned_on: int | None = None
+    tail: list[str],
+    path: str | None = None,
+    planned_on: int | None = None,
+    code_upper: str | None = None,
 ) -> None:
     if path is None:
         path = os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
@@ -299,7 +331,10 @@ def rewrite_tail(
         raise SystemExit("rotation markers not found in entry_queries.py")
     if planned_on is None:
         planned_on = max(last_green_rounds().values(), default=0)
-    lines = [BEGIN, f"# planned-on: r01..r{planned_on:02d}", "_TAIL_ROTATION = ["]
+    marker = f"# planned-on: r01..r{planned_on:02d}"
+    if code_upper:
+        marker += f" @ {code_upper}"
+    lines = [BEGIN, marker, "_TAIL_ROTATION = ["]
     body = "\n".join(lines + [f'    "{n}",' for n in tail] + ["]", END])
     pre, rest = src.split(BEGIN, 1)
     _, post = rest.split(END, 1)
@@ -310,9 +345,21 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--head-size", type=int, default=50)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument(
+        "--code-upper",
+        default="HEAD",
+        help="commit bounding the code-change scan (recorded in the "
+        "planned-on marker; pass an empty string for the legacy "
+        "close-commit-only scan)",
+    )
     args = ap.parse_args(argv)
 
-    head, tail, green = plan(args.head_size)
+    code_upper = (
+        _git("rev-parse", "--short=12", args.code_upper).strip()
+        if args.code_upper
+        else None
+    )
+    head, tail, green = plan(args.head_size, code_upper=code_upper)
     changed = getattr(plan, "last_changed", {})
     latest = max(green.values(), default=0)
     print(f"registry={len(head) + len(tail)} head={len(head)} tail={len(tail)} "
@@ -339,8 +386,9 @@ def main(argv=None) -> int:
         print(f"WARNING: {len(over)} tail entries will be >2 rounds stale "
               f"next round: {over}")
     if args.write:
-        rewrite_tail(tail, planned_on=latest)
-        print(f"wrote _TAIL_ROTATION (planned-on r01..r{latest:02d}; run "
+        rewrite_tail(tail, planned_on=latest, code_upper=code_upper)
+        at = f" @ {code_upper}" if code_upper else ""
+        print(f"wrote _TAIL_ROTATION (planned-on r01..r{latest:02d}{at}; run "
               "pytest tests/test_entry.py -k invariants to confirm)")
     return 0
 
