@@ -708,9 +708,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- embeddings --------------------------------------------------------
 
+#: pairs are defined between SAME-dimension vectors only: on a length
+#: mismatch the dot is NULL (dropped at every threshold/rank), instead
+#: of the asymmetric prefix-dot len({a}) alone would give — mirrors the
+#: per-length grouping in similarity.cosine_pairs_blocked_numpy
 _DOT_SQL = """
-  list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE),
-              (x, y) -> x + y)
+  (CASE WHEN len({a}) = len({b}) AND len({a}) > 0 THEN
+    list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE),
+                (x, y) -> x + y)
+   END)
 """
 
 
@@ -1812,7 +1818,12 @@ def _ivf_l2_sql(a: str, b: str, dim: int) -> str:
 
 
 def _ivf_train_sql(
-    k: int, iters: int, dim: int, suffix: str = "", vec_expr: str = "embedding"
+    k: int,
+    iters: int,
+    dim: int,
+    suffix: str = "",
+    vec_expr: str = "embedding",
+    elig_expr: str | None = None,
 ) -> tuple[str, str]:
     """The unrolled integer-exact Lloyd's chain as a CTE fragment
     (shared by the IVF top-k, semantic-dedup and PQ oracles).  Returns
@@ -1828,14 +1839,40 @@ def _ivf_train_sql(
     trained vector (e.g. a list slice for a PQ subspace)."""
     scale = similarity.IVF_QUANT_SCALE
     sx = suffix
+    # quantize twin of similarity.ivf_quantize_expr: dirty elements
+    # (NULL / NaN / |x| > EXACT_MAX_ABS, which would overflow the
+    # bigint chain) become NULL elements; qel holds the ELIGIBLE rows —
+    # the exact subset similarity.train_ivf_centroids_exact trains on
+    # and assigns (ineligible rows get a NULL cluster on both engines).
+    # ``elig_expr`` widens the eligibility probe beyond the trained
+    # slice: the PQ trainer excludes a vector dirty in ANY subspace
+    # from EVERY subspace's training (similarity null policy), so its
+    # per-slice chains pass elig_expr='embedding'.
+    max_abs = similarity.EXACT_MAX_ABS
+    if elig_expr is None:
+        ok_sql = "TRUE"
+    else:
+        ok_sql = (
+            f"({elig_expr} IS NOT NULL AND len(list_filter({elig_expr}, "
+            f"x -> x IS NULL OR isnan(x::DOUBLE) OR abs(x::DOUBLE) > {max_abs}"
+            f")) = 0)"
+        )
     ctes = [
         f"""q0{sx} AS (
       SELECT vec_id,
-             list_transform({vec_expr}, x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
+             list_transform({vec_expr}, x -> CASE
+               WHEN x IS NOT NULL AND NOT isnan(x::DOUBLE)
+                    AND abs(x::DOUBLE) <= {max_abs}
+               THEN CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT) END) AS qv,
+             {ok_sql} AS __ok
       FROM embeddings),
+    qel{sx} AS (
+      SELECT vec_id, qv FROM q0{sx}
+      WHERE __ok AND qv IS NOT NULL
+        AND len(list_filter(qv, x -> x IS NULL)) = 0),
     c0{sx} AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
-      FROM (SELECT vec_id, qv FROM q0{sx} ORDER BY vec_id LIMIT {k}))"""
+      FROM (SELECT vec_id, qv FROM qel{sx} ORDER BY vec_id LIMIT {k}))"""
     ]
     prev = f"c0{sx}"
     for it in range(1, iters + 1):
@@ -1845,7 +1882,7 @@ def _ivf_train_sql(
         SELECT q.vec_id, q.qv, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
-        FROM q0{sx} q CROSS JOIN {prev} c) WHERE rn = 1),
+        FROM qel{sx} q CROSS JOIN {prev} c) WHERE rn = 1),
     s{it}{sx} AS (
       SELECT cid, pos, SUM(qv[pos]) AS s, COUNT(*) AS n
       FROM a{it}{sx}, (SELECT unnest(range(1, {dim + 1})) AS pos) p
@@ -1862,14 +1899,15 @@ def _ivf_train_sql(
 
 
 def _ivf_af_sql(prev: str, dim: int, suffix: str = "") -> str:
-    """Final exact assignment CTE body: every vector to its nearest
-    trained centroid (lowest-index tie-break, like np.argmin)."""
+    """Final exact assignment CTE body: every ELIGIBLE vector to its
+    nearest trained centroid (lowest-index tie-break, like np.argmin);
+    ineligible rows are absent — the SQL image of a NULL cluster."""
     return f"""
       SELECT vec_id, cid FROM (
         SELECT q.vec_id, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {_ivf_l2_sql("q.qv", "c.cv", dim)}, c.cid) AS rn
-        FROM q0{suffix} q CROSS JOIN {prev} c) WHERE rn = 1"""
+        FROM qel{suffix} q CROSS JOIN {prev} c) WHERE rn = 1"""
 
 
 def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, topk: int = 10) -> str:
@@ -1989,8 +2027,11 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     """
     SELECT doc_id AS item_id, 'image' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha256
+           -- a NULL payload is processed as the EMPTY payload (the
+           -- extractor's `or b""`): byte features must exist for
+           -- every item row
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           sha256(coalesce(text, '')) AS sha256
     FROM documents
     """,
 )
@@ -2133,7 +2174,9 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(f AS INT) AS frame_idx,
            CAST(f * 2.0 AS FLOAT) AS ts_s
     FROM documents,
-         unnest(range(0, 1 + octet_length(encode(text)) % 5)) AS t(f)
+         -- coalesce: a NULL payload samples as the EMPTY payload
+         -- (1 frame), matching the extractor's `or b""`
+         unnest(range(0, 1 + octet_length(encode(coalesce(text, ''))) % 5)) AS t(f)
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,7 +2210,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE [] END AS hashes
           FROM wv)
     SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_windows,
-           array_to_string(list_sort(hashes)[1:5], ',') AS sig
+           -- coalesce: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' — the empty signature is ''
+           -- (deterministic, join-safe), covering <4-token and NULL
+           -- text documents (edge-corpus replay, code-review r9)
+           coalesce(array_to_string(list_sort(hashes)[1:5], ','), '') AS sig
     FROM h
     """,
 )
@@ -2630,9 +2677,13 @@ def corpus_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ledger_backfill",
     """
     WITH ledger AS (
-      SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),
+      -- coalesce mirrors streaming.content_fingerprint: NULL text
+      -- digests as '' (a NULL key would bypass the ledger forever)
+      SELECT DISTINCT md5(coalesce(text, '')) AS fingerprint
+      FROM documents WHERE doc_id < 250),
     batch AS (
-      SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id >= 250),
+      SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+      FROM documents WHERE doc_id >= 250),
     first_per_fp AS (
       SELECT fingerprint, min(doc_id) AS doc_id FROM batch GROUP BY fingerprint)
     SELECT f.doc_id, f.fingerprint
@@ -2751,6 +2802,14 @@ def _semantic_dedup_sql(k: int = 8, iters: int = 2, dim: int = 64, threshold: fl
     SELECT af.vec_id, CAST(af.cid AS INT) AS cid,
            (d.vec_id IS NULL) AS keep
     FROM af LEFT JOIN dup d ON af.vec_id = d.vec_id
+    UNION ALL
+    -- ineligible vectors (NULL / null-element / out-of-range — absent
+    -- from af) cannot be assessed for semantic duplication: one row
+    -- each, kept, with no cluster — the same routed verdict the Spark
+    -- operator gives them
+    SELECT e.vec_id, CAST(NULL AS INT) AS cid, TRUE AS keep
+    FROM embeddings e LEFT JOIN af ON af.vec_id = e.vec_id
+    WHERE af.vec_id IS NULL
     """
 
 
@@ -3251,8 +3310,11 @@ def _pack_chain_ctes(rel: str) -> str:
     corpus_shuffled_shards so the layout math cannot drift."""
     return f"""
     tk AS (
+      -- coalesce: a NULL-text doc is a ZERO-TOKEN member (occupies
+      -- one span like any empty doc); bare NULL would null n_tok and
+      -- silently drop the doc from the whole layout chain
       SELECT doc_id,
-             regexp_extract_all(text, '{_bpe_re_sql()}') AS toks
+             regexp_extract_all(coalesce(text, ''), '{_bpe_re_sql()}') AS toks
       FROM {rel}),
     tf AS (
       SELECT u AS token, CAST(count(*) AS BIGINT) AS tf
@@ -3323,9 +3385,11 @@ _PACK_SEQ_SQL = "WITH " + _pack_chain_sql("documents")
 _C4_SQL = (
     """
     WITH f AS (
-      SELECT doc_id, text, lower(text) AS lo,
-             string_split(text, chr(10)) AS lines,
-             list_filter(string_split(text, chr(10)),
+      -- NULL text scores as the EMPTY document, like the operator
+      SELECT doc_id, coalesce(text, '') AS text,
+             lower(coalesce(text, '')) AS lo,
+             string_split(coalesce(text, ''), chr(10)) AS lines,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
                          l -> regexp_matches(trim(l), '[.!?"]$')
                               AND len(string_split(trim(l), ' ')) >= 5) AS kept
       FROM documents),
@@ -3663,7 +3727,8 @@ def _pq_sql(
     for s in range(m):
         lo, hi = s * sub + 1, (s + 1) * sub
         ctes, prev = _ivf_train_sql(
-            k, iters, sub, suffix=f"_p{s}", vec_expr=f"embedding[{lo}:{hi}]"
+            k, iters, sub, suffix=f"_p{s}", vec_expr=f"embedding[{lo}:{hi}]",
+            elig_expr="embedding",
         )
         chains.append(ctes)
         afs.append(f"af_p{s} AS ({_ivf_af_sql(prev, sub, suffix=f'_p{s}')})")
@@ -4023,11 +4088,12 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ledger_replay",
     """
     WITH b0 AS (
-      SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
-      FROM documents WHERE doc_id < 250 GROUP BY md5(text)),
+      -- coalesce mirrors streaming.content_fingerprint (NULL -> '')
+      SELECT min(doc_id) AS doc_id, md5(coalesce(text, '')) AS fingerprint
+      FROM documents WHERE doc_id < 250 GROUP BY md5(coalesce(text, ''))),
     b1all AS (
-      SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint
-      FROM documents WHERE doc_id >= 250 GROUP BY md5(text)),
+      SELECT min(doc_id) AS doc_id, md5(coalesce(text, '')) AS fingerprint
+      FROM documents WHERE doc_id >= 250 GROUP BY md5(coalesce(text, ''))),
     b1 AS (
       SELECT f.doc_id, f.fingerprint FROM b1all f
       LEFT JOIN b0 ON b0.fingerprint = f.fingerprint
@@ -4094,14 +4160,17 @@ def _near_ledger_sql() -> str:
     streaming/dedup.py near_band_keys_table line for line."""
 
     def reps(pred: str, name: str) -> str:
+        # coalesce mirrors streaming.content_fingerprint (NULL -> '')
         return f"""{name} AS (
       SELECT min(doc_id) AS doc_id FROM documents WHERE {pred}
-      GROUP BY md5(text))"""
+      GROUP BY md5(coalesce(text, '')))"""
 
     def keys(src: str, name: str) -> str:
-        # band keys for >=4-word docs + exact keys for shorter ones
+        # band keys for >=4-word docs + exact keys for shorter ones;
+        # NULL text -> '' like near_band_keys_table's up-front coalesce
         return f"""toks_{name} AS (
-      SELECT d.doc_id, d.text, string_split(d.text, ' ') AS t
+      SELECT d.doc_id, coalesce(d.text, '') AS text,
+             string_split(coalesce(d.text, ''), ' ') AS t
       FROM documents d JOIN {src} USING (doc_id)),
     sh_{name} AS (
       SELECT DISTINCT doc_id,
@@ -4190,18 +4259,19 @@ def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ledger_crash_replay",
     """
     WITH b0 AS (
+      -- coalesce mirrors streaming.content_fingerprint (NULL -> '')
       SELECT min(doc_id) AS doc_id FROM documents
-      WHERE doc_id < 250 GROUP BY md5(text)),
+      WHERE doc_id < 250 GROUP BY md5(coalesce(text, ''))),
     b0fp AS (
-      SELECT md5(text) AS fp FROM documents WHERE doc_id < 250),
+      SELECT md5(coalesce(text, '')) AS fp FROM documents WHERE doc_id < 250),
     b1in AS (
       SELECT doc_id, text FROM documents WHERE doc_id >= 250
       UNION ALL
       SELECT doc_id + 10000 AS doc_id, text FROM documents
       WHERE doc_id < 50),
     b1all AS (
-      SELECT min(doc_id) AS doc_id, md5(text) AS fp
-      FROM b1in GROUP BY md5(text)),
+      SELECT min(doc_id) AS doc_id, md5(coalesce(text, '')) AS fp
+      FROM b1in GROUP BY md5(coalesce(text, ''))),
     b1 AS (
       SELECT f.doc_id FROM b1all f
       LEFT JOIN (SELECT DISTINCT fp FROM b0fp) l ON l.fp = f.fp

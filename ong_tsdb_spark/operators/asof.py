@@ -52,6 +52,13 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
         F.lit(None).cast(ts_type).alias("__r_ts"),
     )
+    # a NULL-ts right row must not participate: it sorts to the window
+    # head (nulls-first) where last(ignorenulls) picks up its VALUE
+    # columns while __f_ts (also null there) keeps the previous match's
+    # timestamp — left rows would report values from a row that never
+    # matched, stamped with another row's ts (code-review r9).  DuckDB's
+    # ASOF JOIN likewise never matches a NULL-ts build row.
+    right = right.filter(F.col(ts_col).isNotNull())
     r_tagged = right.select(
         *[
             F.col(c) if c in (by + [ts_col]) else F.lit(None).cast(left.schema[c].dataType).alias(c)

@@ -109,11 +109,21 @@ def extract_features(
         def decode(payload: bytes, media_type: str) -> tuple[int, int, float]:
             if media_type not in ("image", "audio", "video"):
                 raise NotImplementedError(f"unknown media_type {media_type!r}")
+            # each tier is a TRY: a library that IS importable but
+            # cannot parse this particular payload (corrupt bytes, a
+            # container it doesn't know) must fall THROUGH to the next
+            # tier under "auto" — a per-row decode error would
+            # otherwise kill the whole job the moment PIL/soundfile/av
+            # happen to be installed (code-review r9); "real" reports
+            # the failure as its documented NotImplementedError below
             if mode != "stub":
                 if media_type == "image":
                     if pil_image is not None:
-                        with pil_image.open(_io.BytesIO(payload)) as im:
-                            return im.width, im.height, 0.0
+                        try:
+                            with pil_image.open(_io.BytesIO(payload)) as im:
+                                return im.width, im.height, 0.0
+                        except Exception:  # noqa: BLE001 — tier fallthrough
+                            pass
                     # stdlib real decode: PNG IHDR (first chunk by spec)
                     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
                         return (
@@ -123,19 +133,34 @@ def extract_features(
                         )
                 if media_type == "audio":
                     if soundfile is not None:
-                        info = soundfile.info(_io.BytesIO(payload))
-                        return 0, 0, float(info.frames) / float(info.samplerate or 1)
+                        try:
+                            info = soundfile.info(_io.BytesIO(payload))
+                            return 0, 0, float(info.frames) / float(
+                                info.samplerate or 1
+                            )
+                        except Exception:  # noqa: BLE001 — tier fallthrough
+                            pass
                     # stdlib real decode: WAV via the wave module
                     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                        with _wave.open(_io.BytesIO(payload)) as wf:
-                            return 0, 0, float(wf.getnframes()) / float(
-                                wf.getframerate() or 1
-                            )
+                        try:
+                            with _wave.open(_io.BytesIO(payload)) as wf:
+                                return 0, 0, float(wf.getnframes()) / float(
+                                    wf.getframerate() or 1
+                                )
+                        except Exception:  # noqa: BLE001 — tier fallthrough
+                            # RIFF/WAVE magic but corrupt/truncated: the
+                            # wave module raises wave.Error, EOFError, or
+                            # a bare RuntimeError (chunk.skip on a short
+                            # chunk) depending on where the data ends
+                            pass
                 if media_type == "video" and av is not None:
-                    with av.open(_io.BytesIO(payload)) as container:
-                        stream = container.streams.video[0]
-                        dur = float(container.duration or 0) / 1_000_000.0
-                        return int(stream.width), int(stream.height), dur
+                    try:
+                        with av.open(_io.BytesIO(payload)) as container:
+                            stream = container.streams.video[0]
+                            dur = float(container.duration or 0) / 1_000_000.0
+                            return int(stream.width), int(stream.height), dur
+                    except Exception:  # noqa: BLE001 — tier fallthrough
+                        pass
             if mode == "real":
                 raise NotImplementedError(
                     f"decoders='real': no decoder can truly decode this "
@@ -242,12 +267,19 @@ def resize_images(
             rows = []
             for i in range(len(pdf)):
                 raw = bytes(pdf[payload_col].iloc[i] or b"")
+                payload = None
                 if pil is not None:
-                    with pil.open(_io.BytesIO(raw)) as im:
-                        out = _io.BytesIO()
-                        im.resize((w_t, h_t)).save(out, format="PNG")
-                        payload = out.getvalue()
-                else:
+                    try:
+                        with pil.open(_io.BytesIO(raw)) as im:
+                            out = _io.BytesIO()
+                            im.resize((w_t, h_t)).save(out, format="PNG")
+                            payload = out.getvalue()
+                    except Exception:  # noqa: BLE001 — see extract_features
+                        if mode == "real":
+                            raise NotImplementedError(
+                                "decoders='real': PIL cannot decode this payload"
+                            ) from None
+                if payload is None:
                     # stub: tagged pass-through, deterministic
                     payload = b"RSZ\x00" + raw
                 rows.append((int(pdf[id_col].iloc[i]), payload, w_t, h_t))
@@ -272,6 +304,10 @@ def sample_frames(
     (1 + n_bytes mod max_frames) so the fan-out is oracle-checkable."""
     if decoders not in ("auto", "stub", "real"):
         raise ValueError(f"decoders must be auto|stub|real, got {decoders!r}")
+    if int(max_frames) < 1:
+        # the stub fan-out is 1 + n_bytes mod max_frames — a zero cap
+        # would be a per-row ZeroDivisionError inside the Arrow batch
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
     mode, step, cap = decoders, float(every_s), int(max_frames)
     col_names = [f.name for f in FRAME_SCHEMA.fields]
 
@@ -296,20 +332,35 @@ def sample_frames(
             for i in range(len(pdf)):
                 item = int(pdf[id_col].iloc[i])
                 raw = bytes(pdf[payload_col].iloc[i] or b"")
+                decoded = False
                 if av is not None:
-                    with av.open(_io.BytesIO(raw)) as container:
-                        next_t, idx = 0.0, 0
-                        for frame in container.decode(video=0):
-                            if frame.time is None or frame.time + 1e-9 < next_t:
-                                continue
-                            buf = _io.BytesIO()
-                            frame.to_image().save(buf, format="PNG")
-                            rows.append((item, idx, float(frame.time), buf.getvalue()))
-                            idx += 1
-                            next_t += step
-                            if idx >= cap:
-                                break
-                else:
+                    # buffer per item: a mid-stream decode error must
+                    # not leave half the real frames in the output next
+                    # to the stub fan-out for the same item
+                    item_rows = []
+                    try:
+                        with av.open(_io.BytesIO(raw)) as container:
+                            next_t, idx = 0.0, 0
+                            for frame in container.decode(video=0):
+                                if frame.time is None or frame.time + 1e-9 < next_t:
+                                    continue
+                                buf = _io.BytesIO()
+                                frame.to_image().save(buf, format="PNG")
+                                item_rows.append(
+                                    (item, idx, float(frame.time), buf.getvalue())
+                                )
+                                idx += 1
+                                next_t += step
+                                if idx >= cap:
+                                    break
+                        rows.extend(item_rows)
+                        decoded = True
+                    except Exception:  # noqa: BLE001 — see extract_features
+                        if mode == "real":
+                            raise NotImplementedError(
+                                "decoders='real': av cannot decode this payload"
+                            ) from None
+                if not decoded:
                     n = 1 + len(raw) % cap  # deterministic stub fan-out
                     for k in range(n):
                         fp = _hashlib.sha256(raw + k.to_bytes(4, "big")).digest()

@@ -183,14 +183,37 @@ def cosine_pairs_blocked_numpy(
         keep = sizes.filter(F.col("__bn") <= max_block_size).select(block_col)
         df = df.join(F.broadcast(keep), on=block_col)
 
+    # dirty vectors (NULL, or containing a null element) cannot form a
+    # pair: their cosine is NULL in both the Catalyst fold and every
+    # SQL oracle, which drops them at the threshold — but a bare
+    # np.array over a batch containing None is an inhomogeneous-shape
+    # crash that kills the whole job (code-review r9, edge-corpus
+    # replay).  Filter AFTER the size census so the block-cap decision
+    # still counts every row, exactly like the oracles' sizes CTE.
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"d1": [], "d2": [], "cosine": []}).astype(
                 {"d1": "int64", "d2": "int64", "cosine": "float64"}
             )
+        # per-length grouping: pairs are defined between SAME-dimension
+        # vectors only (the _DOT_SQL twin nulls cross-length dots); a
+        # single wrong-width vector must not crash the block's matmul
+        lens = pdf[vec_col].map(len)
+        if lens.nunique() > 1:
+            parts = [
+                block(sub.reset_index(drop=True))
+                for _, sub in pdf.groupby(lens)
+            ]
+            return pd.concat(parts, ignore_index=True)
         M = np.array([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
         ids = pdf[id_col].to_numpy()
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Mn @ Mn.T
         iu = np.triu_indices(len(ids), 1)
         # threshold the ROUNDED cosine: BLAS vs sequential-fold sums
@@ -217,21 +240,55 @@ def cosine_pairs_blocked_numpy(
 #: reproducibility of ``train_ivf_centroids_exact``.
 IVF_QUANT_SCALE = 1 << 20
 
+#: element-magnitude bound for the integer-exact family.  Quantized
+#: values stay <= 2^7 * 2^20 = 2^27, so a squared-L2 term is <= 2^56
+#: and a 64-dim fold <= 2^62 — no bigint overflow anywhere in the
+#: Lloyd's chain.  Real embedding spaces are unit-ish; an element
+#: beyond 128 (or NaN/Inf) is corrupt data, and ONE such vector must
+#: not ANSI-kill a 100 TB training job: it quantizes to a NULL element
+#: here (the single choke point every exact path goes through) and the
+#: existing null-element plumbing routes the row around — NULL
+#: cluster, NULL codes, excluded from training (code-review r9: the
+#: edge-corpus replay job-killed on a 1e30 vector before this).
+EXACT_MAX_ABS = 1 << 7
+
 
 def ivf_quantize_expr(vec_col: Column) -> Column:
-    """array<bigint> of floor(x * 2^20) — bit-exact in any engine."""
-    return F.transform(
-        vec_col,
-        lambda x: F.floor(x.cast("double") * F.lit(float(IVF_QUANT_SCALE))).cast("long"),
-    )
+    """array<bigint> of floor(x * 2^20) — bit-exact in any engine.
+    Non-finite or out-of-range elements (|x| > EXACT_MAX_ABS) become
+    NULL, marking the row ineligible for the exact pipelines."""
+
+    def q(x: Column) -> Column:
+        xd = x.cast("double")
+        ok = (
+            x.isNotNull()
+            & ~F.isnan(xd)
+            & (F.abs(xd) <= F.lit(float(EXACT_MAX_ABS)))
+        )
+        return F.when(
+            ok, F.floor(xd * F.lit(float(IVF_QUANT_SCALE))).cast("long")
+        )
+
+    return F.transform(vec_col, q)
 
 
-def ivf_quantize_py(vec: list[float]) -> list[int]:
+def ivf_quantize_py(vec: list[float]) -> list[int | None]:
     """Driver-side twin of :func:`ivf_quantize_expr` (Python floats are
-    IEEE doubles; * 2^20 is exact, ``math.floor`` matches SQL floor)."""
+    IEEE doubles; * 2^20 is exact, ``math.floor`` matches SQL floor);
+    mirrors the eligibility bound — dirty elements map to None."""
     import math
 
-    return [math.floor(float(x) * float(IVF_QUANT_SCALE)) for x in vec]
+    out: list[int | None] = []
+    for x in vec:
+        if x is None:
+            out.append(None)
+            continue
+        xf = float(x)
+        if math.isnan(xf) or abs(xf) > EXACT_MAX_ABS:
+            out.append(None)
+        else:
+            out.append(math.floor(xf * float(IVF_QUANT_SCALE)))
+    return out
 
 
 def _centroid_literal_long(vec: list[int]) -> Column:
@@ -290,10 +347,13 @@ def _assign_exact_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame
             # far below 2^53, so the float round-trip is lossless.
             # The Catalyst path's isNull/exists guard mirrors this.
             dim = C.shape[1]
+            # the len(v) == dim guard also routes WRONG-DIMENSION
+            # vectors to the null assignment — np.array over mixed
+            # lengths is an inhomogeneous-shape crash (code-review r9)
             M = np.array(
                 [
                     np.asarray(v, dtype="float64")
-                    if v is not None
+                    if v is not None and len(v) == dim
                     else np.full(dim, np.nan)
                     for v in pdf["qv"]
                 ]
@@ -422,19 +482,17 @@ def ivf_assign_exact(
             .withColumnRenamed("__c", "ivf_cluster")
             .drop("qv")
         )
-    # null guard keeps the two paths identical: a NULL vector — or one
-    # containing a null ELEMENT — gets a NULL cluster on both
-    # (struct-min over null distances would otherwise pick an
-    # arbitrary index here, and the Arrow path masks such rows)
-    clean = F.col(vec_col).isNotNull() & ~F.exists(
-        F.col(vec_col), lambda x: x.isNull()
-    )
+    # eligibility guard keeps the two paths identical: a NULL vector,
+    # one containing a null ELEMENT, or one with an out-of-range /
+    # non-finite element (which quantizes to a NULL element — see
+    # ivf_quantize_expr) gets a NULL cluster on both (struct-min over
+    # null distances would otherwise pick an arbitrary index here, and
+    # the Arrow path masks such rows via the NaN probe)
+    qv = ivf_quantize_expr(F.col(vec_col))
+    clean = F.col(vec_col).isNotNull() & ~F.exists(qv, lambda x: x.isNull())
     return df.withColumn(
         "ivf_cluster",
-        F.when(
-            clean,
-            _nearest_centroid_l2(ivf_quantize_expr(F.col(vec_col)), centroids),
-        ),
+        F.when(clean, _nearest_centroid_l2(qv, centroids)),
     )
 
 
@@ -859,7 +917,11 @@ def semantic_dedup(
         keep = np.ones(n, dtype=bool)
         if n >= 2:
             M = np.array([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # zero-norm rows normalize to NaN; every comparison against
+            # NaN is False, so such rows keep (never "similar") — the
+            # errstate only silences the expected divide warning
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             for i0 in range(1, n, tile_rows):
                 i1 = min(i0 + tile_rows, n)
                 # rows [i0, i1) against every EARLIER column (< row idx)
@@ -1156,7 +1218,7 @@ def _assign_pq_arrow(qdf: DataFrame, books: list[list[list[int]]], sub: int) -> 
             M = np.array(
                 [
                     np.asarray(v, dtype="float64")
-                    if v is not None
+                    if v is not None and len(v) == dim
                     else np.full(dim, np.nan)
                     for v in pdf["qv"]
                 ]
@@ -1202,9 +1264,11 @@ def pq_encode_exact(
         for s in range(len(books)):
             out = out.withColumnRenamed(f"__c{s}", f"pq_code_{s}")
         return out
-    clean = F.col(vec_col).isNotNull() & ~F.exists(
-        F.col(vec_col), lambda x: x.isNull()
-    )
+    # eligibility mirrors ivf_assign_exact: dirty elements (null /
+    # non-finite / out-of-range) quantize to NULL, so probing the
+    # FULL-vector quantization catches them all in one pass
+    qfull = ivf_quantize_expr(F.col(vec_col))
+    clean = F.col(vec_col).isNotNull() & ~F.exists(qfull, lambda x: x.isNull())
     out = df
     for s, book in enumerate(books):
         qsub = ivf_quantize_expr(F.slice(F.col(vec_col), s * sub + 1, sub))

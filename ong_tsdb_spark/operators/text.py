@@ -125,15 +125,22 @@ def c4_quality(
     Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_brace,
     has_policy, c4_pass).  Pure Catalyst line/array expressions —
     map-side, integer counts, no shuffle; the three-sentence-SPAN
-    dedup that completes C4 is :func:`~..dedup.passage_dup_stats`."""
-    lines = F.split(F.col(text_col), "\n")
+    dedup that completes C4 is :func:`~..dedup.passage_dup_stats`.
+
+    NULL text is scored as the EMPTY document (c4_pass false, counts
+    of ''): a filter verdict must exist for every row — an all-NULL
+    row would silently survive a ``WHERE NOT c4_pass`` drop (NULL is
+    not true), the opposite of what a cleaning rule should do to a
+    contentless page (code-review r9, edge-corpus replay)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
     keep_line = lambda l: (  # noqa: E731
         F.trim(l).rlike('[.!?"]$')
         & (F.size(F.split(F.trim(l), " ")) >= 5)
     )
     kept = F.filter(lines, keep_line)
     kept_text = F.array_join(kept, "\n")
-    lower = F.lower(F.col(text_col))
+    lower = F.lower(txt)
     has_policy = None
     for p in C4_POLICY_PHRASES:
         c = lower.contains(p)
@@ -144,11 +151,11 @@ def c4_quality(
         F.size(lines).cast("bigint").alias("n_lines"),
         F.size(kept).cast("bigint").alias("n_kept_lines"),
         n_sent.cast("bigint").alias("n_sentences"),
-        F.col(text_col).contains("{").alias("has_brace"),
+        txt.contains("{").alias("has_brace"),
         has_policy.alias("has_policy"),
         (
             (n_sent >= 3)
-            & ~F.col(text_col).contains("{")
+            & ~txt.contains("{")
             & ~has_policy
         ).alias("c4_pass"),
     )

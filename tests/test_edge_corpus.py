@@ -1,0 +1,113 @@
+"""Adversarial-corpus oracle gate: the sf tables are CLEAN (no empty
+or NULL text, no zero/NULL/huge vectors), so the driver's correctness
+rows never exercise the edge paths that kill 100-TB jobs — the r9
+edge-corpus replay found four latent fault classes this way (ANSI
+divide-by-zero, bigint overflow on a 1e30 element, np.array over a
+None vector, NULL-key semantics drifting between Spark and DuckDB).
+
+This module rebuilds the tools/edge_corpus.py corpus in a tmp dir and
+re-runs a representative subset of the corpus-facing registry entries
+against their DuckDB oracles on it — one entry per fault family, kept
+fast (the full 66-entry sweep is the tools/replay.py command in the
+edge_corpus docstring, part of round close).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from ong_tsdb_spark.compare import TABLES, canon_rows
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# one entry per fault family the adversarial block reaches:
+#   exact-integer chain (overflow / eligibility)  -> emb_centroid_dist
+#   PQ full-vector eligibility                    -> emb_pq_adc_topk
+#   BLAS pair matmul (None vectors, zero norm)    -> emb_neardup_blocked
+#   semantic routing (keep verdict for dirty)     -> dedup_semantic
+#   streaming ledger '' convention                -> dedup_ledger_backfill
+#   NULL-text scoring (filter verdict exists)     -> text_c4_quality
+#   empty-signature convention                    -> text_rolling_fingerprint
+#   zero-token doc packing membership             -> corpus_pack_sequences
+#   NULL payload = empty payload                  -> multimodal_features
+EDGE_ENTRIES = [
+    "emb_centroid_dist",
+    "emb_pq_adc_topk",
+    "emb_neardup_blocked",
+    "dedup_semantic",
+    "dedup_ledger_backfill",
+    "text_c4_quality",
+    "text_rolling_fingerprint",
+    "corpus_pack_sequences",
+    "multimodal_features",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_sf(tmp_path_factory):
+    spec = importlib.util.spec_from_file_location(
+        "edge_corpus_mod", os.path.join(REPO, "tools", "edge_corpus.py")
+    )
+    ec = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ec)
+    out = str(tmp_path_factory.mktemp("edge_sf"))
+    ec.build("/root/testdata/sf0.001", out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{edge_sf}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", EDGE_ENTRIES)
+def test_edge_entry_vs_oracle(spark, edge_sf, edge_duck, name):
+    sdf = entry_mod.queries()[name](spark, edge_sf)
+    scols = list(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = edge_duck.sql(entry_mod.oracle_sql()[name])
+    dcols = list(res.columns)
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
+    sc = canon_rows(scols, srows)
+    dc = canon_rows(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_quantize_eligibility_bounds(spark):
+    """ivf_quantize_expr is the exact family's choke point: NaN, ±Inf
+    and |x| > EXACT_MAX_ABS elements must quantize to NULL (routing
+    the row around the bigint chain), in both the Catalyst expr and
+    the driver-side twin."""
+    from pyspark.sql import functions as F
+
+    from ong_tsdb_spark.operators.similarity import (
+        EXACT_MAX_ABS,
+        IVF_QUANT_SCALE,
+        ivf_quantize_expr,
+        ivf_quantize_py,
+    )
+
+    vec = [1.0, -1.0, float(EXACT_MAX_ABS), float(EXACT_MAX_ABS) + 1.0,
+           1.0e30, float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(ivf_quantize_expr(F.col("v")).alias("q")).first()["q"]
+    expect = [
+        IVF_QUANT_SCALE, -IVF_QUANT_SCALE,
+        EXACT_MAX_ABS * IVF_QUANT_SCALE, None, None, None, None, None,
+    ]
+    assert list(got) == expect
+    assert ivf_quantize_py(vec) == expect
+    # products through the sqdist fold stay under 2^63 by the bound
+    worst = (2 * EXACT_MAX_ABS * IVF_QUANT_SCALE) ** 2 * 64
+    assert worst < 2 ** 63

@@ -253,6 +253,27 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(len(bytes(r["frame_payload"])) == 32 for r in fr)  # sha256 stub
 
 
+def test_multimodal_corrupt_payload_tier_fallthrough(spark):
+    """Code-review r9: an importable decoder that cannot parse one
+    payload must fall THROUGH under 'auto' (stdlib wave here — RIFF
+    magic, corrupt header), not kill the job; the stub digest features
+    come out instead.  A zero max_frames is rejected up front (the
+    stub fan-out computes % max_frames per row)."""
+    corrupt_wav = b"RIFF" + b"\x00\x04\x00\x00" + b"WAVE" + b"garbage!"
+    media = spark.createDataFrame(
+        [(1, corrupt_wav, "audio")], "item_id long, payload binary, media_type string"
+    )
+    out = multimodal.extract_features(media, decoders="auto").first()
+    assert out["sha256"] == hashlib.sha256(corrupt_wav).hexdigest()
+    assert out["duration_s"] >= 1.0  # stub fake, not a wave parse
+
+    with pytest.raises(Exception, match="NotImplementedError|real"):
+        multimodal.extract_features(media, decoders="real").first()
+
+    with pytest.raises(ValueError, match="max_frames"):
+        multimodal.sample_frames(media, max_frames=0)
+
+
 def test_multimodal_decoder_modes(spark):
     """decoders='real' refuses to fake when the media libs are absent
     (this container has none); 'auto' and 'stub' agree here because
@@ -403,6 +424,29 @@ def test_asof_join_basic(spark):
     assert out[2] == (15.0, 150)   # picks the newer one
     assert out[3] == (99.0, 150)   # exactly simultaneous matches
     assert out[4] == (None, None)  # no right rows for u3
+
+
+def test_asof_join_null_ts_right_rows_never_match(spark):
+    """Code-review r9: a NULL-ts right row used to sort to the window
+    head (nulls first) where last(ignorenulls) picked up its VALUE while
+    __f_ts kept another row's timestamp — left rows reported values from
+    a row that never matched.  Such rows must be invisible, like
+    DuckDB's ASOF JOIN treats a NULL-ts build row."""
+    from ong_tsdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u2", 100)], "event_id long, user string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 666.0), ("u1", 90, 9.0), ("u2", None, 777.0)],
+        "user string, ts long, v double",
+    )
+    out = {
+        r["event_id"]: (r["v_right"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["user"], ["v"]).collect()
+    }
+    assert out[1] == (9.0, 90)      # real row wins; 666.0 never leaks
+    assert out[2] == (None, None)   # only a null-ts row -> no match
 
 
 def test_asof_join_tolerance(spark):
