@@ -4427,8 +4427,22 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ a55a5761d478
+# planned-on: r01..r08 @ a7cc02ef242f
 _TAIL_ROTATION = [
+    "corpus_pack_sequences",
+    "emb_pq_adc_topk",
+    "ts_asof_join",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "text_dup_spans",
+    "text_classifier_train",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
     "ts_range_read",
     "ts_snap_grid",
     "ts_checksum_nansum",
@@ -4459,9 +4473,6 @@ _TAIL_ROTATION = [
     "ts_usage_stats",
     "ts_ingest_grouping",
     "influx_roundtrip",
-    "text_quality",
-    "text_langid",
-    "ts_asof_join",
     "ts_gap_fill",
     "ts_pivot_daily",
     "ts_percentiles",
@@ -4476,19 +4487,8 @@ _TAIL_ROTATION = [
     "ts_cumulative_sum",
     "ts_cumulative_sum_chunked",
     "doc_stats_by_lang",
-    "multimodal_features",
-    "corpus_clean_pipeline",
     "ts_moving_range_avg",
-    "multimodal_frame_sample",
-    "text_rolling_fingerprint",
-    "text_bpe_tokens",
     "ts_zscore_anomaly",
-    "text_dup_spans",
-    "text_classifier_train",
-    "text_classifier_quality",
-    "corpus_dsir_weights",
-    "text_bpe_pairs",
-    "doc_chunk_stats",
     "emb_pq_recall",
     "events_funnel",
 ]

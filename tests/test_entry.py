@@ -259,14 +259,19 @@ def test_rotation_code_change_ranking():
     rot = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rot)
 
-    names = ["untouched_r7", "touched_r8", "fresh_r8", "never"]
-    green = {"untouched_r7": 7, "touched_r8": 8, "fresh_r8": 8}
+    names = ["untouched_r7", "touched_r8", "fresh_r8", "never", "untouched_r6"]
+    green = {"untouched_r7": 7, "touched_r8": 8, "fresh_r8": 8,
+             "untouched_r6": 6}
     changed = {"touched_r8": ["ong_tsdb_spark/operators/text.py"]}
     ranked = rot.rank_entries(names, green, changed)
     # never-proven first, then the code-touched r8 entry BEFORE the
-    # untouched r7 one, untouched fresh last
+    # untouched r7 one, untouched fresh last — and the half-step
+    # penalty: an UNTOUCHED two-rounds-stale entry still beats a
+    # code-touched latest-round one (histogram bound survives a busy
+    # round that touches many modules)
     assert ranked.index("never") == 0
     assert ranked.index("touched_r8") < ranked.index("untouched_r7")
+    assert ranked.index("untouched_r6") < ranked.index("touched_r8")
     assert ranked[-1] == "fresh_r8"
 
     # live detection over committed history: the four entries the r8

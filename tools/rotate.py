@@ -221,18 +221,25 @@ def rank_entries(
     green: dict[str, int],
     changed: dict[str, list[str]] | None = None,
 ) -> list[str]:
-    """Staleness order with the code-change override: never-proven
-    first, then entries whose impl changed after their last green
-    driver row (newest-green LAST within that class — oldest evidence
-    still leads), then untouched entries oldest-green-first.  A
-    code-touched r8-green entry therefore outranks an untouched
-    r7-green one (VERDICT r8 #7)."""
+    """Staleness order with the code-change penalty: never-proven
+    first, then everything by EFFECTIVE staleness — a code-changed
+    entry ranks 1.5 rounds staler than its last green round.  The
+    half-step encodes both required orderings at once: a code-touched
+    rN-green entry outranks an untouched r(N-1)-green one (VERDICT r8
+    #7: post-green edits never ride on stale driver rows), while an
+    UNTOUCHED entry two rounds stale still outranks a code-touched
+    latest-round entry (the histogram bound: nothing drifts past the
+    documented worst-case cadence just because a busy round touched
+    many modules — the flat two-class scheme pushed untouched r6
+    entries out of a head with 50 code-changed candidates)."""
     changed = changed or {}
     order = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
-            0 if (n not in green or n in changed) else green[n],
+            float("-inf") if n not in green
+            else green[n] - 1.5 if n in changed
+            else float(green[n]),
             green.get(n, 0),
             order[n],
         ),
