@@ -48,6 +48,11 @@ def downsample_max_datapoints(
 ) -> DataFrame:
     """Grafana-equivalent: spread = (end-start+1)/maxDataPoints, first
     point per spread bucket per series (server.py:430-434)."""
+    if int(max_datapoints) <= 0:
+        # grafana always sends a positive panel width; a zero from a
+        # hand-rolled client would be a ZeroDivisionError here and a
+        # negative one a nonsense bucket stride
+        raise ValueError(f"max_datapoints must be >= 1, got {max_datapoints}")
     spread = max(int((end_sec - start_sec + 1) / max_datapoints), 1)
     ts = F.col(ts_sec_col)
     filtered = df.filter((ts >= start_sec) & (ts <= end_sec))

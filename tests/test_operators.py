@@ -320,6 +320,17 @@ def test_engine_read_downsampled(eng):
     assert [r["v"] for r in out] == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
 
 
+def test_downsample_rejects_nonpositive_max_datapoints(spark):
+    """Code-review r9: max_datapoints=0 was a ZeroDivisionError inside
+    the spread computation; a hand-rolled client must get a ValueError
+    up front."""
+    from ong_tsdb_spark.operators.downsample import downsample_max_datapoints
+
+    df = spark.createDataFrame([(1, 1.0)], "ts_sec long, v double")
+    with pytest.raises(ValueError, match="max_datapoints"):
+        downsample_max_datapoints(df, "ts_sec", 0, 10, 0, [], ["v"])
+
+
 def test_maintenance_verify_and_compact(eng):
     from ong_tsdb_spark.plans import maintenance
 
