@@ -70,6 +70,26 @@ _us = epoch_us
 _sec = epoch_sec
 _ns = epoch_ns
 
+#: valid-tick contract for the ts_* analytics entries (edge-corpus
+#: replay, code-review r9): a tick with a NULL timestamp cannot be
+#: ordered (Spark windows sort NULLS FIRST, DuckDB NULLS LAST — every
+#: windowed entry silently diverged), and a NaN/NULL value is the
+#: reference's "unwritten cell" (its nan-masked F9 semantics; DuckDB
+#: also THROWS casting NaN into the DECIMAL frame sums while Spark's
+#: cast yields NULL).  Such rows are not data points — both engines
+#: drop them up front.  Entries that only COUNT rows (range read,
+#: usage stats) keep the raw table on purpose.
+_VALID_TICKS_SQL = "ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)"
+
+
+def _valid_ticks(ev: DataFrame) -> DataFrame:
+    """Spark twin of ``_VALID_TICKS_SQL`` (see that constant)."""
+    return ev.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+    )
+
 
 def _ts_pred_ge(df: DataFrame, col: str, us: int) -> F.Column:
     """Pushdown-friendly `epoch_us(col) >= us`: compares the RAW
@@ -150,11 +170,12 @@ def ts_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_snap_grid",
-    """
+    f"""
     SELECT s - (s % 900) AS bucket_s,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM (SELECT epoch_us(ts)//1000000 AS s, value FROM events)
+    FROM (SELECT epoch_us(ts)//1000000 AS s, value FROM events
+          WHERE {_VALID_TICKS_SQL})
     GROUP BY 1
     """,
 )
@@ -162,7 +183,7 @@ def ts_snap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3: snap-to-grid (15 m tick) + per-cell aggregation.  The
     grid math is the reference's getpos truncation (chunker.py:88-95)
     as pure bigint exprs."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     s = _sec(ev, "ts")
     return (
         ev.select((s - (s % F.lit(900))).alias("bucket_s"), "value")
@@ -313,18 +334,25 @@ def ts_ingest_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "influx_roundtrip",
-    """
+    f"""
     SELECT 'metrics' AS db, event_type AS sensor, 'value' AS metric,
            value, epoch_us(ts) AS ts_us
     FROM events
+    WHERE {_VALID_TICKS_SQL} AND event_type IS NOT NULL
     """,
 )
 def influx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/F6: render rows as influx line protocol, parse back with the
     column-expression parser (server_utils.py:8-25).  The oracle
     computes the expected tuples directly — so this checks the
-    format->parse round trip end-to-end."""
-    ev = load(spark, sf_dir, "events")
+    format->parse round trip end-to-end.  Only VALID ticks with a
+    sensor name are rendered: line protocol cannot represent a NULL
+    measurement/timestamp, and influx itself rejects NaN fields —
+    the parser tolerates such garbage (NULL cells), but the writer
+    never produces it."""
+    ev = _valid_ticks(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull()
+    )
     lines = influx_src.format_lines(
         ev,
         db=F.lit("metrics"),
@@ -952,11 +980,11 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_delta",
-    """
+    f"""
     SELECT event_type, epoch_us(ts) AS ts_us, value,
            value - lag(value) OVER (PARTITION BY event_type
                                     ORDER BY epoch_us(ts), event_id) AS delta
-    FROM events
+    FROM events WHERE {_VALID_TICKS_SQL}
     """,
 )
 def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,7 +995,7 @@ def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (series, week) — bit-equal, keys x weeks tasks."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("ts_us", _us(ev, "ts"))
     out = chunked_window(
         ev.select("event_type", "ts_us", "event_id", "value"),
@@ -1019,35 +1047,52 @@ def tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     """
     SELECT k, count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+           -- isnan CASE, not TRY_CAST: DuckDB's TRY_CAST(NaN AS
+           -- DECIMAL) still throws through its internal INT64 path
+           CAST(SUM(CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                         ELSE CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_value
+    FROM (SELECT TRY_CAST(json_extract_string(
+                   CASE WHEN json_valid(props) THEN props END, '$.k')
+                 AS BIGINT) AS k,
+                 value FROM events)
     GROUP BY k
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction + aggregation (scalar-function surface
-    beyond the reference, which has no JSON query functions)."""
+    beyond the reference, which has no JSON query functions).
+
+    try_cast on BOTH extractions (code-review r9, edge-corpus): a
+    shape-shifted property ({"k": "str"}) or malformed/NULL props must
+    land in the k=NULL bucket, and a NaN value must sum as NULL — a
+    plain ANSI cast job-kills on the first dirty row, and DuckDB's
+    CAST throws the same way (TRY_CAST in the oracle)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
+            "value",
         )
         .groupBy("k")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").try_cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
 
 @register(
     "ts_gap_fill",
-    """
+    f"""
     WITH obs AS (
       SELECT event_type, s - (s % 900) AS tick, value,
              row_number() OVER (PARTITION BY event_type, s - (s % 900)
                                 ORDER BY us DESC, event_id DESC) AS rn
-      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events)
+      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events
+            WHERE {_VALID_TICKS_SQL})
     ), cells AS (SELECT event_type, tick, value FROM obs WHERE rn = 1),
     bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM cells GROUP BY 1),
     grid AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) AS tick_s FROM bounds)
@@ -1056,7 +1101,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY g.event_type ORDER BY g.tick_s
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
     FROM grid g LEFT JOIN cells c
-      ON c.event_type = g.event_type AND c.tick = g.tick_s
+      ON c.event_type IS NOT DISTINCT FROM g.event_type AND c.tick = g.tick_s
     """,
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,7 +1111,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed last, no driver loops)."""
     from .operators.gapfill import gap_fill_ffill
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     out = gap_fill_ffill(
         ev,
@@ -1081,11 +1126,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_rolling_mean",
-    """
+    f"""
     SELECT event_type, us AS ts_us, value,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
              / COUNT(value) OVER w AS rolling_mean
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
+          WHERE {_VALID_TICKS_SQL})
     WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
@@ -1095,7 +1141,7 @@ def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame sum divided by the frame count (cross-engine stable)."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("ts_us", _us(ev, "ts"))
 
     def _build(w):
@@ -1156,7 +1202,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_pivot_daily",
-    """
+    f"""
     SELECT day_s,
       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
@@ -1164,14 +1210,15 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
     FROM (SELECT s - (s % 86400) AS day_s, event_type, value
-          FROM (SELECT epoch_us(ts)//1000000 AS s, event_type, value FROM events))
+          FROM (SELECT epoch_us(ts)//1000000 AS s, event_type, value FROM events
+                WHERE {_VALID_TICKS_SQL}))
     GROUP BY day_s
     """,
 )
 def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide pivot: one column per series per day (the reference's
     wide-metric read shape built from long events)."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     s = _sec(ev, "ts")
     kinds = ["click", "error", "purchase", "signup", "view"]
     return (
@@ -1208,18 +1255,18 @@ def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_percentiles",
-    """
+    f"""
     SELECT event_type,
            quantile_cont(value, 0.5) AS p50,
            quantile_cont(value, 0.9) AS p90,
            quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type
+    FROM events WHERE {_VALID_TICKS_SQL} GROUP BY event_type
     """,
 )
 def ts_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per series — Spark `percentile`
     and DuckDB `quantile_cont` agree bit-exactly (verified)."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.9)").alias("p90"),
@@ -1275,12 +1322,12 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "ts_sessionize",
-    """
+    f"""
     WITH seq AS (
       SELECT user_id, epoch_us(ts) AS us, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
-      FROM events
+      FROM events WHERE {_VALID_TICKS_SQL}
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sessions AS (
       SELECT user_id, us, event_id,
@@ -1296,7 +1343,7 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30 min inactivity gap) via lag + running sum —
     the batch analog of a session window, one shuffle per user key."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("us", _us(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy(F.col("us"), F.col("event_id"))
     gap = F.col("us") - F.lag("us").over(w)
@@ -1434,13 +1481,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_time_weighted_avg",
-    """
+    f"""
     WITH seq AS (
       SELECT event_type, epoch_us(ts) AS us,
              CAST(round(value * 100) AS BIGINT) AS cents,
              lead(epoch_us(ts)) OVER (PARTITION BY event_type
                                       ORDER BY epoch_us(ts), event_id) AS next_us
-      FROM events
+      FROM events WHERE {_VALID_TICKS_SQL}
     )
     SELECT event_type,
            CAST(SUM(cents * (next_us - us)) AS DOUBLE)
@@ -1459,7 +1506,7 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/chunkwin.py forward carries) before the group-by."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("us", _us(ev, "ts"))
     cents = F.round(F.col("value") * 100).cast("bigint")
     seq = chunked_window(
@@ -1552,18 +1599,19 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_gap_fill_linear",
-    """
+    f"""
     WITH obs AS (
       SELECT event_type, s - (s % 900) AS tick, value,
              row_number() OVER (PARTITION BY event_type, s - (s % 900)
                                 ORDER BY us DESC, event_id DESC) AS rn
-      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events)
+      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events
+            WHERE {_VALID_TICKS_SQL})
     ), cells AS (SELECT event_type, tick, value FROM obs WHERE rn = 1),
     bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM cells GROUP BY 1),
     grid AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) AS tick_s FROM bounds),
     j AS (
       SELECT g.event_type, g.tick_s, c.value AS v
-      FROM grid g LEFT JOIN cells c ON c.event_type = g.event_type AND c.tick = g.tick_s
+      FROM grid g LEFT JOIN cells c ON c.event_type IS NOT DISTINCT FROM g.event_type AND c.tick = g.tick_s
     ), marked AS (
       SELECT event_type, tick_s, v,
         last_value(v IGNORE NULLS) OVER back AS pv,
@@ -1590,7 +1638,7 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression shape on both engines, bit-equal doubles."""
     from .operators.gapfill import gap_fill_linear
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
     out = gap_fill_linear(
         ev,
@@ -1641,16 +1689,16 @@ def ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_value_histogram",
-    """
+    f"""
     SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
            count(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE {_VALID_TICKS_SQL} GROUP BY 1, 2
     """,
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per series (width 50) — the
     distribution-profile operator."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     return (
         ev.select(
             "event_type",
@@ -1723,12 +1771,13 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_cumulative_sum",
-    """
+    f"""
     SELECT event_type, us AS ts_us,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY event_type ORDER BY us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
+          WHERE {_VALID_TICKS_SQL})
     """,
 )
 def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,7 +1786,7 @@ def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics demo: the per-type window funnels each type's history
     through one task; ``ts_cumulative_sum_chunked`` is the scale path
     (operators/prefix.py, identical values)."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("us", _us(ev, "ts"))
     w = (
         Window.partitionBy("event_type")
@@ -1753,12 +1802,13 @@ def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_cumulative_sum_chunked",
-    """
+    f"""
     SELECT event_type, us AS ts_us,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY event_type ORDER BY us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
+          WHERE {_VALID_TICKS_SQL})
     """,
 )
 def ts_cumulative_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1770,7 +1820,7 @@ def ts_cumulative_sum_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.prefix import chunked_running_sum
 
     week_us = 7 * 86400 * 1_000_000
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.select("event_type", _us(ev, "ts").alias("us"), "event_id", "value")
     out = chunked_running_sum(
         ev,
@@ -2116,7 +2166,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_moving_range_avg",
-    """
+    f"""
     SELECT event_type, event_id, us AS ts_us,
            n_in_window,
            CAST(win_sum AS DOUBLE) / n_in_window AS moving_avg
@@ -2124,7 +2174,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id, us,
              COUNT(*) OVER w AS n_in_window,
              SUM(CAST(value AS DECIMAL(18,2))) OVER w AS win_sum
-      FROM (SELECT event_type, event_id, epoch_us(ts) AS us, value FROM events)
+      FROM (SELECT event_type, event_id, epoch_us(ts) AS us, value FROM events
+            WHERE {_VALID_TICKS_SQL})
       WINDOW w AS (PARTITION BY event_type ORDER BY us
                    RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
     )
@@ -2141,7 +2192,7 @@ def ts_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks tasks instead of one task per series."""
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.select("event_type", "event_id", _us(ev, "ts").alias("us"), "value")
 
     def _build(w):
@@ -2298,16 +2349,19 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_zscore_anomaly",
-    """
-    WITH stats AS (
+    f"""
+    WITH ticks AS (
+      SELECT * FROM events WHERE {_VALID_TICKS_SQL}
+    ),
+    stats AS (
       SELECT event_type, count(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
              CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
-      FROM events GROUP BY event_type
+      FROM ticks GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us, e.value,
            (e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS zscore
-    FROM events e JOIN stats USING (event_type)
+    FROM ticks e JOIN stats USING (event_type)
     WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3.0
     """,
 )
@@ -2316,7 +2370,7 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming EWMA operator).  The group moments are EXACT decimal
     sums cast to double once, so both engines evaluate the identical
     IEEE expression tree — bit-equal z-scores with no tolerance."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     dec = F.col("value").cast("decimal(18,2)")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -2920,7 +2974,8 @@ def _ewma_sql() -> str:
     return f"""
     SELECT event_type, us AS ts_us, value,
            CASE WHEN ({den}) > 0.0 THEN ({num}) / ({den}) ELSE NULL END AS ewma8
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events)
+    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
+          WHERE {_VALID_TICKS_SQL})
     WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
     """
 
@@ -2939,7 +2994,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.chunkwin import chunked_window
 
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     ev = ev.withColumn("ts_us", _us(ev, "ts"))
 
     def _build(w):
@@ -3095,9 +3150,10 @@ def corpus_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_mad_anomaly",
-    """
+    f"""
     WITH base AS (
-      SELECT event_type, epoch_us(ts) AS us, value FROM events),
+      SELECT event_type, epoch_us(ts) AS us, value FROM events
+      WHERE {_VALID_TICKS_SQL}),
     med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
       FROM base GROUP BY event_type),
@@ -3120,7 +3176,7 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven by ts_percentiles); both median tables come back as
     broadcasts, so the data-sized cost is two scans of the events
     table and no shuffle of data rows."""
-    ev = load(spark, sf_dir, "events")
+    ev = _valid_ticks(load(spark, sf_dir, "events"))
     base = ev.select("event_type", _us(ev, "ts").alias("ts_us"), "value")
     med = base.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -3970,7 +4026,7 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention",
     f"""
     WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS period
-               FROM events WHERE ts IS NOT NULL),
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     f AS (SELECT user_id, min(period) AS cohort FROM w GROUP BY user_id)
     SELECT f.cohort AS cohort, w.period AS period,
            CAST(w.period - f.cohort AS BIGINT) AS periods_since,
@@ -4427,7 +4483,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ a7cc02ef242f
+# planned-on: r01..r08 @ e593a6ba5183
 _TAIL_ROTATION = [
     "corpus_pack_sequences",
     "emb_pq_adc_topk",
@@ -4443,6 +4499,7 @@ _TAIL_ROTATION = [
     "corpus_dsir_weights",
     "text_bpe_pairs",
     "doc_chunk_stats",
+    "ts_downsample_first",
     "ts_range_read",
     "ts_snap_grid",
     "ts_checksum_nansum",
@@ -4468,7 +4525,6 @@ _TAIL_ROTATION = [
     "corpus_curation_report",
     "corpus_delta_stats",
     "ts_last_timestamp",
-    "ts_downsample_first",
     "ts_upsert_last_wins",
     "ts_usage_stats",
     "ts_ingest_grouping",

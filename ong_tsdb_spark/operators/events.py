@@ -51,10 +51,14 @@ def retention_cohorts(
     # cohort or count a user): collect_set would skip them silently
     # anyway, but the filter makes the contract visible and keeps it
     # independent of that aggregate's null behavior — an all-null
-    # user contributes no rows.
+    # user contributes no rows.  Null USERS are dropped too (code-
+    # review r9, edge corpus): an anonymous event has no retention
+    # identity — and the join-free groupBy would otherwise count the
+    # NULL key as one phantom "user", where every SQL formulation's
+    # user-keyed join drops it (NULL never joins NULL).
     per_user = (
         df.select(F.col(user_col), per.alias("period"))
-        .filter(F.col("period").isNotNull())
+        .filter(F.col("period").isNotNull() & F.col(user_col).isNotNull())
         .groupBy(user_col)
         .agg(F.collect_set("period").alias("ps"))
     )

@@ -34,6 +34,33 @@ from pyspark.sql import functions as F
 DEFAULT_CHUNK_TICKS = 4096
 
 
+def _ns_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """NULL-SAFE equi-join on ``keys`` (code-review r9, edge corpus):
+    the fill windows PARTITION BY the series columns, which treats a
+    NULL series key as a real group — but the plain list-form joins
+    stitching grid/carry frames back together dropped those rows
+    (NULL never equals NULL), silently losing the whole NULL-keyed
+    series relative to the single-window plan and every SQL oracle's
+    window semantics.  ``<=>`` is still a hash-joinable equi-key, so
+    the plan shape (broadcast hash join) is unchanged."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    if broadcast:
+        r = F.broadcast(r)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+        cond = c if cond is None else cond & c
+    return left.join(r, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
 def _dedup_cells(
     df: DataFrame,
     ts_sec_col: str,
@@ -135,7 +162,7 @@ def gap_fill_ffill(
     )
     cb = int(tick_seconds) * int(chunk_ticks)
     grid, axis = _chunked_grid(obs, series_cols, tick_seconds, chunk_ticks)
-    cells = grid.join(obs, on=[*series_cols, "__tick"], how="left")
+    cells = _ns_join(grid, obs, [*series_cols, "__tick"], how="left")
 
     w_in = (
         Window.partitionBy(*series_cols, "__ck")
@@ -152,7 +179,7 @@ def gap_fill_ffill(
         .orderBy("__ck")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = axis.join(summ, on=[*series_cols, "__ck"], how="left").select(
+    carry = _ns_join(axis, summ, [*series_cols, "__ck"], how="left").select(
         *series_cols,
         "__ck",
         *[
@@ -162,7 +189,7 @@ def gap_fill_ffill(
             for c in value_cols
         ],
     )
-    filled = cells.join(F.broadcast(carry), on=[*series_cols, "__ck"])
+    filled = _ns_join(cells, carry, [*series_cols, "__ck"], broadcast=True)
     out_cols = [*series_cols, F.col("__tick").alias("tick_s")]
     for c in value_cols:
         local = F.last(F.col(c), ignorenulls=True).over(w_in)
@@ -196,7 +223,7 @@ def gap_fill_linear(
     )
     cb = int(tick_seconds) * int(chunk_ticks)
     grid, axis = _chunked_grid(obs, series_cols, tick_seconds, chunk_ticks)
-    cells = grid.join(obs, on=[*series_cols, "__tick"], how="left")
+    cells = _ns_join(grid, obs, [*series_cols, "__tick"], how="left")
 
     obs_ck = obs.withColumn("__ck", F.floor(F.col("__tick") / F.lit(cb)).cast("long"))
     summ = obs_ck.groupBy(*series_cols, "__ck").agg(
@@ -213,7 +240,7 @@ def gap_fill_linear(
         .orderBy("__ck")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    carry = axis.join(summ, on=[*series_cols, "__ck"], how="left").select(
+    carry = _ns_join(axis, summ, [*series_cols, "__ck"], how="left").select(
         *series_cols,
         "__ck",
         F.last("__last", ignorenulls=True).over(w_prior).alias("__cin"),
@@ -231,7 +258,7 @@ def gap_fill_linear(
     )
     v = F.col(value_col)
     marked = (
-        cells.join(F.broadcast(carry), on=[*series_cols, "__ck"])
+        _ns_join(cells, carry, [*series_cols, "__ck"], broadcast=True)
         .withColumn(
             "__p",
             F.coalesce(

@@ -40,13 +40,22 @@ def parse_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
     ts_ns) — one output row per metric, like split_influx
     (server_utils.py:8-25).  Missing timestamp -> NULL ts_ns (the
     reference substitutes server time; that policy belongs to the
-    ingest caller, not the parser)."""
+    ingest caller, not the parser).
+
+    MALFORMED-TOLERANT (code-review r9): an ingest endpoint sees
+    arbitrary garbage, and one bad line must not ANSI-kill the batch —
+    a line without a field section made ``element_at(head, 2)`` throw,
+    a field group without '=' made the value extraction throw, and a
+    non-numeric timestamp or value made the plain cast throw.  Every
+    positional pick is ``try_element_at`` and every numeric cast a
+    ``try_cast``: garbage parses to NULL cells for the caller to
+    filter, never an exception."""
     l = F.col(line_col)
     head = F.split(l, " ")
-    tags = F.element_at(head, 1)
-    fields = F.element_at(head, 2)
-    ts = F.when(F.size(head) >= 3, F.element_at(head, 3).cast("long"))
-    db = F.element_at(F.split(tags, ","), 1)
+    tags = F.try_element_at(head, F.lit(1))
+    fields = F.try_element_at(head, F.lit(2))
+    ts = F.try_element_at(head, F.lit(3)).try_cast("long")
+    db = F.try_element_at(F.split(tags, ","), F.lit(1))
     # sensor is the value of the first tag (reference takes the part
     # after '=' of the second comma-group)
     sensor = F.regexp_extract(tags, r",[^=]+=([^,]+)", 1)
@@ -56,8 +65,10 @@ def parse_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
     ).select(
         "db",
         "sensor",
-        F.element_at(F.split(F.col("kv"), "="), 1).alias("metric"),
-        F.element_at(F.split(F.col("kv"), "="), 2).cast("double").alias("value"),
+        F.try_element_at(F.split(F.col("kv"), "="), F.lit(1)).alias("metric"),
+        F.try_element_at(F.split(F.col("kv"), "="), F.lit(2))
+        .try_cast("double")
+        .alias("value"),
         "ts_ns",
     )
     return out.select(*PARSED_COLS)

@@ -35,6 +35,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   empty-signature convention                    -> text_rolling_fingerprint
 #   zero-token doc packing membership             -> corpus_pack_sequences
 #   NULL payload = empty payload                  -> multimodal_features
+#   events block (NULL ts/user/type, NaN value, malformed JSON):
+#   valid-ticks contract                          -> ts_snap_grid
+#   NULL-key rows through the chunked prefix sum  -> ts_cumulative_sum_chunked
+#   NULL series through the gap-fill grid joins   -> ts_gap_fill
+#   shape-shifted / malformed / empty JSON        -> events_json_extract
+#   NULL-user cohort identity                     -> events_retention
+#   malformed-line-tolerant parser + writer gate  -> influx_roundtrip
 EDGE_ENTRIES = [
     "emb_centroid_dist",
     "emb_pq_adc_topk",
@@ -45,6 +52,12 @@ EDGE_ENTRIES = [
     "text_rolling_fingerprint",
     "corpus_pack_sequences",
     "multimodal_features",
+    "ts_snap_grid",
+    "ts_cumulative_sum_chunked",
+    "ts_gap_fill",
+    "events_json_extract",
+    "events_retention",
+    "influx_roundtrip",
 ]
 
 

@@ -930,6 +930,89 @@ def test_chunked_running_sum_matches_single_window(spark):
     assert sorted(chunked, key=key) == sorted(plain, key=key)
 
 
+def test_chunked_running_sum_null_key_rows_survive(spark):
+    """Code-review r9 (edge corpus): a window PARTITION BY treats a
+    NULL key as a real group, but the offset join's plain equi-keys
+    silently DROPPED null-keyed rows — the chunked plan lost rows the
+    single-window plan keeps.  Null-safe join keys fix it; values must
+    still match the single window exactly."""
+    from ong_tsdb_spark.operators.prefix import chunked_running_sum
+
+    rows = [("a", 1, 1, 1.0), ("a", 2, 2, 2.0),
+            (None, 1, 3, 5.0), (None, 60, 4, 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, id long, value double")
+    out = chunked_running_sum(
+        df, key_cols=["k"], order_cols=["ts", "id"],
+        value=F.col("value").cast("decimal(18,2)"),
+        chunk=F.floor(F.col("ts") / F.lit(50)),
+        out_col="rt",
+    ).collect()
+    assert len(out) == 4  # nothing dropped
+    got = {r["id"]: float(r["rt"]) for r in out}
+    assert got[3] == 5.0 and got[4] == 12.0  # NULL-key prefix sums
+
+
+def test_gap_fill_null_series_survives(spark):
+    """Code-review r9 (edge corpus): the grid/carry stitching joins
+    dropped a NULL-keyed series entirely; with null-safe keys the
+    series fills like any other."""
+    from ong_tsdb_spark.operators.gapfill import gap_fill_ffill, gap_fill_linear
+
+    rows = [(None, 0, 1, 1.0), (None, 1800, 2, 3.0), ("a", 0, 3, 9.0)]
+    df = spark.createDataFrame(rows, "k string, s long, id long, v double")
+    ff = gap_fill_ffill(df, ts_sec_col="s", series_cols=["k"],
+                        value_cols=["v"], tick_seconds=900,
+                        tiebreak_cols=["id"])
+    got = {(r["k"], r["tick_s"]): r["v"] for r in ff.collect()}
+    assert got[(None, 0)] == 1.0
+    assert got[(None, 900)] == 1.0   # forward-filled inside NULL series
+    assert got[(None, 1800)] == 3.0
+    assert got[("a", 0)] == 9.0
+    lin = gap_fill_linear(df, ts_sec_col="s", series_cols=["k"],
+                          value_col="v", tick_seconds=900,
+                          tiebreak_cols=["id"])
+    gl = {(r["k"], r["tick_s"]): r["v"] for r in lin.collect()}
+    assert gl[(None, 900)] == 2.0    # midpoint interpolation
+
+
+def test_influx_parse_malformed_lines_tolerant(spark):
+    """Code-review r9 (edge corpus): garbage lines must parse to NULL
+    cells, never ANSI-kill the batch — a line without a field section
+    hit element_at(head, 2), a field group without '=' hit the value
+    pick, and non-numeric ts/value hit the plain casts."""
+    from ong_tsdb_spark.sources import influx
+
+    lines = spark.createDataFrame(
+        [("just-one-section",),
+         ("db,key=s value= 123",),          # empty value after '='
+         ("db,key=s novalue 456",),         # kv without '='
+         ("db,key=s value=abc notanum",),   # garbage value + ts
+         (None,)],
+        "line string",
+    )
+    out = influx.parse_lines(lines).collect()  # must not throw
+    by_metric = {}
+    for r in out:
+        by_metric.setdefault(r["metric"], []).append(r)
+    assert by_metric["novalue"][0]["value"] is None
+    assert by_metric["value"] and all(
+        r["value"] is None for r in by_metric["value"]
+    )  # '' and 'abc' both null, never an exception
+
+
+def test_retention_null_user_dropped(spark):
+    """Code-review r9 (edge corpus): an anonymous (NULL-user) event has
+    no retention identity — the join-free groupBy must not count the
+    NULL key as one phantom user."""
+    from ong_tsdb_spark.operators.events import WEEK_US, retention_cohorts
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (None, 0)], "user_id long, us long"
+    )
+    out = retention_cohorts(df, period_us=WEEK_US).collect()
+    assert len(out) == 1 and out[0]["n_users"] == 2
+
+
 def test_read_downsampled_served_from_rollup(eng):
     """ROADMAP #7: a 'first' rollup serves maxDataPoints reads exactly
     when its tick divides the spread and the phase aligns; misaligned

@@ -15,8 +15,11 @@ to ``documents`` and ``embeddings`` (ids >= 900001, source='edge'):
 empty / whitespace-only / NULL text, NULL lang and source, pure
 punctuation, a single 2000-char token, extreme repetition, quotes and
 control characters, plus zero / NULL / null-element / huge-magnitude
-vectors and a NULL label.  The other eight tables are copied verbatim
-so every registry entry still runs.
+vectors and a NULL label — and to ``events`` (event_id >= 900001):
+NULL timestamp / user / type / value, NaN value, and NULL / empty /
+malformed / shape-shifted JSON ``props`` (events doubles as the tick
+table, so these rows also reach every ts_* entry).  The other seven
+tables are copied verbatim so every registry entry still runs.
 
     python tools/edge_corpus.py [--base /root/testdata/sf0.001]
                                 [--out /tmp/edge_sf] [--list-corpus]
@@ -77,17 +80,62 @@ def edge_embeddings() -> list[tuple[int, list[float] | None, int | None]]:
     ]
 
 
+#: (event_id, ts ISO string or None, user_id, event_type, value, props)
+EDGE_EVENTS = [
+    (900001, None, 9001, "view", 1.0, '{"k": 1}'),          # NULL ts
+    (900002, "2024-01-02T00:00:00", None, "view", 1.0, '{"k": 2}'),
+    (900003, "2024-01-02T00:01:00", 9001, None, 1.0, '{"k": 3}'),
+    (900004, "2024-01-02T00:02:00", 9001, "view", None, '{"k": 4}'),
+    (900005, "2024-01-02T00:03:00", 9001, "view", float("nan"), '{"k": 5}'),
+    (900006, "2024-01-02T00:04:00", 9002, "purchase", 2.0, None),   # NULL props
+    (900007, "2024-01-02T00:05:00", 9002, "purchase", 2.0, ""),     # empty props
+    (900008, "2024-01-02T00:06:00", 9002, "purchase", 2.0, '{"k": '),  # cut JSON
+    (900009, "2024-01-02T00:07:00", 9003, "signup", 3.0, '{"k": "str"}'),
+    # ~2 years past the corpus: far enough that gap-fill entries must
+    # extend their grid across a real horizon (and the retention
+    # triangle gains a distant period), near enough that the DuckDB
+    # oracle's single-threaded window over the materialized grid stays
+    # seconds, not minutes (a 2099 tick made it a 2.6M-row grid)
+    (900010, "2026-12-31T23:59:59", 9003, "view", 4.0, '{"nested": {"k": 6}}'),
+]
+
+
 def build(base: str, out: str) -> str:
+    import datetime as dt
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out, exist_ok=True)
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         shutil.copyfile(
             os.path.join(base, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
         )
+
+    ev = pq.read_table(os.path.join(base, "events.parquet"))
+    ts_type = ev.schema.field("ts").type  # NANOS vs us varies by round
+    extra_ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in EDGE_EVENTS], pa.int64()),
+            "ts": pa.array(
+                [
+                    dt.datetime.fromisoformat(r[1]) if r[1] else None
+                    for r in EDGE_EVENTS
+                ],
+                ts_type,
+            ),
+            "user_id": pa.array([r[2] for r in EDGE_EVENTS], pa.int64()),
+            "event_type": pa.array([r[3] for r in EDGE_EVENTS], pa.string()),
+            "value": pa.array([r[4] for r in EDGE_EVENTS], pa.float64()),
+            "props": pa.array([r[5] for r in EDGE_EVENTS], pa.string()),
+        }
+    )
+    merged_ev = pa.concat_tables(
+        [ev.select(extra_ev.column_names), extra_ev.select(extra_ev.column_names)]
+    )
+    pq.write_table(merged_ev, os.path.join(out, "events.parquet"))
 
     docs = pq.read_table(os.path.join(base, "documents.parquet"))
     extra = pa.table(
@@ -124,14 +172,16 @@ def build(base: str, out: str) -> str:
 
 
 def corpus_entries() -> list[str]:
-    """Registry entries whose oracle SQL reads documents/embeddings —
-    the surface the adversarial block can reach."""
+    """Registry entries whose oracle SQL reads a table carrying an
+    adversarial block (documents / embeddings / events) — the surface
+    the edge rows can reach.  events doubles as the ts_* tick table,
+    so the time-series entries are in scope too."""
     import __spark_entry__ as entry
 
     out = []
     for name, sql in entry.oracle_sql().items():
         low = sql.lower()
-        if "documents" in low or "embeddings" in low:
+        if "documents" in low or "embeddings" in low or "events" in low:
             out.append(name)
     return out
 
@@ -147,7 +197,8 @@ def main(argv=None) -> int:
         return 0
     path = build(args.base, args.out)
     print(f"edge corpus written to {path} "
-          f"({len(EDGE_DOCS)} edge docs, {len(edge_embeddings())} edge vectors)")
+          f"({len(EDGE_DOCS)} edge docs, {len(edge_embeddings())} edge vectors, "
+          f"{len(EDGE_EVENTS)} edge events)")
     return 0
 
 
