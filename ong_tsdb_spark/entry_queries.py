@@ -4483,8 +4483,13 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ e593a6ba5183
+# planned-on: r01..r08 @ d90ee8aa7e49
 _TAIL_ROTATION = [
+    "emb_neardup_lsh",
+    "emb_ann_lsh",
+    "dedup_winnow",
+    "corpus_epoch_shards",
+    "corpus_shuffled_shards",
     "corpus_pack_sequences",
     "emb_pq_adc_topk",
     "ts_asof_join",
@@ -4500,8 +4505,19 @@ _TAIL_ROTATION = [
     "text_bpe_pairs",
     "doc_chunk_stats",
     "ts_downsample_first",
+    "influx_roundtrip",
+    "ts_gap_fill",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "ts_sessionize",
+    "ts_time_weighted_avg",
+    "ts_gap_fill_linear",
+    "ts_value_histogram",
+    "ts_cumulative_sum",
+    "ts_cumulative_sum_chunked",
+    "ts_moving_range_avg",
+    "ts_zscore_anomaly",
     "ts_range_read",
-    "ts_snap_grid",
     "ts_checksum_nansum",
     "tpch_q1",
     "tpch_q3_topk",
@@ -4509,10 +4525,7 @@ _TAIL_ROTATION = [
     "top_orders",
     "part_brand_agg",
     "emb_label_centroids",
-    "ts_delta",
     "tpch_rollup",
-    "events_json_extract",
-    "ts_rolling_mean",
     "tpch_q6",
     "orders_with_late_lines",
     "customers_without_recent_orders",
@@ -4521,30 +4534,17 @@ _TAIL_ROTATION = [
     "top_orders_per_priority",
     "emb_ann_recall",
     "emb_ivf_recall",
-    "ts_ewma",
     "corpus_curation_report",
     "corpus_delta_stats",
     "ts_last_timestamp",
     "ts_upsert_last_wins",
     "ts_usage_stats",
     "ts_ingest_grouping",
-    "influx_roundtrip",
-    "ts_gap_fill",
-    "ts_pivot_daily",
-    "ts_percentiles",
-    "ts_sessionize",
-    "ts_time_weighted_avg",
     "ts_ohlc",
-    "ts_gap_fill_linear",
     "ts_rate",
-    "ts_value_histogram",
     "part_type_like",
     "customers_above_nation_avg",
-    "ts_cumulative_sum",
-    "ts_cumulative_sum_chunked",
     "doc_stats_by_lang",
-    "ts_moving_range_avg",
-    "ts_zscore_anomaly",
     "emb_pq_recall",
     "events_funnel",
 ]
