@@ -61,6 +61,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     Session tz pinned to UTC so NTZ->epoch matches DuckDB epoch_us."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # size(NULL) must be NULL, not the legacy -1: with ANSI disabled
+    # Spark flips sizeOfNull back to -1, silently corrupting every
+    # token/shingle count over a NULL text row (-1 vs the oracle's
+    # NULL — 12 text entries diverged under the hostile-session x
+    # edge-corpus sweep, code-review r9).  Pin it like nanosAsLong so
+    # the entry surface is session-default-independent.
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -97,6 +97,33 @@ def test_edge_entry_vs_oracle(spark, edge_sf, edge_duck, name):
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
 
 
+def test_hostile_session_size_of_null_pinned(spark, edge_sf, edge_duck):
+    """Data x session hostility (code-review r9): with ANSI disabled
+    Spark flips legacy sizeOfNull back on, so size(split(NULL)) is
+    silently -1 — 12 text entries diverged from their oracles on the
+    NULL-text row.  entry_queries.load() pins sizeOfNull=false like
+    nanosAsLong; this replays one such entry under the hostile confs
+    and requires oracle equality."""
+    saved = {
+        "spark.sql.ansi.enabled": spark.conf.get("spark.sql.ansi.enabled"),
+        "spark.sql.legacy.sizeOfNull": spark.conf.get(
+            "spark.sql.legacy.sizeOfNull", "false"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+        sdf = entry_mod.queries()["text_tokens"](spark, edge_sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = edge_duck.sql(entry_mod.oracle_sql()["text_tokens"])
+        assert canon_rows(list(sdf.columns), srows) == canon_rows(
+            list(res.columns), res.fetchall()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_quantize_eligibility_bounds(spark):
     """ivf_quantize_expr is the exact family's choke point: NaN, ±Inf
     and |x| > EXACT_MAX_ABS elements must quantize to NULL (routing

@@ -33,16 +33,41 @@ def main(argv=None) -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--master", default="local[16]")
     ap.add_argument("--only", nargs="*", default=None, help="subset of entry names")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="hostile session defaults: ANSI OFF (silent NaN/overflow "
+        "coercions instead of errors), non-UTC timezone, prime shuffle "
+        "partition count, auto-broadcast disabled — the round-6 "
+        "adversarial-session sweep as a first-class flag; compose with "
+        "an edge-corpus --sf-dir for data x session hostility",
+    )
     args = ap.parse_args(argv)
 
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(args.master)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    builder = SparkSession.builder.master(args.master).config(
+        "spark.ui.enabled", "false"
     )
+    if args.hostile:
+        builder = (
+            builder.config("spark.sql.ansi.enabled", "false")
+            .config("spark.sql.session.timeZone", "Australia/Eucla")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        )
+    spark = builder.getOrCreate()
+    if args.hostile:
+        # getOrCreate may reuse an existing JVM session — force the
+        # runtime confs so the flags hold either way
+        for k, v in [
+            ("spark.sql.ansi.enabled", "false"),
+            ("spark.sql.session.timeZone", "Australia/Eucla"),
+            ("spark.sql.shuffle.partitions", "7"),
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ]:
+            spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
