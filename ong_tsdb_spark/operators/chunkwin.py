@@ -93,6 +93,15 @@ def _cascade(
     comes from the EDGES frame (>= 1 edge row per non-empty chunk, so
     the same chunk set as the full data) — no full-data distinct.
     """
+    # NULL-SAFE key joins throughout (code-review r9, edge corpus):
+    # the within-chunk window PARTITION BY treats a NULL series key as
+    # a real group, so a NULL-keyed series spanning several chunks
+    # NEEDS its cross-chunk carries — plain equi-joins dropped them
+    # silently (NULL never equals NULL), so lag/lead at that series'
+    # chunk edges would diverge from the global-window plan.  Same fix
+    # class as operators/gapfill._ns_join; <=> keys stay hash-joinable.
+    from .gapfill import _ns_join
+
     idx = (
         edges.select(*key_cols, CHUNK_COL)
         .distinct()
@@ -102,7 +111,7 @@ def _cascade(
         )
     )
     src = (
-        edges.join(idx, on=[*key_cols, CHUNK_COL])
+        _ns_join(edges, idx, [*key_cols, CHUNK_COL])
         .withColumnRenamed("__ci", "__src_ci")
         .withColumnRenamed(CHUNK_COL, "__src_chunk")
     )
@@ -115,7 +124,7 @@ def _cascade(
         if before
         else (F.col("__src_ci") - F.col("__tgt_ci"))
     )
-    cand = src.join(tgt, on=list(key_cols)).filter((delta >= 1) & (delta <= k))
+    cand = _ns_join(src, tgt, list(key_cols)).filter((delta >= 1) & (delta <= k))
     rank_order = (
         [F.col(c).desc() for c in order_cols] if before else [F.col(c) for c in order_cols]
     )

@@ -1200,6 +1200,33 @@ def test_chunked_window_lag_matches_plain(spark):
     assert sorted(out, key=key) == sorted(plain, key=key)
 
 
+def test_chunked_window_null_key_series_carries(spark):
+    """Code-review r9 (edge corpus): the carry-cascade equi-joins
+    dropped a NULL-keyed series' cross-chunk carries (NULL never
+    equals NULL) — lag at that series' chunk edges diverged from the
+    global window.  Null-safe keys fix it: a NULL series spanning
+    three chunks must match the plain window row-for-row."""
+    from ong_tsdb_spark.operators.chunkwin import chunked_window
+
+    rows = [(None, t, t, float(t)) for t in (10, 60, 110, 160)] + [
+        ("a", 10, 90, 1.0), ("a", 60, 91, 2.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, id long, value double")
+    w = Window.partitionBy("k").orderBy("ts", "id")
+    plain = df.select(
+        "k", "ts", "id", F.lag("value", 1).over(w).alias("l1")
+    ).collect()
+    out = chunked_window(
+        df, key_cols=["k"], order_cols=["ts", "id"], chunk_len=50,
+        build=lambda w: {"l1": F.lag("value", 1).over(w)}, rows_before=1,
+    ).select("k", "ts", "id", "l1").collect()
+    key = lambda r: (repr(r["k"]), r["ts"], r["id"])
+    assert sorted(out, key=key) == sorted(plain, key=key)
+    # the null series' 2nd..4th rows must SEE their predecessors
+    null_lags = {r["ts"]: r["l1"] for r in out if r["k"] is None}
+    assert null_lags == {10: None, 60: 10.0, 110: 60.0, 160: 110.0}
+
+
 def test_chunked_window_rolling_rows_sparse_cascade(spark):
     """ROWS 3 PRECEDING with one-row chunks: carries must come from the
     three nearest non-empty chunks, not just the adjacent one."""
