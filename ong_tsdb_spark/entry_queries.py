@@ -4490,7 +4490,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ d90ee8aa7e49
+# planned-on: r01..r08 @ a1decaca636c
 _TAIL_ROTATION = [
     "emb_neardup_lsh",
     "emb_ann_lsh",
@@ -4524,6 +4524,7 @@ _TAIL_ROTATION = [
     "ts_cumulative_sum_chunked",
     "ts_moving_range_avg",
     "ts_zscore_anomaly",
+    "ts_rate",
     "ts_range_read",
     "ts_checksum_nansum",
     "tpch_q1",
@@ -4548,7 +4549,6 @@ _TAIL_ROTATION = [
     "ts_usage_stats",
     "ts_ingest_grouping",
     "ts_ohlc",
-    "ts_rate",
     "part_type_like",
     "customers_above_nation_avg",
     "doc_stats_by_lang",
