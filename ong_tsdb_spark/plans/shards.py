@@ -43,6 +43,15 @@ def pack_shard_assignments(
     bin for the tail — the standard contiguous-layout convention)."""
     from ..operators.text import sequence_pack_stats
 
+    if int(seq_len) < 1 or int(bins_per_shard) < 1:
+        # seq_len=0 corrupts the packing arithmetic downstream and
+        # bins_per_shard=0 makes `bin_id div 0` a silent NULL shard
+        # (written as the Hive default partition, invisible to the
+        # sequential loader) — fail loudly instead
+        raise ValueError(
+            f"seq_len and bins_per_shard must be >= 1, got "
+            f"{seq_len}/{bins_per_shard}"
+        )
     layout = sequence_pack_stats(
         df, text_col=text_col, id_col=id_col, seq_len=seq_len
     )

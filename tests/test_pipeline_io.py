@@ -3,6 +3,7 @@ training-shard writer."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ong_tsdb_spark.plans.shards import SHARD_COL, write_packed_shards
@@ -47,6 +48,17 @@ def test_jsonl_corrupt_quarantine(spark, tmp_path):
     )
     assert len(quarantine) == 1
     assert "not json" in quarantine[0][CORRUPT_COL]
+
+
+def test_packed_shards_rejects_degenerate_params(spark, sf_dir, tmp_path):
+    """Code-review r9: bins_per_shard=0 was a silent NULL shard_id
+    (bin_id div 0) written as the Hive default partition — reject the
+    degenerate params up front."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="bins_per_shard"):
+        write_packed_shards(docs, str(tmp_path / "x"), bins_per_shard=0)
+    with pytest.raises(ValueError, match="seq_len"):
+        write_packed_shards(docs, str(tmp_path / "y"), seq_len=0)
 
 
 def test_packed_shards_layout(spark, sf_dir, tmp_path):
