@@ -755,6 +755,17 @@ _DOT_SQL = """
 """
 
 
+def _finite_vec_sql(e: str) -> str:
+    """DuckDB twin of similarity.finite_vector_filter: the float pair
+    family is defined over finite vectors only (a NaN cosine would be
+    EMITTED by SQL's NaN-above-everything ordering while numpy's
+    threshold drops it — code-review r9, second pass)."""
+    return (
+        f"({e} IS NOT NULL AND len(list_filter({e}, "
+        f"x -> x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0)"
+    )
+
+
 def _norm_sql(a: str) -> str:
     return f"sqrt(list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
 
@@ -847,7 +858,8 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sizes AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
     kept AS (SELECT e.* FROM embeddings e JOIN sizes USING (label)
-             WHERE n <= {similarity.DEFAULT_BLOCK_CAP})
+             WHERE n <= {similarity.DEFAULT_BLOCK_CAP}
+               AND {_finite_vec_sql("e.embedding")})
     SELECT d1, d2, round(cosine, 6) AS cosine FROM (
       SELECT a.vec_id AS d1, b.vec_id AS d2,
              {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
@@ -885,7 +897,8 @@ def _neardup_lsh_sql() -> str:
     WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
     sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
     kept AS (SELECT b.vec_id, b.embedding, b.bucket
-             FROM b JOIN sizes USING (bucket) WHERE n <= {_NEARDUP_LSH_CAP})
+             FROM b JOIN sizes USING (bucket) WHERE n <= {_NEARDUP_LSH_CAP}
+               AND {_finite_vec_sql("b.embedding")})
     SELECT d1, d2, round(cosine, 6) AS cosine FROM (
       SELECT a.vec_id AS d1, c.vec_id AS d2, {cos} AS cosine
       FROM kept a JOIN kept c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -1245,6 +1258,7 @@ def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_finite_vec_sql("a.embedding")} AND {_finite_vec_sql("b.embedding")}
     ) WHERE round(cosine, 6) >= 0.4
     """,
 )

@@ -57,8 +57,15 @@ def asof_join(
     # columns while __f_ts (also null there) keeps the previous match's
     # timestamp — left rows would report values from a row that never
     # matched, stamped with another row's ts (code-review r9).  DuckDB's
-    # ASOF JOIN likewise never matches a NULL-ts build row.
+    # ASOF JOIN likewise never matches a NULL-ts build row.  NULL
+    # BY-KEYS on the right are excluded for the same reason: the
+    # window PARTITION BY would group NULL keys and hand NULL-key left
+    # rows a "match" that no SQL equi-condition (NULL never equals
+    # NULL) would produce — such left rows must come back unmatched
+    # (code-review r9, second pass).
     right = right.filter(F.col(ts_col).isNotNull())
+    for c in by:
+        right = right.filter(F.col(c).isNotNull())
     r_tagged = right.select(
         *[
             F.col(c) if c in (by + [ts_col]) else F.lit(None).cast(left.schema[c].dataType).alias(c)

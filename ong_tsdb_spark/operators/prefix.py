@@ -58,23 +58,23 @@ def chunked_running_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
-        F.col("__chunk").alias("__k_chunk"),
-        F.sum("__tot").over(w_off).alias("__off"),
+        *key_cols, "__chunk", F.sum("__tot").over(w_off).alias("__off")
     )
     # NULL-SAFE join keys (code-review r9, edge corpus): a window
     # PARTITION BY treats NULL as a real group, so the single-window
     # plan this must be bit-identical to produces running totals for
     # NULL-keyed rows — a plain equi-join here silently DROPPED them
     # (NULL never equals NULL), losing rows relative to the oracle.
-    cond = F.col("__chunk").eqNullSafe(F.col("__k_chunk"))
-    for c in key_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
-    joined = within.join(F.broadcast(offsets), cond)
+    # Shared helper (gapfill._ns_join) so all three window-parity
+    # operators (prefix / gapfill / chunkwin) fix drift in one place.
+    from .gapfill import _ns_join
+
+    joined = _ns_join(
+        within, offsets, [*key_cols, "__chunk"], broadcast=True
+    )
     total = F.when(F.col("__off").isNull(), F.col("__run_in")).otherwise(
         F.col("__off") + F.col("__run_in")
     )
     return joined.withColumn(out_col, total).drop(
-        "__chunk", "__val", "__run_in", "__off", "__k_chunk",
-        *[f"__k_{c}" for c in key_cols],
+        "__chunk", "__val", "__run_in", "__off"
     )

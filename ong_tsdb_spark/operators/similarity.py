@@ -91,6 +91,23 @@ def cosine_topk(
 DEFAULT_BLOCK_CAP = 1024
 
 
+def finite_vector_filter(vec_col: Column) -> Column:
+    """True iff the vector is non-null with every element a FINITE
+    number — the eligibility bar for the float pair family (code-
+    review r9, second pass).  A NaN element makes the cosine NaN,
+    which numpy's threshold DROPS while Spark SQL and DuckDB (both
+    order NaN above every double) would EMIT — pairwise similarity is
+    defined over finite vectors only, pinned identically in all three
+    executors and in the oracles' kept CTEs."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return vec_col.isNotNull() & ~F.exists(
+        vec_col,
+        lambda x: x.isNull()
+        | F.isnan(xd(x))
+        | (F.abs(xd(x)) == F.lit(float("inf"))),
+    )
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     block_col: str,
@@ -133,6 +150,10 @@ def cosine_pairs_blocked(
         sizes = slim.groupBy("__blk").agg(F.count("*").alias("__bn"))
         keep = sizes.filter(F.col("__bn") <= max_block_size).select("__blk")
         slim = slim.join(F.broadcast(keep), on="__blk")
+    # finite vectors only, AFTER the census (see finite_vector_filter
+    # and the numpy twin) — keeps the fold path, the BLAS path, and
+    # the oracles emitting the same pair set on dirty corpora
+    slim = slim.filter(finite_vector_filter(F.col(vec_col)))
     a, b = slim.alias("a"), slim.alias("b")
     # try_divide, not '/': under ANSI mode (Spark 4 default) a plain
     # Divide THROWS on a zero-norm vector in the block; NULL cosine
@@ -183,17 +204,17 @@ def cosine_pairs_blocked_numpy(
         keep = sizes.filter(F.col("__bn") <= max_block_size).select(block_col)
         df = df.join(F.broadcast(keep), on=block_col)
 
-    # dirty vectors (NULL, or containing a null element) cannot form a
-    # pair: their cosine is NULL in both the Catalyst fold and every
-    # SQL oracle, which drops them at the threshold — but a bare
-    # np.array over a batch containing None is an inhomogeneous-shape
-    # crash that kills the whole job (code-review r9, edge-corpus
-    # replay).  Filter AFTER the size census so the block-cap decision
-    # still counts every row, exactly like the oracles' sizes CTE.
-    df = df.filter(
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    )
+    # dirty vectors (NULL / null-element / non-finite-element) cannot
+    # form a pair: a bare np.array over a batch containing None is an
+    # inhomogeneous-shape crash that kills the whole job, and a NaN
+    # cosine COMPARES DIFFERENTLY per engine (numpy: NaN >= t is
+    # False; Spark SQL and DuckDB both order NaN above every double,
+    # so their threshold would EMIT the pair) — pairwise similarity is
+    # defined over finite vectors only, on every path and oracle
+    # (code-review r9, both passes).  Filter AFTER the size census so
+    # the block-cap decision still counts every row, exactly like the
+    # oracles' sizes CTE.
+    df = df.filter(finite_vector_filter(F.col(vec_col)))
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -289,6 +310,22 @@ def ivf_quantize_py(vec: list[float]) -> list[int | None]:
         else:
             out.append(math.floor(xf * float(IVF_QUANT_SCALE)))
     return out
+
+
+def quantize_query_or_raise(vec: list[float]) -> list[int]:
+    """Quantize a QUERY vector for the exact family, raising a clear
+    ValueError if any element is dirty (NULL/NaN/Inf or beyond
+    EXACT_MAX_ABS).  Corpus rows route around the exact chain via NULL
+    codes, but a query has nowhere to route — and the driver-side
+    integer arithmetic downstream would otherwise die with a bare
+    TypeError on the None elements (code-review r9, second pass)."""
+    qq = ivf_quantize_py(vec)
+    if any(v is None for v in qq):
+        raise ValueError(
+            "query vector contains NULL/NaN/Inf elements or |x| > "
+            f"{EXACT_MAX_ABS} — not searchable in the integer-exact family"
+        )
+    return qq  # type: ignore[return-value]
 
 
 def _centroid_literal_long(vec: list[int]) -> Column:
@@ -510,7 +547,7 @@ def ivf_topk_exact(
     nearest lists by integer squared-L2 (driver-side on exact Python
     ints), exact float cosine re-rank inside them (the fold already
     proven bit-identical by the brute-force oracle)."""
-    probe = _nprobe_lists(centroids, ivf_quantize_py(query_vec), nprobe)
+    probe = _nprobe_lists(centroids, quantize_query_or_raise(query_vec), nprobe)
     assigned = ivf_assign_exact(df, centroids, vec_col)
     candidates = assigned.filter(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
     return cosine_topk(candidates, query_vec, k, vec_col, id_col, exclude_ids)
@@ -1119,12 +1156,19 @@ def train_pq_codebooks_exact(
         raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
     sub = dim // m
     if not fused:
-        # pre-filter to FULLY-clean vectors (see null policy above):
-        # without this, a row null only in subspace 0 would still
-        # train subspaces 1..m-1 here while the fused path drops it
+        # pre-filter to FULLY-eligible vectors (see null policy
+        # above): without this, a row dirty only in subspace 0 would
+        # still train subspaces 1..m-1 here while the fused path drops
+        # it.  Eligibility is probed on the QUANTIZED full vector so
+        # the new dirty classes (NaN / Inf / |x| > EXACT_MAX_ABS,
+        # which ivf_quantize_expr nulls) are excluded exactly like the
+        # fused path and the oracle's elig_expr='embedding' chains —
+        # a raw-null check alone let a 1e30-element row train the
+        # clean subspaces (code-review r9, second pass).
+        qfull = ivf_quantize_expr(F.col(vec_col))
         clean = df.filter(
             F.col(vec_col).isNotNull()
-            & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+            & ~F.exists(qfull, lambda x: x.isNull())
         )
         return [
             train_ivf_centroids_exact(
@@ -1312,7 +1356,7 @@ def _adc_tables(books: list[list[list[int]]], query_vec: list[float]) -> list[li
     ints — shared by every ADC entry point so the arithmetic cannot
     diverge between the live and persisted paths."""
     sub = len(books[0][0])
-    qq = ivf_quantize_py(query_vec)
+    qq = quantize_query_or_raise(query_vec)
     return [
         [
             sum((a - b) * (a - b) for a, b in zip(qq[s * sub : (s + 1) * sub], c))
@@ -1486,6 +1530,6 @@ def ivfpq_topk_persisted(
     ivf_cluster AND a ReadSchema without any embedding column —
     pinned by test."""
     centroids, books = read_ivfpq_meta(path)
-    probe = _nprobe_lists(centroids, ivf_quantize_py(query_vec), nprobe)
+    probe = _nprobe_lists(centroids, quantize_query_or_raise(query_vec), nprobe)
     df = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
     return _adc_rank(df, _adc_tables(books, query_vec), topk, id_col, exclude_ids)

@@ -315,6 +315,38 @@ def test_similarity_null_vector_robustness(spark):
     )
 
 
+def test_pair_family_drops_nonfinite_vectors(spark):
+    """Code-review r9 (second pass): a NaN-element vector's cosine is
+    NaN, which SQL engines rank ABOVE the threshold while numpy ranks
+    it below — the pair family is defined over finite vectors only,
+    on the fold path, the BLAS path, and (pinned by the edge corpus)
+    the oracles.  A dirty QUERY vector raises a clear ValueError in
+    the exact-search entry points instead of a driver TypeError."""
+    from ong_tsdb_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_blocked_numpy,
+        quantize_query_or_raise,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "a"),
+        (3, [float("nan"), 1.0], "a"),
+        (4, [float("inf"), 0.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    for fn in (cosine_pairs_blocked, cosine_pairs_blocked_numpy):
+        got = {(r["d1"], r["d2"]) for r in
+               fn(df, block_col="label", threshold=-2.0).collect()}
+        assert got == {(1, 2)}, (fn.__name__, got)
+
+    with pytest.raises(ValueError, match="not searchable"):
+        quantize_query_or_raise([1.0, float("nan")])
+    with pytest.raises(ValueError, match="not searchable"):
+        quantize_query_or_raise([1.0, 1.0e30])
+    assert quantize_query_or_raise([1.0, -1.0]) == [1 << 20, -(1 << 20)]
+
+
 def test_keep_best_fractional_scores(spark):
     """Code-review r9: fractional quality scores must rank exactly —
     the old cast('long') truncated 0.12 and 0.98 both to 0 and the

@@ -70,6 +70,8 @@ def edge_embeddings() -> list[tuple[int, list[float] | None, int | None]]:
     unit[0] = 1.0
     null_elem: list[float | None] = [1.0] * DIM
     null_elem[3] = None
+    nan_elem: list[float | None] = [1.0] * DIM
+    nan_elem[7] = float("nan")
     return [
         (900001, [0.0] * DIM, 0),          # zero norm
         (900002, None, 1),                 # NULL vector
@@ -77,6 +79,8 @@ def edge_embeddings() -> list[tuple[int, list[float] | None, int | None]]:
         (900004, unit, None),              # NULL label
         (900005, [_BIG] * DIM, 3),         # inf dot / NaN cosine
         (900006, [-x for x in unit], 4),   # antipodal unit
+        (900007, nan_elem, 5),             # NaN element: engines rank
+        # NaN cosines OPPOSITELY (SQL above all doubles, numpy below)
     ]
 
 
