@@ -4504,7 +4504,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ a1decaca636c
+# planned-on: r01..r08 @ f194c05d7564
 _TAIL_ROTATION = [
     "emb_neardup_lsh",
     "emb_ann_lsh",
