@@ -50,13 +50,12 @@ CORE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash32",
+    "dedup_simhash",
     "text_quality",
     "text_langid",
     "emb_cosine_topk",
     "emb_neardup_blocked",
     "emb_neardup_lsh",
-    "emb_neardup_numpy",
     "corpus_clean_pipeline",
     "ts_cumulative_sum_chunked",
     "ts_moving_range_avg",
@@ -133,7 +132,7 @@ SCALE_FAMILIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_winnow",
-    "dedup_simhash32",
+    "dedup_simhash",
     "dedup_passage_stats",
     "dedup_clusters",
     "text_contamination",

@@ -515,22 +515,10 @@ def tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(F.sum(rev).cast("double").alias("revenue"))
 
 
-@register(
-    "top_orders",
-    """
-    SELECT o_orderkey, o_totalprice, rank FROM (
-      SELECT o_orderkey, o_totalprice,
-             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
-      FROM orders
-    ) WHERE rank <= 10
-    """,
-)
-def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort/limit (SURVEY §2.6) with deterministic tiebreak."""
-    od = load(spark, sf_dir, "orders")
-    return _topk_ranked(
-        od, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10
-    ).select("o_orderkey", "o_totalprice", "rank")
+# RETIRED r10 (registry cadence policy): top_orders — its
+# TakeOrderedAndProject plan class and deterministic-tiebreak top-k are
+# both pinned by tpch_q3_topk (richer: join + agg underneath) and the
+# per-group variant by top_orders_per_priority.
 
 
 @register(
@@ -655,12 +643,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidate_pairs(docs)
 
 
-@register("dedup_simhash32", dedup.simhash_portable_oracle_sql(32))
-def dedup_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 32-bit SimHash signatures — fully value-checked
-    (md5-substring token hashes exist identically in the oracle)."""
-    docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_portable(docs, bits=32)
+# RETIRED r10 (VERDICT r9 #2, registry cadence policy): dedup_simhash32
+# — same banded-hamming plan class as dedup_simhash (64-bit, xxh64
+# value-checked); the 32-bit portable variant stays available as
+# dedup.simhash_portable(bits=32) with its unit tests.
 
 
 @register(
@@ -1249,29 +1235,12 @@ def ts_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_neardup_numpy",
-    f"""
-    SELECT d1, d2, round(cosine, 6) AS cosine FROM (
-      SELECT a.vec_id AS d1, b.vec_id AS d2,
-             {_DOT_SQL.format(a="a.embedding", b="b.embedding")}
-               / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cosine
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {_finite_vec_sql("a.embedding")} AND {_finite_vec_sql("b.embedding")}
-    ) WHERE round(cosine, 6) >= 0.4
-    """,
-)
-def emb_neardup_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw BLAS operator, uncapped (``max_block_size=None`` —
-    caller takes the block-fits-executor contract on themselves; the
-    capped default is pinned by ``emb_neardup_blocked``).  Cosines
-    rounded to 6 digits on both sides: BLAS vs sequential summation
-    differ by ~1e-15, far under the rounding grain."""
-    emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_blocked_numpy(
-        emb, block_col="label", threshold=0.4, round_digits=6, max_block_size=None
-    )
+# RETIRED r10 (VERDICT r9 #2, registry cadence policy):
+# emb_neardup_numpy — the uncapped twin of emb_neardup_blocked pinned a
+# near-identical plan class (same BLAS pair kernel, max_block_size=None
+# vs capped); the capped default is the 100 TB-safe contract and keeps
+# the driver slot.  cosine_pairs_blocked_numpy(max_block_size=None)
+# stays unit-tested in tests/test_operators.py.
 
 
 @register(
@@ -1410,24 +1379,9 @@ def users_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
-@register(
-    "tpch_cube",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets in
-    one pass (SURVEY §2.4: free in Spark, absent in the reference)."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(15,2)")).cast("double").alias("sum_qty"),
-        F.count("*").alias("n"),
-    )
+# RETIRED r10 (registry cadence policy): tpch_cube — CUBE and ROLLUP
+# lower to the same Expand-based grouping-sets physical class;
+# tpch_rollup keeps the slot (it additionally pins the join tree).
 
 
 @register(
@@ -1790,35 +1744,12 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_cumulative_sum",
-    f"""
-    SELECT event_type, us AS ts_us,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY event_type ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
-          WHERE {_VALID_TICKS_SQL})
-    """,
-)
-def ts_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total per series — decimal-exact prefix sums (each
-    prefix < 2^53, so the double cast is single-rounded identically).
-    Semantics demo: the per-type window funnels each type's history
-    through one task; ``ts_cumulative_sum_chunked`` is the scale path
-    (operators/prefix.py, identical values)."""
-    ev = _valid_ticks(load(spark, sf_dir, "events"))
-    ev = ev.withColumn("us", _us(ev, "ts"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("us"), F.col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_type",
-        F.col("us").alias("ts_us"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
-    )
+# RETIRED r10 (registry cadence policy): ts_cumulative_sum — the naive
+# one-task-per-series window predecessor of ts_cumulative_sum_chunked,
+# which computes the identical decimal-exact running total through the
+# scale-safe two-pass chunked prefix sum and keeps the driver slot
+# (its oracle SQL remains the single-window formulation below, so the
+# equivalence is still value-checked every round).
 
 
 @register(

@@ -341,3 +341,132 @@ def test_rotation_inline_import_regex_consecutive():
     assert "ong_tsdb_spark/operators/asof.py" in files
     assert "ong_tsdb_spark/operators/gapfill.py" in files
     assert "ong_tsdb_spark/streaming/dedup.py" in files
+
+
+def _load_rotate():
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "rotate_mod4", os.path.join(repo, "tools", "rotate.py")
+    )
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+    return rot
+
+
+def test_rotation_transitive_impl_map():
+    """VERDICT r9 #1: the code-change scan must follow imports
+    transitively and resolve REGISTRY dispatch — no blind entries.
+
+    (a) an entry whose module imports other package modules inherits
+        them (corpus_curation_report reaches dedup/similarity/text
+        THROUGH plans/curation.py's imports);
+    (b) the recall gauges, which dispatch through ``REGISTRY[...].fn``,
+        resolve to the dispatched entries' modules instead of zero
+        files;
+    (c) any entry still mapping to zero files must be genuinely
+        self-contained: its effective chunk (own block + every module
+        helper it transitively references) contains no intra-package
+        imports, no operator-alias uses, and no registry dispatch —
+        its evidence is then guarded by the effective-chunk diff."""
+    rot = _load_rotate()
+    impl = rot.entry_impl_files()
+
+    # (a) transitive closure through plans/curation.py
+    report = impl["corpus_curation_report"]
+    for f in (
+        "ong_tsdb_spark/plans/curation.py",
+        "ong_tsdb_spark/operators/dedup.py",
+        "ong_tsdb_spark/operators/similarity.py",
+        "ong_tsdb_spark/operators/text.py",
+    ):
+        assert f in report, f"curation closure missing {f}"
+    # ...and one more hop: dedup.py's own import of xxh64_sql.py
+    assert "ong_tsdb_spark/operators/xxh64_sql.py" in impl["dedup_simhash"]
+
+    # (b) REGISTRY dispatch resolved to the dispatched plans' modules
+    for gauge in ("emb_ann_recall", "emb_ivf_recall", "emb_pq_recall"):
+        assert "ong_tsdb_spark/operators/similarity.py" in impl[gauge], (
+            f"{gauge} dispatches through REGISTRY[...] and must inherit "
+            "the dispatched entries' implementing modules"
+        )
+
+    # (c) empty mappings only for genuinely self-contained entries
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ong_tsdb_spark",
+            "entry_queries.py",
+        )
+    ).read()
+    eff = rot.effective_chunks(src, normalize=False)
+    from ong_tsdb_spark.entry_queries import REGISTRY
+
+    for name, files in impl.items():
+        if files:
+            continue
+        text = eff[REGISTRY[name].fn.__name__]
+        assert not rot._REGISTRY_DISPATCH_RE.search(text), (
+            f"{name}: empty mapping but dispatches through REGISTRY"
+        )
+        assert not rot._INLINE_IMPORT_RE.search(text), (
+            f"{name}: empty mapping but has intra-package imports"
+        )
+        for alias in rot._ALIAS_FILES:
+            assert not __import__("re").search(rf"\b{alias}\.\w", text), (
+                f"{name}: empty mapping but uses operator alias {alias}"
+            )
+
+
+def test_rotation_effective_chunk_helper_diff():
+    """A change to a shared module-level helper must invalidate every
+    entry that (transitively) references it — and ONLY those; waived
+    member transitions are hash-pinned so any further edit re-flags."""
+    rot = _load_rotate()
+    old = (
+        "K = 2\n"
+        "def helper(x):\n"
+        "    return x + K\n"
+        "def q_a(spark, sf):\n"
+        "    return helper(1)\n"
+        "def q_b(spark, sf):\n"
+        "    return 42\n"
+    )
+    new = old.replace("x + K", "x * K")
+    po, pn = rot.chunk_parts(old), rot.chunk_parts(new)
+    assert rot._changed_members(po, pn, "q_a") == ["helper"]
+    assert rot._changed_members(po, pn, "q_b") == []
+    # constant edits propagate through the helper that uses them
+    new_k = old.replace("K = 2", "K = 3")
+    assert "K" in rot._changed_members(po, rot.chunk_parts(new_k), "q_a")
+    # waiver: exactly this old->new pair is neutral; any other edit flags
+    h = rot._member_hash
+    key = ("helper", h(po["q_a"]["helper"]), h(pn["q_a"]["helper"]))
+    rot.WAIVED_MEMBER_DIFFS[key] = "test"
+    try:
+        assert rot._changed_members(po, pn, "q_a") == []
+        third = rot.chunk_parts(old.replace("x + K", "x - K"))
+        assert rot._changed_members(po, third, "q_a") == ["helper"]
+    finally:
+        del rot.WAIVED_MEMBER_DIFFS[key]
+
+
+def test_rotation_r10_head_contains_curation_pair():
+    """VERDICT r9 #1 'done' check: corpus_curation_report (transitively
+    code-changed through curation.py after its r7 green) and
+    corpus_delta_stats (r7-stale) must be IN the r10 head, with the
+    report carrying a module-level CODE-CHANGED reason."""
+    rot = _load_rotate()
+    green = rot.last_green_rounds(max_round=9)
+    if max(green.values(), default=0) < 9:
+        pytest.skip("r9 evidence not present")
+    changed = rot.changed_since_green(green, 9, code_upper="HEAD")
+    reasons = changed.get("corpus_curation_report", [])
+    assert any(
+        r.startswith("ong_tsdb_spark/operators/") for r in reasons
+    ), f"corpus_curation_report must be transitively flagged, got {reasons}"
+    head, _tail, _g = rot.plan(50, max_round=9, code_upper="HEAD")
+    assert "corpus_curation_report" in head
+    assert "corpus_delta_stats" in head

@@ -106,7 +106,8 @@ def test_salted_join_matches_plain_join(spark):
     assert out.filter("k = 'hot'").agg({"w": "sum"}).first()[0] == 500.0
 
 
-@pytest.mark.parametrize("qname", ["top_orders", "tpch_q3_topk", "emb_cosine_topk"])
+# top_orders retired r10 — tpch_q3_topk pins the same global-top-k class
+@pytest.mark.parametrize("qname", ["tpch_q3_topk", "emb_cosine_topk"])
 def test_topk_is_take_ordered(spark, sf_dir, qname):
     """Top-k queries must compile to TakeOrderedAndProject (per-task
     k-row heaps, driver merge) — NOT a global-window row_number that

