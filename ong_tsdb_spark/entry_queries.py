@@ -4435,60 +4435,8 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r08 @ f194c05d7564
+# planned-on: r01..r09 @ 0d5a6d84e6f7
 _TAIL_ROTATION = [
-    "emb_neardup_lsh",
-    "emb_ann_lsh",
-    "dedup_winnow",
-    "corpus_epoch_shards",
-    "corpus_shuffled_shards",
-    "corpus_pack_sequences",
-    "emb_pq_adc_topk",
-    "ts_asof_join",
-    "multimodal_features",
-    "corpus_clean_pipeline",
-    "multimodal_frame_sample",
-    "text_rolling_fingerprint",
-    "text_bpe_tokens",
-    "text_dup_spans",
-    "text_classifier_train",
-    "text_classifier_quality",
-    "corpus_dsir_weights",
-    "text_bpe_pairs",
-    "doc_chunk_stats",
-    "ts_downsample_first",
-    "influx_roundtrip",
-    "ts_gap_fill",
-    "ts_pivot_daily",
-    "ts_percentiles",
-    "ts_sessionize",
-    "ts_time_weighted_avg",
-    "ts_gap_fill_linear",
-    "ts_value_histogram",
-    "ts_cumulative_sum",
-    "ts_cumulative_sum_chunked",
-    "ts_moving_range_avg",
-    "ts_zscore_anomaly",
-    "ts_rate",
-    "ts_range_read",
-    "ts_checksum_nansum",
-    "tpch_q1",
-    "tpch_q3_topk",
-    "tpch_q5ish",
-    "top_orders",
-    "part_brand_agg",
-    "emb_label_centroids",
-    "tpch_rollup",
-    "tpch_q6",
-    "orders_with_late_lines",
-    "customers_without_recent_orders",
-    "users_set_ops",
-    "tpch_cube",
-    "top_orders_per_priority",
-    "emb_ann_recall",
-    "emb_ivf_recall",
-    "corpus_curation_report",
-    "corpus_delta_stats",
     "ts_last_timestamp",
     "ts_upsert_last_wins",
     "ts_usage_stats",
@@ -4497,8 +4445,55 @@ _TAIL_ROTATION = [
     "part_type_like",
     "customers_above_nation_avg",
     "doc_stats_by_lang",
-    "emb_pq_recall",
     "events_funnel",
+    "ts_snap_grid",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "emb_cosine_topk",
+    "emb_neardup_blocked",
+    "emb_quantized_topk",
+    "ts_delta",
+    "events_json_extract",
+    "ts_rolling_mean",
+    "text_pii_scrub",
+    "text_repetition",
+    "emb_ivf_topk",
+    "dedup_clusters",
+    "dedup_passage_stats",
+    "text_gopher_quality",
+    "text_vocab",
+    "text_contamination",
+    "corpus_sample_stats",
+    "dedup_keep_best",
+    "doc_length_band",
+    "text_rare_tokens",
+    "corpus_pack_stats",
+    "dedup_ledger_backfill",
+    "dedup_semantic",
+    "text_bm25_topk",
+    "ts_ewma",
+    "emb_centroid_dist",
+    "corpus_mix_weights",
+    "corpus_epoch_mix",
+    "ts_mad_anomaly",
+    "dedup_minhash_error",
+    "text_fertility",
+    "text_c4_quality",
+    "events_interval_join",
+    "events_retention",
+    "graph_pagerank",
+    "text_bigram_novelty",
+    "dedup_ledger_replay",
+    "dedup_near_ledger_replay",
+    "dedup_ledger_crash_replay",
+    "corpus_topic_sample",
+    "emb_kmeans_k64",
 ]
 # --- TAIL_ROTATION END ---
 
