@@ -57,6 +57,24 @@ def _q(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _is_path_not_found(ex: Exception) -> bool:
+    """True iff an AnalysisException means 'the path does not exist'.
+
+    Decides on the STRUCTURED error class when the exception carries
+    one — message substrings vary across Spark versions/locales, too
+    brittle for a guard that protects against irreversible data loss
+    (ADVICE r9); the substring match survives only as a fallback for
+    class-less exceptions."""
+    try:
+        klass = ex.getErrorClass()  # type: ignore[attr-defined]
+    except Exception:
+        klass = None
+    if klass is not None:
+        return klass == "PATH_NOT_FOUND"
+    msg = str(ex)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 class OngTsdbSpark:
     """Engine façade. One instance per (SparkSession, base_dir).
 
@@ -536,8 +554,7 @@ class OngTsdbSpark:
             # here would let a dynamic partition overwrite silently
             # replace existing chunks with the new batch alone —
             # irreversible data loss on a read blip (code-review r9).
-            msg = str(ex)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            if _is_path_not_found(ex):
                 return None
             raise
 
@@ -790,17 +807,27 @@ class OngTsdbSpark:
         scanned).  Returns None when only the raw scan is exact."""
         try:
             sensors = self.catalog.get_sensors(db)
+            if metrics is None:
+                # with no explicit projection the caller gets ALL of
+                # the raw sensor's metrics — a rollup created before
+                # later schema growth must NOT serve then, or grown
+                # columns silently vanish from the result (code-review
+                # r9).  Read the config only on this path (it is dead
+                # weight under an explicit projection), inside the same
+                # guard as get_sensors: a sensor deleted between auth
+                # and here falls back to the raw-scan path instead of
+                # raising out of read_downsampled (ADVICE r9).
+                want = set(flatten_metrics(self.catalog.get_config(db, sensor).metrics))
+            else:
+                want = set(flatten_metrics(metrics))
+            # loop-invariant: ONE raw last-timestamp lookup, not one
+            # per candidate (each lookup lists partitions + reads
+            # footer stats).  Inside the guard for the same reason as
+            # the config read: it touches the raw sensor's catalog
+            # state, which can vanish mid-race.
+            raw_last = self.get_last_timestamp(db, sensor, key=self.admin_key)
         except Exception:
             return None
-        # with no explicit projection the caller gets ALL of the raw
-        # sensor's metrics — a rollup created before later schema
-        # growth must NOT serve then, or grown columns silently vanish
-        # from the result (code-review r9)
-        raw_metrics = set(flatten_metrics(self.catalog.get_config(db, sensor).metrics))
-        want = raw_metrics if metrics is None else set(flatten_metrics(metrics))
-        # loop-invariant: ONE raw last-timestamp lookup, not one per
-        # candidate (each lookup lists partitions + reads footer stats)
-        raw_last = self.get_last_timestamp(db, sensor, key=self.admin_key)
         if raw_last is None:
             return None
         best: tuple[float, str] | None = None

@@ -42,6 +42,7 @@ from __future__ import annotations
 import os
 import threading
 import time
+import warnings
 
 
 class SensorLockTimeout(TimeoutError):
@@ -169,9 +170,23 @@ class SensorFileLock:
             with open(self.path, "rb") as f:
                 if f.read() != self._payload:
                     return  # someone else's lock now — leave it alone
+        except FileNotFoundError:
+            return  # already gone — nothing to release
+        except OSError as ex:
+            # An unreadable lockfile (EACCES, transient FS error) is
+            # indistinguishable from "not ours" — do NOT delete on a
+            # guess, and do NOT raise out of release()/__exit__ where
+            # it would mask the with-block's real exception (ADVICE
+            # r9; the Hadoop twin never raises from release either).
+            # The stale horizon reclaims the file if it was ours.
+            warnings.warn(f"lock release: could not read {self.path}: {ex}")
+            return
+        try:
             os.unlink(self.path)
         except FileNotFoundError:
             pass
+        except OSError as ex:
+            warnings.warn(f"lock release: could not delete {self.path}: {ex}")
 
     def __enter__(self) -> "SensorFileLock":
         self.acquire()

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import posixpath
 import time
+import warnings
 from typing import Any
 
 from .catalog import (
@@ -216,11 +217,22 @@ class HadoopSensorLock:
         try:
             # delete only OUR lock (see locks.SensorFileLock.release):
             # after a stale break the file belongs to a new holder
+            if not self.fs.exists(self.path):
+                return  # already gone — nothing to release
             if self.fs.read_bytes(self.path) != self._payload:
                 return
+        except Exception as ex:
+            # Unreadable (gone, or a transient FS error) == not
+            # provably ours — never delete on a guess.  Warn instead
+            # of silently passing: a transient read error here used to
+            # leave OUR lockfile behind with no signal, stalling the
+            # next writer for the full stale horizon (ADVICE r9).
+            warnings.warn(f"hadoop lock release: could not read {self.path}: {ex}")
+            return
+        try:
             self.fs.delete(self.path, False)
-        except Exception:
-            pass
+        except Exception as ex:
+            warnings.warn(f"hadoop lock release: could not delete {self.path}: {ex}")
 
     def __enter__(self) -> "HadoopSensorLock":
         self.acquire()

@@ -85,14 +85,23 @@ def exact_duplicates_keep_best(
     quality scores 0.12 vs 0.98 tied at 0 and the keeper degenerated
     to lowest-id — the exact failure this function exists to prevent;
     code-review r9).  ``keeper_score`` stays bigint in the OUTPUT
-    contract (truncating only the report, never the ranking)."""
-    neg = (-F.col(score_col).cast("decimal(38,18)")).alias("neg_score")
+    contract (truncating only the report, never the ranking).
+
+    UNRANKABLE scores (NULL, NaN, ±Inf, |x| >= 1e20 — outside the
+    decimal's 20 integer digits) all set the missing bit and lose to
+    any rankable copy: the bit is computed on the ``try_cast`` RESULT,
+    so an extreme double can neither job-kill the cast under ANSI nor
+    slip through as a NULL ``neg_score`` that struct-min (nulls first)
+    would wrongly crown (ADVICE r9).  Real-world scores — quality
+    fractions, char/token counts, any bigint — are far inside the
+    supported ±1e20 range."""
+    neg = -F.col(score_col).try_cast("decimal(38,18)")
     best = F.min(
         F.struct(
-            F.when(F.col(score_col).isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("score_missing"),
-            neg,
+            F.when(neg.isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "score_missing"
+            ),
+            neg.alias("neg_score"),
             F.col(id_col).alias("id"),
         )
     )

@@ -1011,7 +1011,15 @@ def epoch_mix_sample(
 
     Wire cost: one (source,bucket)-keyed count aggregate over the
     corpus + one (source,bucket)-keyed exchange of just the kept
-    candidates.  Worst task = widest-source/n_buckets."""
+    candidates.  Worst task = widest-source/n_buckets.
+
+    NULL-SOURCE CONTRACT (edge-corpus campaign, r10): a document with
+    a NULL ``source_col`` belongs to no mixture component and is
+    EXCLUDED from the epoch — deliberately, not as join fallout: the
+    mix is defined per named source, a NULL group would otherwise
+    siphon budget from real sources, and SQL engines disagree on NULL
+    grouping/equi-join semantics just enough to make any other choice
+    oracle-divergent.  Pinned by ``tests/test_edge_corpus.py``."""
     if n_buckets & (n_buckets - 1) or not 0 < n_buckets <= (1 << 60):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
     from .dedup import materialize_for_self_join
@@ -1020,6 +1028,9 @@ def epoch_mix_sample(
     h = F.md5(
         F.concat_ws("|", F.lit("mix"), F.col(id_col).cast("string"))
     )
+    # NULL-source contract: enforced HERE, structurally, so no
+    # downstream consumer depends on equi-join NULL fallout for it
+    df = df.filter(F.col(source_col).isNotNull())
     base = df.select(
         F.col(source_col),
         F.col(id_col),

@@ -346,7 +346,12 @@ def epoch_pack_stats(
     corpus — not broadcastable — so this is a plain shuffled join on
     the unique key) and the |sources|-row broadcast.  Everything else
     is epoch_mix_sample's bucketed rank + pack_sequences' chunked
-    prefix sum, unchanged."""
+    prefix sum, unchanged.
+
+    NULL-SOURCE CONTRACT: inherits ``epoch_mix_sample``'s rule — a
+    NULL-source document is excluded from the epoch (it belongs to no
+    mixture component), so it never reaches the packing key or the
+    text join.  Pinned by ``tests/test_edge_corpus.py``."""
     from ong_tsdb_spark.operators.dedup import materialize_for_self_join
     from ong_tsdb_spark.operators.text import epoch_mix_sample
 

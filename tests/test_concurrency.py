@@ -294,3 +294,42 @@ def test_create_sensor_rejects_reserved_metric_names(tmp_path, spark):
         with _pytest.raises(ValueError, match="reserved"):
             eng.create_sensor("d", "s", "1s", bad)
     eng.create_sensor("d", "s", "1s", ["v"])  # sane names still fine
+
+
+def test_lock_release_unreadable_file_never_raises(tmp_path):
+    """ADVICE r9: an ownership-read failure other than FileNotFoundError
+    (EACCES, transient FS error) must not escape release()/__exit__ —
+    it would mask the with-block's real exception — and must not delete
+    a lock we cannot prove is ours.  Simulated by replacing the
+    lockfile with a directory (open() -> IsADirectoryError)."""
+    import os
+    import warnings as _w
+
+    from ong_tsdb_spark.locks import SensorFileLock
+
+    a = SensorFileLock(str(tmp_path), stale_after=300.0)
+    a.acquire()
+    os.unlink(a.path)
+    os.mkdir(a.path)  # unreadable as a file
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        a.release()  # must not raise
+    assert any("could not read" in str(w.message) for w in rec)
+    assert os.path.isdir(a.path), "release deleted a lock it could not verify"
+    os.rmdir(a.path)
+
+
+def test_lock_release_missing_file_is_silent(tmp_path):
+    """The benign already-gone case stays warning-free."""
+    import os
+    import warnings as _w
+
+    from ong_tsdb_spark.locks import SensorFileLock
+
+    a = SensorFileLock(str(tmp_path), stale_after=300.0)
+    a.acquire()
+    os.unlink(a.path)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        a.release()
+    assert not rec

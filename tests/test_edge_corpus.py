@@ -151,3 +151,35 @@ def test_quantize_eligibility_bounds(spark):
     # products through the sqdist fold stay under 2^63 by the bound
     worst = (2 * EXACT_MAX_ABS * IVF_QUANT_SCALE) ** 2 * 64
     assert worst < 2 ** 63
+
+
+def test_null_source_excluded_from_epoch_mix(spark, edge_sf, edge_duck):
+    """NULL-SOURCE CONTRACT (VERDICT r9 #4): a document with a NULL
+    source belongs to no mixture component and must be absent from the
+    epoch materialization under BOTH engines — structurally (the
+    explicit filter at the head of epoch_mix_sample), not as equi-join
+    fallout.  The edge corpus carries exactly one such row (doc_id
+    900010, tools/edge_corpus.py)."""
+    # the NULL-source edge doc exists in the corpus
+    n = edge_duck.sql(
+        f"SELECT count(*) FROM '{edge_sf}/documents.parquet' "
+        "WHERE source IS NULL"
+    ).fetchone()[0]
+    assert n == 1, "edge corpus must carry the NULL-source row"
+
+    sdf = entry_mod.queries()["corpus_epoch_mix"](spark, edge_sf)
+    assert "doc_id" in sdf.columns and "source" in sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    di = scols.index("doc_id")
+    si = scols.index("source")
+    assert all(r[di] != 900010 for r in srows), "NULL-source doc leaked (Spark)"
+    assert all(r[si] is not None for r in srows)
+
+    res = edge_duck.sql(entry_mod.oracle_sql()["corpus_epoch_mix"])
+    dcols = list(res.columns)
+    drows = res.fetchall()
+    ddi = dcols.index("doc_id")
+    assert all(r[ddi] != 900010 for r in drows), "NULL-source doc leaked (oracle)"
+    # and the full outputs still agree
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)

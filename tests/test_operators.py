@@ -2080,6 +2080,25 @@ def test_keep_best_extreme_scores(spark):
     assert out["keeper_id"] == 2 and out["keeper_score"] == lo + 1
 
 
+def test_keep_best_unrankable_double_scores(spark):
+    """ADVICE r9: a double score outside DECIMAL(38,18)'s range (|x| >=
+    1e20, or NaN/Inf) must neither job-kill the cast under ANSI nor
+    become a NULL neg_score that struct-min wrongly crowns — it sets
+    the missing bit (computed on the try_cast RESULT) and loses to any
+    rankable copy; an all-unrankable group falls back to lowest id."""
+    rows = [
+        (1, "g1", 1.0e25), (2, "g1", 5.0),              # extreme loses to 5.0
+        (3, "g2", float("nan")), (4, "g2", float("inf")), (5, "g2", None),
+        (6, "g3", float("-inf")), (7, "g3", -1.0e21), (8, "g3", 0.25),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = {
+        r["keeper_id"]
+        for r in dedup.exact_duplicates_keep_best(df, score_col="score").collect()
+    }
+    assert out == {2, 3, 8}
+
+
 def test_ivf_null_element_vector(spark):
     """A vector with a null ELEMENT gets a NULL cluster on both
     assignment paths and never crashes the Arrow batch."""
@@ -3126,3 +3145,53 @@ def test_rollup_first_is_time_ordered(eng):
     row = eng.read("d", "raw2_1m_last").collect()[0]
     assert row["x"] == 1.0 and row["y"] == 3.0
     assert not _math.isnan(row["x"])
+
+
+def test_pick_rollup_sensor_deleted_race(eng, monkeypatch):
+    """ADVICE r9: a sensor deleted between auth and the rollup picker
+    must fall back to the raw-scan path (return None), not raise out of
+    read_downsampled — the config read sits inside the same guard as
+    get_sensors and only runs when no explicit projection is given."""
+    eng.create_sensor("d", "race", "1s", ["v"])
+    idx = pd.date_range("2023-01-02", periods=10, freq="1s", tz="UTC")
+    eng.write_df("d", "race", pd.DataFrame({"v": np.arange(10.0)}, index=idx))
+    t0 = idx[0].timestamp()
+
+    real_get_config = eng.catalog.get_config
+
+    def racy_get_config(db, sensor):
+        if sensor == "race":
+            raise FileNotFoundError("deleted between auth and picker")
+        return real_get_config(db, sensor)
+
+    monkeypatch.setattr(eng.catalog, "get_config", racy_get_config)
+    assert eng._pick_rollup_for("d", "race", t0, t0 + 9, 5, None) is None
+    # explicit projection never needs the raw config at all
+    assert eng._pick_rollup_for("d", "race", t0, t0 + 9, 5, ["v"]) is None
+
+
+def test_is_path_not_found_prefers_error_class():
+    """ADVICE r9: the no-data test matches the structured error class
+    when present; message substrings are only the class-less fallback
+    — a classed exception whose MESSAGE merely mentions the string
+    must not be treated as 'no data' (it would skip the cellwise merge
+    and overwrite existing chunks)."""
+    from ong_tsdb_spark.engine import _is_path_not_found
+
+    class Classed(Exception):
+        def __init__(self, klass, msg):
+            super().__init__(msg)
+            self._k = klass
+
+        def getErrorClass(self):
+            return self._k
+
+    class Classless(Exception):
+        pass
+
+    assert _is_path_not_found(Classed("PATH_NOT_FOUND", "whatever"))
+    assert not _is_path_not_found(
+        Classed("UNRESOLVED_COLUMN", "looking at Path does not exist str")
+    )
+    assert _is_path_not_found(Classless("[PATH_NOT_FOUND] Path does not exist"))
+    assert not _is_path_not_found(Classless("permission denied"))
