@@ -9,10 +9,21 @@ zero-copy single-JVM local[32] mode every BENCH number rides on.
 
     python tools/cluster_bench.py [--sf-dir /root/testdata/sf0.1]
         [--workers 2] [--cores 4] [--mem-mb 2048] [--local-cores N]
+        [--queries name ...]
 
 Prints ONE JSON line: {"master": ..., "cluster": {engine_*: sec},
 "local": {engine_*: sec} (same core count, for an apples-to-apples
 serialization-cost ratio), "ratio": {engine_*: cluster/local}}.
+
+``--queries`` (VERDICT r9 #6) additionally times named REGISTRY
+entries under both masters — default: the five most expensive
+extension queries (graph_pagerank, corpus_shuffled_shards,
+corpus_epoch_shards, dedup_near_ledger_replay, emb_pq_adc_topk),
+exactly the widest shuffles and iterative lineage where separate-JVM
+serialization boundaries bite; the engine family is the LEAST
+shuffle-heavy thing in the repo.  Pass ``--queries`` with no names to
+skip the registry part.  Anything >1.5x vs the same-core local twin
+deserves a BENCH.md sentence.
 
 The local twin uses local[W*C] — the honest comparison is equal cores
 (a 2x4 cluster vs local[32] conflates serialization cost with a 4x
@@ -36,14 +47,37 @@ import pyspark  # noqa: E402
 os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
 
 
-def run_engine(master: str, cores: int, sf_dir: str, runs: int = 2) -> dict[str, float]:
+#: the five most expensive extension queries by r9 driver time — the
+#: widest shuffles (bucketed global rank, banded joins), iterative
+#: lineage (pagerank), streaming protocol cost, and Arrow/PQ scans
+DEFAULT_QUERIES = [
+    "graph_pagerank",
+    "corpus_shuffled_shards",
+    "corpus_epoch_shards",
+    "dedup_near_ledger_replay",
+    "emb_pq_adc_topk",
+]
+
+
+def run_engine(
+    master: str,
+    cores: int,
+    sf_dir: str,
+    runs: int = 2,
+    queries: list[str] | None = None,
+) -> dict[str, float]:
     """Best-of-``runs`` per metric in ONE session — the first pass
     absorbs executor-JVM + Python-worker launch (which local[] never
     pays), so best-of separates steady-state serialization cost from
-    cluster cold-start, matching bench.py's best-of-N policy."""
+    cluster cold-start, matching bench.py's best-of-N policy.
+    ``queries`` are registry entries timed with the same best-of
+    policy after the engine passes."""
+    import time
+
     from pyspark.sql import SparkSession
 
     import bench
+    from ong_tsdb_spark import entry_queries
 
     spark = (
         SparkSession.builder.master(master)
@@ -62,6 +96,15 @@ def run_engine(master: str, cores: int, sf_dir: str, runs: int = 2) -> dict[str,
             t = bench.bench_engine(spark, sf_dir)
             for k, v in t.items():
                 best[k] = min(best.get(k, v), v)
+        reg = entry_queries.queries()
+        for name in queries or []:
+            fn = reg[name]
+            for _ in range(max(1, runs) + 1):  # +1: first pass is warmup
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best[name] = min(best.get(name, dt), dt)
+            bench.release_blocks(spark)
         return best
     finally:
         spark.stop()
@@ -76,14 +119,21 @@ def main(argv=None) -> int:
     ap.add_argument("--mem-mb", type=int, default=2048)
     ap.add_argument("--local-cores", type=int, default=None,
                     help="cores for the local[] twin (default workers*cores)")
+    ap.add_argument("--queries", nargs="*", default=None,
+                    help="registry entries to time under both masters "
+                         f"(default: {' '.join(DEFAULT_QUERIES)}; pass "
+                         "with no names to skip)")
     args = ap.parse_args(argv)
+
+    queries = DEFAULT_QUERIES if args.queries is None else args.queries
 
     total_cores = args.workers * args.cores
     local_cores = args.local_cores or total_cores
     master = f"local-cluster[{args.workers},{args.cores},{args.mem_mb}]"
 
-    cluster = run_engine(master, total_cores, args.sf_dir)
-    local = run_engine(f"local[{local_cores}]", local_cores, args.sf_dir)
+    cluster = run_engine(master, total_cores, args.sf_dir, queries=queries)
+    local = run_engine(f"local[{local_cores}]", local_cores, args.sf_dir,
+                       queries=queries)
     ratio = {
         k: round(cluster[k] / local[k], 2) if local.get(k) else None
         for k in cluster

@@ -19,12 +19,60 @@ any BENCH.md notes yourself.
 from __future__ import annotations
 
 import argparse
+import glob
+import importlib.util
+import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: driver-delta ratio beyond which the quiet-host A/B becomes REQUIRED
+#: committed evidence, not optional prose (VERDICT r9 #5)
+QUIET_TRIGGER = 1.15
+
+
+def current_round() -> int:
+    """The round being closed = newest driver round file + 1."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def quiet_bench_decision() -> tuple[bool, str, list[str]]:
+    """Inspect the committed-vs-fresh BENCH_DETAIL drift: returns
+    (triggered, reason, top-3 registry movers).  Triggered when any
+    engine_* timing >= 0.1 s moved beyond QUIET_TRIGGER in either
+    direction — the quiet A/B then turns the exoneration (or the
+    confirmation) into a committed artifact."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_drift_mod", os.path.join(REPO, "tools", "bench_drift.py"))
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+    try:
+        old = bd.load_detail("git:HEAD")
+    except SystemExit:
+        return False, "no committed BENCH_DETAIL.json to compare", []
+    new = bd.load_detail(os.path.join(REPO, "BENCH_DETAIL.json"))
+    d = bd.drift(old, new, QUIET_TRIGGER)
+    eng = [
+        (n, r) for n, a, b, r in d["movers"] if n.startswith("engine_")
+    ]
+    movers = [n for n, _a, _b, _r in d["movers"]
+              if not n.startswith("engine_")][:3]
+    if eng:
+        worst = max(eng, key=lambda t: max(t[1], 1 / t[1] if t[1] else 0))
+        return True, (
+            f"engine family moved beyond {QUIET_TRIGGER}x vs committed "
+            f"detail: worst {worst[0]} at {worst[1]:.2f}x"
+        ), movers
+    return False, f"engine family within {QUIET_TRIGGER}x", movers
 
 
 def run(label: str, cmd: list[str], tail: int = 3) -> bool:
@@ -44,6 +92,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-tests", action="store_true")
     ap.add_argument("--skip-cluster", action="store_true")
+    ap.add_argument("--force-quiet", action="store_true",
+                    help="run the quiet-host A/B even without an "
+                         "engine-family trigger")
     args = ap.parse_args(argv)
 
     py = sys.executable
@@ -56,6 +107,28 @@ def main(argv=None) -> int:
         stages.append(("cluster", [py, "tools/cluster_check.py"]))
 
     failed = [label for label, cmd in stages if not run(label, cmd)]
+
+    # VERDICT r9 #5: whenever the engine family drifted beyond the
+    # trigger vs the committed detail, the late/fresh A/B must exist
+    # as BENCH_QUIET_rNN.json — evidence, not prose.
+    try:
+        triggered, reason, movers = quiet_bench_decision()
+    except Exception as ex:  # noqa: BLE001 — the A/B is evidence, not a gate
+        triggered, reason, movers = False, f"quiet decision failed: {ex}", []
+    print(f"== quiet-bench trigger: {reason}"
+          + (f"; top movers: {movers}" if movers else ""))
+    if triggered or args.force_quiet:
+        rnd = current_round()
+        cmd = [py, "tools/quiet_bench.py", "--round", str(rnd),
+               "--trigger", reason]
+        if movers:
+            cmd += ["--movers", *movers]
+        if not run("quiet-bench", cmd):
+            failed.append("quiet-bench")
+        else:
+            print(f"   -> BENCH_QUIET_r{rnd:02d}.json (commit it with "
+                  "BENCH_DETAIL.json)")
+
     print(f"\nROUND CLOSE: {'all green' if not failed else f'FAILED: {failed}'}")
     return 1 if failed else 0
 
