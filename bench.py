@@ -28,13 +28,20 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from ong_tsdb_spark import entry_queries  # noqa: E402
 
-# PINNED CORE (round-6 split, VERDICT r5 #8): the 31 registry queries
-# of the 35-query r4-comparable set (engine_ingest/upsert/range/last
-# are the other 4, timed by bench_engine below).  This list is the
+# PINNED CORE (round-6 split, VERDICT r5 #8): the registry queries of
+# the 35-query r4-comparable set (engine_ingest/upsert/range/last are
+# the other 4, timed by bench_engine below).  This list is the
 # round-over-round TREND — do NOT add to it; new operators go in
 # EXTENSION.  ``value`` in the JSON line is the CORE+engine total so
 # r4/r5/r6 totals stay comparable; ``extension_total`` reports the
 # rest separately.
+#
+# r10 comparability breaks (registry retirements, ROADMAP ledger):
+# emb_neardup_numpy LEFT the set (31 -> 30 members; it timed ~0.35 s
+# at r9 sf0.1, so r10+ ``value`` runs ~0.35 s lighter than r9 on
+# identical code — account for that before reading a trend), and
+# dedup_simhash32's slot is now dedup_simhash (the surviving 64-bit
+# twin, same banded plan class, comparable cost).
 CORE = [
     "ts_range_read",
     "ts_snap_grid",
