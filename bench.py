@@ -41,7 +41,11 @@ from ong_tsdb_spark import entry_queries  # noqa: E402
 # at r9 sf0.1, so r10+ ``value`` runs ~0.35 s lighter than r9 on
 # identical code — account for that before reading a trend), and
 # dedup_simhash32's slot is now dedup_simhash (the surviving 64-bit
-# twin, same banded plan class, comparable cost).
+# twin, same banded plan class).  NOTE dedup_simhash has no committed
+# pre-r10 timing (it sat outside CORE+EXTENSION), so its first r10
+# sample REBASELINES that slot — bench_drift reports the pair as
+# added/removed, not as a mover; read the r9->r10 CORE total with
+# both substitutions in mind and trend from r10 forward.
 CORE = [
     "ts_range_read",
     "ts_snap_grid",

@@ -64,11 +64,18 @@ def _is_path_not_found(ex: Exception) -> bool:
     one — message substrings vary across Spark versions/locales, too
     brittle for a guard that protects against irreversible data loss
     (ADVICE r9); the substring match survives only as a fallback for
-    class-less exceptions."""
-    try:
-        klass = ex.getErrorClass()  # type: ignore[attr-defined]
-    except Exception:
-        klass = None
+    class-less exceptions.  getCondition() is the PySpark-4 accessor;
+    getErrorClass() is its deprecated alias, kept as the second try
+    for older builds (code-review r10: the alias FutureWarns on every
+    call and will be removed)."""
+    klass = None
+    for accessor in ("getCondition", "getErrorClass"):
+        try:
+            klass = getattr(ex, accessor)()
+        except Exception:
+            continue
+        if klass is not None:
+            break
     if klass is not None:
         return klass == "PATH_NOT_FOUND"
     msg = str(ex)

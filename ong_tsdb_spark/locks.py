@@ -39,10 +39,13 @@ implementation mirrors the reference's safe_createfile discipline
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
-import warnings
+
+
+_LOG = logging.getLogger(__name__)
 
 
 class SensorLockTimeout(TimeoutError):
@@ -179,14 +182,17 @@ class SensorFileLock:
             # it would mask the with-block's real exception (ADVICE
             # r9; the Hadoop twin never raises from release either).
             # The stale horizon reclaims the file if it was ours.
-            warnings.warn(f"lock release: could not read {self.path}: {ex}")
+            # logging, not a warning: under -W error / filterwarnings=
+            # error the emission itself would become the raise this
+            # branch exists to prevent (code-review r10).
+            _LOG.warning("lock release: could not read %s: %s", self.path, ex)
             return
         try:
             os.unlink(self.path)
         except FileNotFoundError:
             pass
         except OSError as ex:
-            warnings.warn(f"lock release: could not delete {self.path}: {ex}")
+            _LOG.warning("lock release: could not delete %s: %s", self.path, ex)
 
     def __enter__(self) -> "SensorFileLock":
         self.acquire()

@@ -26,9 +26,9 @@ Atomicity notes per backend:
 from __future__ import annotations
 
 import json
+import logging
 import posixpath
 import time
-import warnings
 from typing import Any
 
 from .catalog import (
@@ -41,6 +41,8 @@ from .catalog import (
     _check_name,
 )
 from .locks import SensorLockTimeout
+
+_LOG = logging.getLogger(__name__)
 
 
 class HadoopFs:
@@ -222,17 +224,32 @@ class HadoopSensorLock:
             if self.fs.read_bytes(self.path) != self._payload:
                 return
         except Exception as ex:
-            # Unreadable (gone, or a transient FS error) == not
-            # provably ours — never delete on a guess.  Warn instead
-            # of silently passing: a transient read error here used to
-            # leave OUR lockfile behind with no signal, stalling the
-            # next writer for the full stale horizon (ADVICE r9).
-            warnings.warn(f"hadoop lock release: could not read {self.path}: {ex}")
+            # Unreadable == not provably ours — never delete on a
+            # guess.  But first distinguish the benign race: the file
+            # can vanish between the exists() probe and read_bytes()
+            # (a waiter broke + released concurrently) — that is the
+            # silent already-gone case, same as the local twin's
+            # FileNotFoundError branch (code-review r10).  A file that
+            # is still there but unreadable gets a LOG (not a silent
+            # pass: that used to leave OUR lockfile behind with no
+            # signal, stalling the next writer for the full stale
+            # horizon — ADVICE r9; and not warnings.warn, which itself
+            # raises under -W error, out of __exit__).
+            try:
+                if not self.fs.exists(self.path):
+                    return  # vanished mid-release — benign race
+            except Exception:
+                pass
+            _LOG.warning(
+                "hadoop lock release: could not read %s: %s", self.path, ex
+            )
             return
         try:
             self.fs.delete(self.path, False)
         except Exception as ex:
-            warnings.warn(f"hadoop lock release: could not delete {self.path}: {ex}")
+            _LOG.warning(
+                "hadoop lock release: could not delete %s: %s", self.path, ex
+            )
 
     def __enter__(self) -> "HadoopSensorLock":
         self.acquire()

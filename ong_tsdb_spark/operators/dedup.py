@@ -92,9 +92,13 @@ def exact_duplicates_keep_best(
     any rankable copy: the bit is computed on the ``try_cast`` RESULT,
     so an extreme double can neither job-kill the cast under ANSI nor
     slip through as a NULL ``neg_score`` that struct-min (nulls first)
-    would wrongly crown (ADVICE r9).  Real-world scores — quality
-    fractions, char/token counts, any bigint — are far inside the
-    supported ±1e20 range."""
+    would wrongly crown (ADVICE r9).  The OUTPUT cast is a try_cast
+    too: a rankable winner in the (2^63, 1e20) gap ranks correctly but
+    cannot be reported as bigint, so ``keeper_score`` is NULL for it —
+    truncating only the report, never the keep decision (code-review
+    r10: the plain output cast job-killed on a 1e19 winner).
+    Real-world scores — quality fractions, char/token counts, any
+    bigint — are far inside the supported ranges."""
     neg = -F.col(score_col).try_cast("decimal(38,18)")
     best = F.min(
         F.struct(
@@ -116,7 +120,7 @@ def exact_duplicates_keep_best(
         .select(
             "fingerprint",
             F.col("__b.id").alias("keeper_id"),
-            (-F.col("__b.neg_score")).cast("bigint").alias("keeper_score"),
+            (-F.col("__b.neg_score")).try_cast("bigint").alias("keeper_score"),
             F.col("n_copies").cast("bigint").alias("n_copies"),
         )
     )

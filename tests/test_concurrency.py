@@ -296,14 +296,17 @@ def test_create_sensor_rejects_reserved_metric_names(tmp_path, spark):
     eng.create_sensor("d", "s", "1s", ["v"])  # sane names still fine
 
 
-def test_lock_release_unreadable_file_never_raises(tmp_path):
+def test_lock_release_unreadable_file_never_raises(tmp_path, caplog):
     """ADVICE r9: an ownership-read failure other than FileNotFoundError
     (EACCES, transient FS error) must not escape release()/__exit__ —
     it would mask the with-block's real exception — and must not delete
     a lock we cannot prove is ours.  Simulated by replacing the
-    lockfile with a directory (open() -> IsADirectoryError)."""
+    lockfile with a directory (open() -> IsADirectoryError).  The
+    signal is a LOG record, not warnings.warn — a -W error process
+    would turn the warn itself into the raise this path must never
+    produce (code-review r10)."""
+    import logging
     import os
-    import warnings as _w
 
     from ong_tsdb_spark.locks import SensorFileLock
 
@@ -311,25 +314,23 @@ def test_lock_release_unreadable_file_never_raises(tmp_path):
     a.acquire()
     os.unlink(a.path)
     os.mkdir(a.path)  # unreadable as a file
-    with _w.catch_warnings(record=True) as rec:
-        _w.simplefilter("always")
+    with caplog.at_level(logging.WARNING, logger="ong_tsdb_spark.locks"):
         a.release()  # must not raise
-    assert any("could not read" in str(w.message) for w in rec)
+    assert any("could not read" in r.getMessage() for r in caplog.records)
     assert os.path.isdir(a.path), "release deleted a lock it could not verify"
     os.rmdir(a.path)
 
 
-def test_lock_release_missing_file_is_silent(tmp_path):
-    """The benign already-gone case stays warning-free."""
+def test_lock_release_missing_file_is_silent(tmp_path, caplog):
+    """The benign already-gone case stays log-free."""
+    import logging
     import os
-    import warnings as _w
 
     from ong_tsdb_spark.locks import SensorFileLock
 
     a = SensorFileLock(str(tmp_path), stale_after=300.0)
     a.acquire()
     os.unlink(a.path)
-    with _w.catch_warnings(record=True) as rec:
-        _w.simplefilter("always")
+    with caplog.at_level(logging.WARNING, logger="ong_tsdb_spark.locks"):
         a.release()
-    assert not rec
+    assert not caplog.records

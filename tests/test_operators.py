@@ -2099,6 +2099,17 @@ def test_keep_best_unrankable_double_scores(spark):
     assert out == {2, 3, 8}
 
 
+def test_keep_best_bigint_gap_winner_reports_null_score(spark):
+    """Code-review r10: a RANKABLE winner in the (2^63, 1e20) gap must
+    win the keep decision without job-killing the OUTPUT bigint cast
+    under ANSI — keeper_score is NULL for it (the report truncates,
+    the ranking does not)."""
+    rows = [(1, "g", 1.0e19), (2, "g", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = dedup.exact_duplicates_keep_best(df, score_col="score").collect()[0]
+    assert out["keeper_id"] == 1 and out["keeper_score"] is None
+
+
 def test_ivf_null_element_vector(spark):
     """A vector with a null ELEMENT gets a NULL cluster on both
     assignment paths and never crashes the Arrow batch."""

@@ -99,7 +99,8 @@ def run_engine(
         reg = entry_queries.queries()
         for name in queries or []:
             fn = reg[name]
-            for _ in range(max(1, runs) + 1):  # +1: first pass is warmup
+            fn(spark, sf_dir).count()  # warmup pass, not timed
+            for _ in range(max(1, runs)):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0

@@ -375,23 +375,6 @@ def entry_impl_files() -> dict[str, set[str]]:
     return out
 
 
-def _fn_chunks(src: str) -> dict[str, str]:
-    """Split an entry_queries.py source into per-@register chunks keyed
-    by the registered function's name (decorator + oracle SQL + body)."""
-    chunks: dict[str, str] = {}
-    parts = re.split(r"(?m)^(?=@register\()", src)
-    for part in parts[1:]:
-        m = re.search(r"(?m)^def (\w+)\(", part)
-        if not m:
-            continue
-        # keep decorator + first def block only: cut at the next col-0 def
-        tail = part[m.start():]
-        nxt = re.search(r"(?m)^(?=def |# ==|_\w+ =)", tail[1:])
-        fn_src = part[: m.start()] + (tail[: nxt.start() + 1] if nxt else tail)
-        chunks[m.group(1)] = re.sub(r"\s+", " ", fn_src).strip()
-    return chunks
-
-
 def changed_since_green(
     green: dict[str, int], planned_on: int, code_upper: str | None = None
 ) -> dict[str, list[str]]:
