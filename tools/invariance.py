@@ -107,6 +107,31 @@ def run_child(profile: str, sf_dir: str, only, out_path: str) -> int:
     return 0
 
 
+def diff_profiles(outs: dict, profiles: list) -> dict:
+    """Cross-profile verdicts: per entry, MISMATCH if any non-base
+    profile's value hash differs from base, ERROR if any profile
+    errored or is missing the entry, OK otherwise."""
+    base = outs[profiles[0]]
+    report = {"entries": {}, "mismatches": [], "errors": []}
+    for name, b in base.items():
+        row = {profiles[0]: b}
+        verdict = "ERROR" if "error" in b else "OK"
+        for prof in profiles[1:]:
+            o = outs[prof].get(name, {"error": "missing"})
+            row[prof] = o
+            if "error" in o:
+                verdict = "ERROR"
+            elif "error" not in b and o["hash"] != b["hash"]:
+                verdict = "MISMATCH"
+        row["verdict"] = verdict
+        report["entries"][name] = row
+        if verdict == "MISMATCH":
+            report["mismatches"].append(name)
+        elif verdict == "ERROR":
+            report["errors"].append(name)
+    return report
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -140,30 +165,12 @@ def main(argv=None) -> int:
                 return rc
             outs[prof] = json.load(open(out))
 
-    base = outs["base"]
-    report = {"sf_dir": args.sf_dir, "profiles": {
-        p: {"master": PROFILES[p][0], **PROFILES[p][1]} for p in profiles},
-        "entries": {}, "mismatches": [], "errors": []}
-    for name, b in base.items():
-        row = {"base": b}
-        verdict = "OK"
-        if "error" in b:
-            verdict = "ERROR"
-        for prof in profiles[1:]:
-            o = outs[prof].get(name, {"error": "missing"})
-            row[prof] = o
-            if "error" in o:
-                verdict = "ERROR"
-            elif "error" not in b and o["hash"] != b["hash"]:
-                verdict = "MISMATCH"
-        row["verdict"] = verdict
-        report["entries"][name] = row
-        if verdict == "MISMATCH":
-            report["mismatches"].append(name)
-        elif verdict == "ERROR":
-            report["errors"].append(name)
+    report = diff_profiles(outs, profiles)
+    report["sf_dir"] = args.sf_dir
+    report["profiles"] = {
+        p: {"master": PROFILES[p][0], **PROFILES[p][1]} for p in profiles}
 
-    n = len(base)
+    n = len(report["entries"])
     ok = n - len(report["mismatches"]) - len(report["errors"])
     print(f"\nINVARIANCE: {ok}/{n} identical across {profiles}; "
           f"mismatches={report['mismatches']} errors={report['errors']}")
