@@ -7,6 +7,9 @@ produce, in order, with one summary line each —
 3. round-over-round drift table (tools/bench_drift.py, committed
    detail vs the fresh run)
 4. one ledger-rotated multi-JVM sweep (tools/cluster_check.py)
+5. hot-key skew replay (tools/skew_corpus.py + tools/replay.py) and
+   the parallelism-invariance sweep (tools/invariance.py ->
+   INVARIANCE_rNN.json) — the round-10 standing axes
 
     python tools/round_close.py [--skip-tests] [--skip-cluster]
 
@@ -92,6 +95,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-tests", action="store_true")
     ap.add_argument("--skip-cluster", action="store_true")
+    ap.add_argument("--skip-axes", action="store_true",
+                    help="skip the skew-corpus replay and the "
+                         "parallelism-invariance sweep (r10 axes)")
     ap.add_argument("--force-quiet", action="store_true",
                     help="run the quiet-host A/B even without an "
                          "engine-family trigger")
@@ -105,6 +111,17 @@ def main(argv=None) -> int:
     stages.append(("drift", [py, "tools/bench_drift.py"]))
     if not args.skip_cluster:
         stages.append(("cluster", [py, "tools/cluster_check.py"]))
+    if not args.skip_axes:
+        # r10 standing axes: hot-key skew (oracle-exact under 50% hot
+        # source/user/vector/orderkey) and cluster-shape invariance
+        # (same value hashes under three session shapes)
+        stages.append(("skew-gen", [py, "tools/skew_corpus.py",
+                                    "--out", "/tmp/skew_sf"]))
+        stages.append(("skew-replay", [py, "tools/replay.py",
+                                       "--sf-dir", "/tmp/skew_sf"]))
+        stages.append(("invariance", [
+            py, "tools/invariance.py",
+            "--out", f"INVARIANCE_r{current_round():02d}.json"]))
 
     failed = [label for label, cmd in stages if not run(label, cmd)]
 
