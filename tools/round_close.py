@@ -122,6 +122,12 @@ def main(argv=None) -> int:
         stages.append(("invariance", [
             py, "tools/invariance.py",
             "--out", f"INVARIANCE_r{current_round():02d}.json"]))
+        # registry-wide physical-plan audit: no CartesianProduct, no
+        # row-at-a-time Python UDFs, shuffle budgets recorded per
+        # entry for round-over-round comparison
+        stages.append(("plan-lint", [
+            py, "tools/plan_lint.py",
+            "--out", f"PLAN_LINT_r{current_round():02d}.json"]))
 
     failed = [label for label, cmd in stages if not run(label, cmd)]
 
