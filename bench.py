@@ -351,6 +351,72 @@ def bench_scale10(spark, sf_dir: str) -> None:
     )
 
 
+def bench_skew(spark, sf_dir: str) -> None:
+    """One scripted run behind ``--skew``: clone the sf dir with the
+    hot-key rewrite (tools/skew_corpus.py — row counts UNCHANGED; 50%
+    hot source/user/vector/orderkey, 25% exact-duplicate text), then
+    run each scale family on clean vs skew recording cold and warm
+    (best of RUNS) times.  Because row counts are identical by
+    construction, the warm ratio is the PURE hot-key cost: straggler
+    tasks, quadratic candidate blow-ups in dedup buckets, hot-bucket
+    joins.  Prints the BENCH.md table to stderr and one JSON line to
+    stdout."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    dst = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/sf_skew")
+    subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "skew_corpus.py"),
+         "--base", sf_dir, "--out", dst],
+        check=True,
+        stdout=sys.stderr,
+    )
+
+    registry = entry_queries.queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in SCALE_FAMILIES:
+        fn = registry[name]
+        rec: dict[str, float] = {}
+        for tag, d in (("clean", sf_dir), ("skew", dst)):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            rec[f"{tag}_cold"] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            rec[f"{tag}_warm"] = round(best, 4)
+            release_blocks(spark)
+        rec["ratio_warm"] = round(rec["skew_warm"] / rec["clean_warm"], 2)
+        out[name] = rec
+        print(
+            f"[skew] {name}: clean {rec['clean_warm']:.2f}s "
+            f"skew {rec['skew_warm']:.2f}s (warm ratio {rec['ratio_warm']}x)",
+            file=sys.stderr,
+        )
+
+    print("\n| query | clean warm | skew warm | ratio |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for name, r in sorted(out.items(), key=lambda kv: -kv[1]["ratio_warm"]):
+        print(
+            f"| {name} | {r['clean_warm']:.2f} | {r['skew_warm']:.2f} "
+            f"| {r['ratio_warm']}x |",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "skew_families",
+                "value": round(sum(r["skew_warm"] for r in out.values()), 4),
+                "unit": "sec",
+                "queries": out,
+                "sf": "skew-" + sf_dir.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
+
+
 def bench_engine(spark, sf_dir: str) -> dict[str, float]:
     """Engine write/read path throughput on the reference's workload
     shape: fixed-interval upsert ingest + pruned range reads.  Uses
@@ -461,6 +527,11 @@ def main() -> None:
 
     if "--scale10" in sys.argv:
         bench_scale10(spark, sf_dir)
+        spark.stop()
+        return
+
+    if "--skew" in sys.argv:
+        bench_skew(spark, sf_dir)
         spark.stop()
         return
 

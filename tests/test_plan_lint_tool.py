@@ -67,3 +67,12 @@ def test_error_nodes_detectable_in_live_plans(spark):
     slow = udf(lambda x: x + 1, "bigint")
     bad = a.select(slow(F.col("id")).alias("y"))
     assert pl.lint_plan(_plan_of(bad))["errors"].get("BatchEvalPython")
+
+
+def test_budget_drift():
+    pl = _load()
+    old = {"a": {"exchanges": 3}, "b": {"exchanges": 2},
+           "gone": {"exchanges": 1}, "err": {"errors": {"EXCEPTION": 1}}}
+    new = {"a": {"exchanges": 5}, "b": {"exchanges": 2},
+           "fresh": {"exchanges": 9}, "err": {"errors": {"EXCEPTION": 1}}}
+    assert pl.budget_drift(old, new) == [("a", 3, 5)]

@@ -56,12 +56,28 @@ def lint_plan(plan: str) -> dict:
     return out
 
 
+def budget_drift(old: dict, new: dict) -> list[tuple[str, object, object]]:
+    """Entries present in both reports whose Exchange count changed."""
+    out = []
+    for name, row in sorted(new.items()):
+        if name in old and "exchanges" in row and "exchanges" in old[name]:
+            a, b = old[name]["exchanges"], row["exchanges"]
+            if a != b:
+                out.append((name, a, b))
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--compare", default=None,
+                    help="a committed PLAN_LINT_rNN.json; print every "
+                         "entry whose Exchange count changed (shuffle-"
+                         "budget drift is a regression even when the "
+                         "timing noise hides it)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -104,6 +120,13 @@ def main(argv=None) -> int:
           f"errors in {flagged or 'none'}; "
           f"{warn_total} entries with BroadcastNestedLoopJoin (expected: "
           f"the 1-row broadcast stats crossJoins)")
+    if args.compare:
+        old = json.load(open(args.compare))
+        drift = budget_drift(old, report)
+        for name, a, b in drift:
+            print(f"SHUFFLE-BUDGET drift: {name} {a} -> {b} exchanges")
+        if not drift:
+            print(f"shuffle budgets unchanged vs {args.compare}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1, sort_keys=True)

@@ -124,10 +124,14 @@ def main(argv=None) -> int:
             "--out", f"INVARIANCE_r{current_round():02d}.json"]))
         # registry-wide physical-plan audit: no CartesianProduct, no
         # row-at-a-time Python UDFs, shuffle budgets recorded per
-        # entry for round-over-round comparison
-        stages.append(("plan-lint", [
-            py, "tools/plan_lint.py",
-            "--out", f"PLAN_LINT_r{current_round():02d}.json"]))
+        # entry for round-over-round comparison (drift printed vs the
+        # newest committed report)
+        lint_cmd = [py, "tools/plan_lint.py",
+                    "--out", f"PLAN_LINT_r{current_round():02d}.json"]
+        prior = sorted(glob.glob(os.path.join(REPO, "PLAN_LINT_r*.json")))
+        if prior:
+            lint_cmd += ["--compare", prior[-1]]
+        stages.append(("plan-lint", lint_cmd))
 
     failed = [label for label, cmd in stages if not run(label, cmd)]
 
