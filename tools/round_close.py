@@ -7,9 +7,10 @@ produce, in order, with one summary line each —
 3. round-over-round drift table (tools/bench_drift.py, committed
    detail vs the fresh run)
 4. one ledger-rotated multi-JVM sweep (tools/cluster_check.py)
-5. hot-key skew replay (tools/skew_corpus.py + tools/replay.py) and
-   the parallelism-invariance sweep (tools/invariance.py ->
-   INVARIANCE_rNN.json) — the round-10 standing axes
+5. the standing validation axes: adversarial edge corpus + its
+   hostile-session twin (r9), hot-key skew replay, parallelism-
+   invariance sweep (INVARIANCE_rNN.json) and registry-wide plan
+   lint (PLAN_LINT_rNN.json) (r10)
 
     python tools/round_close.py [--skip-tests] [--skip-cluster]
 
@@ -112,6 +113,24 @@ def main(argv=None) -> int:
     if not args.skip_cluster:
         stages.append(("cluster", [py, "tools/cluster_check.py"]))
     if not args.skip_axes:
+        # r9 hostility gates, self-contained in the close: the
+        # adversarial corpus sweep and its hostile-session twin over
+        # the corpus-facing entries
+        try:
+            edge_only = subprocess.check_output(
+                [py, "tools/edge_corpus.py", "--list-corpus"],
+                cwd=REPO, text=True).split()
+        except subprocess.CalledProcessError:
+            edge_only = []
+        stages.append(("edge-gen", [py, "tools/edge_corpus.py",
+                                    "--out", "/tmp/edge_sf"]))
+        if edge_only:
+            stages.append(("edge-replay", [
+                py, "tools/replay.py", "--sf-dir", "/tmp/edge_sf",
+                "--only", *edge_only]))
+            stages.append(("edge-hostile", [
+                py, "tools/replay.py", "--sf-dir", "/tmp/edge_sf",
+                "--hostile", "--only", *edge_only]))
         # r10 standing axes: hot-key skew (oracle-exact under 50% hot
         # source/user/vector/orderkey) and cluster-shape invariance
         # (same value hashes under three session shapes)
