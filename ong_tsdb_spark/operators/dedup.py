@@ -788,7 +788,119 @@ def minhash_error_stats(
     signature aggregate (16 min columns, map-side partial), the band
     self-join (candidate generation) and the inverted-index
     intersection counts; candidate pairs are few by construction, so
-    the two signature lookups broadcast."""
+    the two signature lookups broadcast.
+
+    EXACT-DUPLICATE COLLAPSE (r10 skew finding): signatures, bands
+    and shingle intersections depend only on the TEXT, so a corpus
+    with an exact-duplicate group of size g (boilerplate — the 100 TB
+    norm; the skew bench measured 3.78x amplification at 25% one-text
+    mass) would otherwise pay the band join, the inverted-index join
+    and the signature comparison C(g,2) times for identical answers.
+    When the corpus carries MATERIAL duplicate mass (one cheap digest
+    aggregate decides — the EXACT_MAX_ABS eligibility pattern; the
+    exact integer rule is sum over groups of g*(g-1) >= 2*n_docs,
+    i.e. the member pairs the collapse would save rival a full extra
+    corpus pass), the sketch pipeline runs on one representative per
+    distinct text and the per-pair rows are expanded afterwards:
+    cross-group member pairs inherit the rep pair's (est, exact)
+    verbatim (values are symmetric, emitted as (least, greatest));
+    intra-group pairs are candidates by construction (identical
+    signatures share every band) with est = exact = 1 and err = 0,
+    provided the text has at least one shingle.  A corpus below the
+    threshold skips the collapse plumbing entirely (incidental
+    duplicates cost less than the extra stages).  Both paths are
+    value-identical — the DuckDB oracle is unchanged — and compute
+    stays distinct-text-sized; only the OUTPUT remains pair-sized,
+    as the semantics demand."""
+    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__dig", F.md5(F.col(text_col))
+    )
+    row = (
+        keyed.filter(F.col("__dig").isNotNull())
+        .groupBy("__dig")
+        .agg(F.count("*").alias("__g"))
+        .agg(
+            F.sum(F.col("__g") * (F.col("__g") - F.lit(1))).alias("__saved2"),
+            F.sum("__g").alias("__n"),
+        )
+        .head()
+    )
+    saved2 = (row["__saved2"] or 0) if row else 0
+    n_docs = (row["__n"] or 0) if row else 0
+    if saved2 < 2 * n_docs:
+        pairs, _sigs = _minhash_error_core(df, text_col, id_col, n,
+                                           num_hashes, band_size)
+        return pairs
+
+    # slim (digest, id) membership table — checkpointed once, it
+    # feeds the rep selection and both expansion joins
+    mem = materialize_for_self_join(keyed.select("__dig", id_col))
+    groups = materialize_for_self_join(
+        mem.groupBy("__dig").agg(
+            F.min(F.col(id_col)).alias("__rep"), F.count("*").alias("__g")
+        )
+    )
+    rep_docs = (
+        keyed.join(groups.select("__dig", "__rep"), on="__dig")
+        .filter(F.col(id_col) == F.col("__rep"))
+        .select(F.col(id_col), F.col(text_col))
+    )
+    rep_pairs, sigs = _minhash_error_core(rep_docs, text_col, id_col, n,
+                                          num_hashes, band_size)
+
+    # expand rep pairs back to member pairs — cross-group first: the
+    # rep-pair frame is candidate-sized, so AQE broadcasts it into the
+    # two digest-keyed member joins; the result is output-sized
+    g1map = groups.select(F.col("__rep").alias("d1"), F.col("__dig").alias("g1"))
+    g2map = groups.select(F.col("__rep").alias("d2"), F.col("__dig").alias("g2"))
+    rp = rep_pairs.join(g1map, on="d1").join(g2map, on="d2")
+    mem1 = mem.select(F.col("__dig").alias("g1"), F.col(id_col).alias("m1"))
+    mem2 = mem.select(F.col("__dig").alias("g2"), F.col(id_col).alias("m2"))
+    cross = (
+        rp.join(mem1, on="g1")
+        .join(mem2, on="g2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "est_jaccard", "exact_jaccard", "abs_err",
+        )
+    )
+
+    # intra-group pairs: identical texts with >= 1 shingle are LSH
+    # candidates by construction with a zero-error perfect estimate
+    sig_reps = sigs.select(F.col(id_col).alias("__rep"))
+    elig_digs = (
+        groups.filter(F.col("__g") >= 2).join(sig_reps, on="__rep").select("__dig")
+    )
+    mem_elig = mem.join(elig_digs, on="__dig")
+    ia = mem_elig.select("__dig", F.col(id_col).alias("d1"))
+    ib = mem_elig.select("__dig", F.col(id_col).alias("d2"))
+    intra = (
+        ia.join(ib, on="__dig")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(1.0).alias("exact_jaccard"),
+            F.lit(0.0).alias("abs_err"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _minhash_error_core(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The uncollapsed sketch-vs-exact pipeline over ``df`` (one row
+    per DISTINCT text when called from the collapse path).  Returns
+    (pairs, sigs) — sigs so the caller can decide intra-group
+    eligibility (a text with zero shingles never signs, bands or
+    candidates)."""
     sh = materialize_for_self_join(shingle_table_with_size(df, text_col, id_col, n))
     sigs = materialize_for_self_join(
         wide_minhash_table(sh, id_col, num_hashes, carry_cols=("n_sh",))
@@ -856,7 +968,7 @@ def minhash_error_stats(
     exact = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
         F.col("n1") + F.col("n2") - F.coalesce(F.col("i"), F.lit(0))
     ).cast("double")
-    return (
+    pairs = (
         both.join(inter.select("d1", "d2", "i"), on=["d1", "d2"], how="left")
         .select(
             "d1", "d2",
@@ -865,3 +977,4 @@ def minhash_error_stats(
         )
         .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
     )
+    return pairs, sigs

@@ -1742,6 +1742,39 @@ def test_minhash_error_stats_planted(spark):
         assert r["exact_jaccard"] == exact.get((d1, d2), 0.0)
 
 
+def test_minhash_error_collapse_is_value_identical(spark):
+    """The exact-duplicate collapse (r10 skew fix) must return the
+    SAME pair rows as the uncollapsed pipeline on a duplicate-heavy
+    corpus — intra-group pairs est = exact = 1, cross-group pairs
+    inherit the rep pair verbatim, zero-shingle duplicates excluded."""
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta other words here",
+        "completely different tokens in this doc",
+    ]
+    rows = [(i + 1, base[0]) for i in range(12)]          # hot group g=12
+    rows += [(101, base[1]), (102, base[2]), (103, base[1])]
+    rows += [(201, "tiny"), (202, "tiny")]                # 0 shingles (< n)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold check: saved2 = 12*11 + 2*1 + 2*1 = 136 >= 2*17 -> collapse
+    collapsed = dedup.minhash_error_stats(df)
+    brute, _sigs = dedup._minhash_error_core(
+        df, "text", "doc_id", 3, 16, 2)
+    key = lambda r: (r["d1"], r["d2"])  # noqa: E731
+    c = {key(r): r for r in collapsed.collect()}
+    b = {key(r): r for r in brute.collect()}
+    assert set(c) == set(b)
+    for k in c:
+        assert c[k]["est_jaccard"] == b[k]["est_jaccard"], k
+        assert c[k]["exact_jaccard"] == b[k]["exact_jaccard"], k
+        assert c[k]["abs_err"] == b[k]["abs_err"], k
+    # the hot group contributes exactly C(12,2) + no zero-shingle pairs
+    intra = [k for k in c if k[0] <= 12 and k[1] <= 12]
+    assert len(intra) == 66
+    assert not any(k[0] >= 201 or k[1] >= 201 for k in c)
+
+
 def test_curation_report_components_agree(spark, sf_dir):
     """Each curation-report column must equal its generating operator
     family computed independently."""
