@@ -840,11 +840,12 @@ def minhash_error_stats(
             F.min(F.col(id_col)).alias("__rep"), F.count("*").alias("__g")
         )
     )
-    rep_docs = (
-        keyed.join(groups.select("__dig", "__rep"), on="__dig")
-        .filter(F.col(id_col) == F.col("__rep"))
-        .select(F.col(id_col), F.col(text_col))
-    )
+    # select reps by ID against the checkpointed groups — joining on
+    # the digest would recompute md5 over every row's text a third
+    # time (code-review r10)
+    rep_docs = df.join(
+        groups.select(F.col("__rep").alias(id_col)), on=id_col
+    ).select(F.col(id_col), F.col(text_col))
     rep_pairs, sigs = _minhash_error_core(rep_docs, text_col, id_col, n,
                                           num_hashes, band_size)
 

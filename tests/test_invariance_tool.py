@@ -56,6 +56,25 @@ def test_diff_profiles_verdicts():
     assert sorted(rep["errors"]) == ["boom", "dead"]
 
 
+def test_diff_profiles_error_not_overwritten_by_later_mismatch():
+    """An entry that crashes under one profile AND mismatches under
+    another must be classified ERROR regardless of profile order —
+    last-writer-wins would misfile the failure class."""
+    inv = _load()
+    h = {"rows": 3, "cols": ["a"], "hash": "h1"}
+    outs = {
+        "base": {"x": dict(h)},
+        "p2": {"x": {"error": "boom"}},
+        "p3": {"x": {"rows": 3, "cols": ["a"], "hash": "OTHER"}},
+    }
+    rep = inv.diff_profiles(outs, ["base", "p2", "p3"])
+    assert rep["entries"]["x"]["verdict"] == "ERROR"
+    assert rep["errors"] == ["x"] and rep["mismatches"] == []
+    # reversed order: mismatch first, error later — still ERROR
+    rep2 = inv.diff_profiles(outs, ["base", "p3", "p2"])
+    assert rep2["entries"]["x"]["verdict"] == "ERROR"
+
+
 def test_diff_profiles_missing_entry_is_error():
     inv = _load()
     h = {"rows": 1, "cols": ["a"], "hash": "h"}

@@ -115,14 +115,19 @@ def diff_profiles(outs: dict, profiles: list) -> dict:
     report = {"entries": {}, "mismatches": [], "errors": []}
     for name, b in base.items():
         row = {profiles[0]: b}
-        verdict = "ERROR" if "error" in b else "OK"
+        # accumulate across profiles — ERROR (a crashed profile) must
+        # not be overwritten by a later MISMATCH or vice versa
+        any_error = "error" in b
+        any_mismatch = False
         for prof in profiles[1:]:
             o = outs[prof].get(name, {"error": "missing"})
             row[prof] = o
             if "error" in o:
-                verdict = "ERROR"
+                any_error = True
             elif "error" not in b and o["hash"] != b["hash"]:
-                verdict = "MISMATCH"
+                any_mismatch = True
+        verdict = ("ERROR" if any_error
+                   else "MISMATCH" if any_mismatch else "OK")
         row["verdict"] = verdict
         report["entries"][name] = row
         if verdict == "MISMATCH":

@@ -56,6 +56,26 @@ def lint_plan(plan: str) -> dict:
     return out
 
 
+def load_report(src: str) -> dict:
+    """A report from a path, or from git via ``git:<rev>:<name>``
+    (``git::PLAN_LINT_r10.json`` reads HEAD) — the committed-baseline
+    form round_close uses so a failed-then-retried close never
+    compares a round's report against itself."""
+    if src.startswith("git:"):
+        import subprocess
+
+        rev, _, name = src[4:].partition(":")
+        proc = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev or 'HEAD'}:{name}"],
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"no {name} at {rev or 'HEAD'} ({proc.stderr.strip()})")
+        return json.loads(proc.stdout)
+    return json.load(open(src))
+
+
 def budget_drift(old: dict, new: dict) -> list[tuple[str, object, object]]:
     """Entries present in both reports whose Exchange count changed."""
     out = []
@@ -74,10 +94,12 @@ def main(argv=None) -> int:
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--compare", default=None,
-                    help="a committed PLAN_LINT_rNN.json; print every "
-                         "entry whose Exchange count changed (shuffle-"
-                         "budget drift is a regression even when the "
-                         "timing noise hides it)")
+                    help="a PLAN_LINT_rNN.json path, or git:<rev>:<name> "
+                         "to read the COMMITTED report (so a same-round "
+                         "re-run never compares against its own fresh "
+                         "file); print every entry whose Exchange count "
+                         "changed — shuffle-budget drift is a regression "
+                         "even when timing noise hides it")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -121,7 +143,7 @@ def main(argv=None) -> int:
           f"{warn_total} entries with BroadcastNestedLoopJoin (expected: "
           f"the 1-row broadcast stats crossJoins)")
     if args.compare:
-        old = json.load(open(args.compare))
+        old = load_report(args.compare)
         drift = budget_drift(old, report)
         for name, a, b in drift:
             print(f"SHUFFLE-BUDGET drift: {name} {a} -> {b} exchanges")

@@ -143,13 +143,17 @@ def main(argv=None) -> int:
             "--out", f"INVARIANCE_r{current_round():02d}.json"]))
         # registry-wide physical-plan audit: no CartesianProduct, no
         # row-at-a-time Python UDFs, shuffle budgets recorded per
-        # entry for round-over-round comparison (drift printed vs the
-        # newest committed report)
+        # entry for round-over-round comparison.  The drift baseline
+        # is the newest report COMMITTED at HEAD (git: form), so a
+        # failed-then-retried close never compares the round's fresh
+        # report against itself
         lint_cmd = [py, "tools/plan_lint.py",
                     "--out", f"PLAN_LINT_r{current_round():02d}.json"]
-        prior = sorted(glob.glob(os.path.join(REPO, "PLAN_LINT_r*.json")))
-        if prior:
-            lint_cmd += ["--compare", prior[-1]]
+        tracked = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "PLAN_LINT_r*.json"],
+            capture_output=True, text=True).stdout.split()
+        if tracked:
+            lint_cmd += ["--compare", f"git:HEAD:{sorted(tracked)[-1]}"]
         stages.append(("plan-lint", lint_cmd))
 
     failed = [label for label, cmd in stages if not run(label, cmd)]

@@ -99,13 +99,13 @@ def build(base: str, out: str) -> str:
 
     emb = pq.read_table(os.path.join(base, "embeddings.parquet"))
     dim = len(emb["embedding"][0].as_py())
-    hot = pa.array(
-        [hot_vector(dim)], type=pa.list_(pa.float32()))
-    n = emb.num_rows
+    # batch conversion + one hoisted hot list — per-row .as_py() in a
+    # loop re-deserialized the hot vector n/2 times (code-review r10)
+    hot_list = hot_vector(dim)
     even_v = pc.equal(pc.bit_wise_and(emb["vec_id"], 1), 0).to_pylist()
+    old_vecs = emb["embedding"].to_pylist()
     vecs = pa.array(
-        [hot[0].as_py() if even_v[i] else emb["embedding"][i].as_py()
-         for i in range(n)],
+        [hot_list if e else v for e, v in zip(even_v, old_vecs)],
         type=pa.list_(pa.float32()))
     pq.write_table(
         pa.table({"vec_id": emb["vec_id"], "embedding": vecs,
