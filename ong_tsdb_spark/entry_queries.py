@@ -4435,18 +4435,8 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r09 @ 0d5a6d84e6f7
+# planned-on: r01..r09 @ b04ca511a883
 _TAIL_ROTATION = [
-    "ts_last_timestamp",
-    "ts_upsert_last_wins",
-    "ts_usage_stats",
-    "ts_ingest_grouping",
-    "ts_ohlc",
-    "part_type_like",
-    "customers_above_nation_avg",
-    "doc_stats_by_lang",
-    "events_funnel",
-    "ts_snap_grid",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -4459,7 +4449,6 @@ _TAIL_ROTATION = [
     "emb_neardup_blocked",
     "emb_quantized_topk",
     "ts_delta",
-    "events_json_extract",
     "ts_rolling_mean",
     "text_pii_scrub",
     "text_repetition",
@@ -4485,15 +4474,26 @@ _TAIL_ROTATION = [
     "dedup_minhash_error",
     "text_fertility",
     "text_c4_quality",
-    "events_interval_join",
-    "events_retention",
-    "graph_pagerank",
     "text_bigram_novelty",
     "dedup_ledger_replay",
     "dedup_near_ledger_replay",
     "dedup_ledger_crash_replay",
     "corpus_topic_sample",
     "emb_kmeans_k64",
+    "ts_last_timestamp",
+    "ts_upsert_last_wins",
+    "ts_usage_stats",
+    "ts_ingest_grouping",
+    "ts_ohlc",
+    "part_type_like",
+    "customers_above_nation_avg",
+    "doc_stats_by_lang",
+    "events_funnel",
+    "ts_snap_grid",
+    "events_json_extract",
+    "events_interval_join",
+    "events_retention",
+    "graph_pagerank",
 ]
 # --- TAIL_ROTATION END ---
 
