@@ -442,6 +442,105 @@ def band_signatures(
     )
 
 
+def _exact_dup_collapse(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """Eligibility + slim tables for the exact-duplicate collapse
+    shared by ``lsh_candidate_pairs`` and ``minhash_error_stats``
+    (r10 skew finding): every signature/band/intersection depends
+    only on the TEXT, so exact-duplicate groups can run the pair
+    machinery once per distinct text.
+
+    Returns ``None`` when the duplicate-pair mass is immaterial —
+    the exact integer rule ``sum over groups of g*(g-1) >= 2*n_docs``
+    (the member pairs a collapse would save rival a full extra corpus
+    pass; EXACT_MAX_ABS eligibility pattern, one digest aggregate) —
+    else ``(mem, groups, rep_docs)``: the checkpointed slim
+    (digest, id) membership table, the checkpointed per-digest
+    (rep, size) table, and the representative documents frame."""
+    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "__dig", F.md5(F.col(text_col))
+    )
+    row = (
+        keyed.filter(F.col("__dig").isNotNull())
+        .groupBy("__dig")
+        .agg(F.count("*").alias("__g"))
+        .agg(
+            F.sum(F.col("__g") * (F.col("__g") - F.lit(1))).alias("__saved2"),
+            F.sum("__g").alias("__n"),
+        )
+        .head()
+    )
+    saved2 = (row["__saved2"] or 0) if row else 0
+    n_docs = (row["__n"] or 0) if row else 0
+    if saved2 < 2 * n_docs:
+        return None
+    mem = materialize_for_self_join(keyed.select("__dig", id_col))
+    groups = materialize_for_self_join(
+        mem.groupBy("__dig").agg(
+            F.min(F.col(id_col)).alias("__rep"), F.count("*").alias("__g")
+        )
+    )
+    # select reps by ID against the checkpointed groups — joining on
+    # the digest would recompute md5 over every row's text a third
+    # time (code-review r10)
+    rep_docs = df.join(
+        groups.select(F.col("__rep").alias(id_col)), on=id_col
+    ).select(F.col(id_col), F.col(text_col))
+    return mem, groups, rep_docs
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    mem: DataFrame,
+    groups: DataFrame,
+    elig_reps: DataFrame,
+    id_col: str,
+    carry_cols: tuple[str, ...] = (),
+    intra_literals: tuple[Column, ...] = (),
+) -> DataFrame:
+    """Expand representative-level pairs back to member pairs.
+
+    Cross-group member pairs inherit the rep pair's ``carry_cols``
+    verbatim (all carried values are symmetric in (d1, d2), emitted
+    as (least, greatest)); intra-group pairs — groups of >= 2 whose
+    rep appears in ``elig_reps`` (i.e. the text actually signs/bands)
+    — are candidates by construction and carry ``intra_literals``.
+    The rep-pair frame is candidate-sized, so AQE broadcasts it into
+    the digest-keyed member joins; the result is output-sized."""
+    g1map = groups.select(F.col("__rep").alias("d1"), F.col("__dig").alias("g1"))
+    g2map = groups.select(F.col("__rep").alias("d2"), F.col("__dig").alias("g2"))
+    rp = rep_pairs.join(g1map, on="d1").join(g2map, on="d2")
+    mem1 = mem.select(F.col("__dig").alias("g1"), F.col(id_col).alias("m1"))
+    mem2 = mem.select(F.col("__dig").alias("g2"), F.col(id_col).alias("m2"))
+    cross = (
+        rp.join(mem1, on="g1")
+        .join(mem2, on="g2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            *carry_cols,
+        )
+    )
+    elig_digs = (
+        groups.filter(F.col("__g") >= 2)
+        .join(elig_reps.select(F.col(id_col).alias("__rep")), on="__rep")
+        .select("__dig")
+    )
+    mem_elig = mem.join(elig_digs, on="__dig")
+    ia = mem_elig.select("__dig", F.col(id_col).alias("d1"))
+    ib = mem_elig.select("__dig", F.col(id_col).alias("d2"))
+    intra = (
+        ia.join(ib, on="__dig")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            *[lit.alias(c) for c, lit in zip(carry_cols, intra_literals)],
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -455,7 +554,19 @@ def lsh_candidate_pairs(
 
     The band signature join is an equi-join on (band, sig) — at scale
     the shuffle key cardinality is ~n_docs x n_bands and each bucket
-    is tiny unless documents truly collide."""
+    is tiny unless documents truly collide.  Boilerplate mass makes
+    that 'unless' real (the r10 skew bench measured 1.71x on a
+    25%-one-text corpus), and the ``_exact_dup_collapse`` + expansion
+    treatment was MEASURED here and REJECTED: the pair stream is
+    output-bound (the quadratic pairs ARE the result, per-pair compute
+    is nil), so collapsing saved only ~0.5 s on the bare stream while
+    its main consumer — connected components, which eagerly
+    checkpoints the symmetrized edges once and then iterates — paid
+    ~+1.2 s warm for the extra eager stages and the hot-digest intra
+    self-join (skew sf0.1: clusters 4.0 s brute vs 5.2 s collapsed).
+    The collapse stays where per-pair compute is heavy
+    (``minhash_error_stats``: 16-hash compare + shingle intersection
+    per pair, 2.3x there)."""
     sigs = materialize_for_self_join(
         band_signatures(df, text_col, id_col, n, num_hashes, band_size)
     )
@@ -812,81 +923,22 @@ def minhash_error_stats(
     value-identical — the DuckDB oracle is unchanged — and compute
     stays distinct-text-sized; only the OUTPUT remains pair-sized,
     as the semantics demand."""
-    keyed = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "__dig", F.md5(F.col(text_col))
-    )
-    row = (
-        keyed.filter(F.col("__dig").isNotNull())
-        .groupBy("__dig")
-        .agg(F.count("*").alias("__g"))
-        .agg(
-            F.sum(F.col("__g") * (F.col("__g") - F.lit(1))).alias("__saved2"),
-            F.sum("__g").alias("__n"),
-        )
-        .head()
-    )
-    saved2 = (row["__saved2"] or 0) if row else 0
-    n_docs = (row["__n"] or 0) if row else 0
-    if saved2 < 2 * n_docs:
+    collapse = _exact_dup_collapse(df, text_col, id_col)
+    if collapse is None:
         pairs, _sigs = _minhash_error_core(df, text_col, id_col, n,
                                            num_hashes, band_size)
         return pairs
-
-    # slim (digest, id) membership table — checkpointed once, it
-    # feeds the rep selection and both expansion joins
-    mem = materialize_for_self_join(keyed.select("__dig", id_col))
-    groups = materialize_for_self_join(
-        mem.groupBy("__dig").agg(
-            F.min(F.col(id_col)).alias("__rep"), F.count("*").alias("__g")
-        )
-    )
-    # select reps by ID against the checkpointed groups — joining on
-    # the digest would recompute md5 over every row's text a third
-    # time (code-review r10)
-    rep_docs = df.join(
-        groups.select(F.col("__rep").alias(id_col)), on=id_col
-    ).select(F.col(id_col), F.col(text_col))
+    mem, groups, rep_docs = collapse
     rep_pairs, sigs = _minhash_error_core(rep_docs, text_col, id_col, n,
                                           num_hashes, band_size)
-
-    # expand rep pairs back to member pairs — cross-group first: the
-    # rep-pair frame is candidate-sized, so AQE broadcasts it into the
-    # two digest-keyed member joins; the result is output-sized
-    g1map = groups.select(F.col("__rep").alias("d1"), F.col("__dig").alias("g1"))
-    g2map = groups.select(F.col("__rep").alias("d2"), F.col("__dig").alias("g2"))
-    rp = rep_pairs.join(g1map, on="d1").join(g2map, on="d2")
-    mem1 = mem.select(F.col("__dig").alias("g1"), F.col(id_col).alias("m1"))
-    mem2 = mem.select(F.col("__dig").alias("g2"), F.col(id_col).alias("m2"))
-    cross = (
-        rp.join(mem1, on="g1")
-        .join(mem2, on="g2")
-        .select(
-            F.least("m1", "m2").alias("d1"),
-            F.greatest("m1", "m2").alias("d2"),
-            "est_jaccard", "exact_jaccard", "abs_err",
-        )
-    )
-
-    # intra-group pairs: identical texts with >= 1 shingle are LSH
+    # intra-group pairs (identical texts with >= 1 shingle) are
     # candidates by construction with a zero-error perfect estimate
-    sig_reps = sigs.select(F.col(id_col).alias("__rep"))
-    elig_digs = (
-        groups.filter(F.col("__g") >= 2).join(sig_reps, on="__rep").select("__dig")
+    elig_reps = sigs.select(F.col(id_col)).distinct()
+    return _expand_rep_pairs(
+        rep_pairs, mem, groups, elig_reps, id_col,
+        carry_cols=("est_jaccard", "exact_jaccard", "abs_err"),
+        intra_literals=(F.lit(1.0), F.lit(1.0), F.lit(0.0)),
     )
-    mem_elig = mem.join(elig_digs, on="__dig")
-    ia = mem_elig.select("__dig", F.col(id_col).alias("d1"))
-    ib = mem_elig.select("__dig", F.col(id_col).alias("d2"))
-    intra = (
-        ia.join(ib, on="__dig")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1", "d2",
-            F.lit(1.0).alias("est_jaccard"),
-            F.lit(1.0).alias("exact_jaccard"),
-            F.lit(0.0).alias("abs_err"),
-        )
-    )
-    return cross.unionByName(intra)
 
 
 def _minhash_error_core(
