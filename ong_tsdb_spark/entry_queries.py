@@ -4435,7 +4435,7 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r09 @ b04ca511a883
+# planned-on: r01..r09 @ 9dadec51939d
 _TAIL_ROTATION = [
     "dedup_exact",
     "dedup_ngram_jaccard",
