@@ -46,13 +46,19 @@ from ong_tsdb_spark import entry_queries  # noqa: E402
 # sample REBASELINES that slot — bench_drift reports the pair as
 # added/removed, not as a mover; read the r9->r10 CORE total with
 # both substitutions in mind and trend from r10 forward.
+# r11 registry retirements (107 -> 100, VERDICT r10 #3) change this
+# set's membership: ts_gap_fill/ts_delta/ts_rolling_mean leave (their
+# survivors ts_gap_fill_linear / ts_rate / ts_moving_range_avg keep
+# the slots) and emb_cosine_topk's slot becomes emb_ann_recall (which
+# runs the brute kernel INSIDE the recall join, so the timed work is a
+# superset — rebaseline that slot from r11).  bench_drift reports all
+# four pairs as added/removed, not movers.
 CORE = [
     "ts_range_read",
     "ts_snap_grid",
     "ts_downsample_first",
     "ts_upsert_last_wins",
     "ts_asof_join",
-    "ts_gap_fill",
     "ts_sessionize",
     "tpch_q1",
     "tpch_q3_topk",
@@ -64,15 +70,14 @@ CORE = [
     "dedup_simhash",
     "text_quality",
     "text_langid",
-    "emb_cosine_topk",
+    "emb_ann_recall",
     "emb_neardup_blocked",
     "emb_neardup_lsh",
     "corpus_clean_pipeline",
     "ts_cumulative_sum_chunked",
     "ts_moving_range_avg",
     # chunk-parallel window family (operators/chunkwin.py)
-    "ts_delta",
-    "ts_rolling_mean",
+    "ts_rate",
     "ts_gap_fill_linear",
     # round-4 operators
     "dedup_passage_stats",
@@ -84,8 +89,10 @@ CORE = [
 # ROTATING EXTENSION: everything newer than the r4 core — reported
 # under the same per-query keys plus an ``extension_total``.
 EXTENSION = [
-    # round-5 operators (+ the now-oracle-checked IVF path)
-    "emb_ivf_topk",
+    # round-5 operators (+ the now-oracle-checked IVF path; r11: the
+    # emb_ivf_topk slot is its survivor emb_ivf_recall — same IVF plan
+    # nested inside the recall join, rebaseline from r11)
+    "emb_ivf_recall",
     "dedup_keep_best",
     "doc_length_band",
     "text_rare_tokens",
@@ -150,11 +157,10 @@ SCALE_FAMILIES = [
     "text_vocab",
     "text_gopher_quality",
     "corpus_sample_stats",
-    "emb_cosine_topk",
     "emb_neardup_lsh",
-    "emb_ivf_topk",
+    "emb_ivf_recall",
     "corpus_clean_pipeline",
-    "ts_rolling_mean",
+    "ts_moving_range_avg",
     "tpch_q3_topk",
     # round-5 operators
     "dedup_keep_best",

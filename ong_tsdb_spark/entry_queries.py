@@ -772,22 +772,12 @@ def _lsh_bucket_sql(col: str, dim: int, num_planes: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-@register(
-    "emb_cosine_topk",
-    f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, cosine, rank FROM (
-      SELECT vec_id, cosine,
-             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-      FROM (
-        SELECT vec_id,
-               {_DOT_SQL.format(a="embedding", b="qe")}
-                 / ({_norm_sql("embedding")} * {_norm_sql("qe")}) AS cosine
-        FROM embeddings, q WHERE vec_id <> 0
-      )
-    ) WHERE rank <= 10
-    """,
-)
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3): the
+# emb_cosine_topk registry slot — the brute-force kernel itself STAYS
+# (function below, called by every _recall_vs_brute gauge), and the
+# identical brute CTE is embedded verbatim in _recall_vs_brute_sql, so
+# the kernel remains value-checked every time emb_ann_recall /
+# emb_ivf_recall / emb_pq_recall run.  Survivor: emb_ann_recall.
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs vec 0 — the ANN baseline; the
     deterministic fold makes it bit-identical to the oracle."""
@@ -984,34 +974,12 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, right, ts_col="ts_us", by=["user_id"], value_cols=["value"])
 
 
-@register(
-    "ts_delta",
-    f"""
-    SELECT event_type, epoch_us(ts) AS ts_us, value,
-           value - lag(value) OVER (PARTITION BY event_type
-                                    ORDER BY epoch_us(ts), event_id) AS delta
-    FROM events WHERE {_VALID_TICKS_SQL}
-    """,
-)
-def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series delta (discrete derivative) — lag(1), chunk-parallel:
-    event_type has ~5 distinct values, so a plain per-series window is
-    one task per series at any scale.  chunked_window ships each weekly
-    chunk its single carry row and evaluates the identical lag within
-    (series, week) — bit-equal, keys x weeks tasks."""
-    from .operators.chunkwin import chunked_window
-
-    ev = _valid_ticks(load(spark, sf_dir, "events"))
-    ev = ev.withColumn("ts_us", _us(ev, "ts"))
-    out = chunked_window(
-        ev.select("event_type", "ts_us", "event_id", "value"),
-        key_cols=["event_type"],
-        order_cols=["ts_us", "event_id"],
-        chunk_len=WEEK_US,
-        build=lambda w: {"delta": F.col("value") - F.lag("value").over(w)},
-        rows_before=1,
-    )
-    return out.select("event_type", "ts_us", "value", "delta")
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3): ts_delta —
+# lag(1) over the identical chunked_window (operators/chunkwin.py).
+# Survivor: ts_rate, whose expression is delta-value / delta-seconds
+# through the SAME chunk-parallel lag plan; the lag kernel and the
+# carry-row protocol stay value-checked by the survivor every round
+# (plus the chunkwin unit suite).
 
 
 @register(
@@ -1090,84 +1058,21 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ts_gap_fill",
-    f"""
-    WITH obs AS (
-      SELECT event_type, s - (s % 900) AS tick, value,
-             row_number() OVER (PARTITION BY event_type, s - (s % 900)
-                                ORDER BY us DESC, event_id DESC) AS rn
-      FROM (SELECT *, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS s FROM events
-            WHERE {_VALID_TICKS_SQL})
-    ), cells AS (SELECT event_type, tick, value FROM obs WHERE rn = 1),
-    bounds AS (SELECT event_type, min(tick) AS lo, max(tick) AS hi FROM cells GROUP BY 1),
-    grid AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) AS tick_s FROM bounds)
-    SELECT g.event_type, g.tick_s,
-           last_value(c.value IGNORE NULLS) OVER (
-             PARTITION BY g.event_type ORDER BY g.tick_s
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-    FROM grid g LEFT JOIN cells c
-      ON c.event_type IS NOT DISTINCT FROM g.event_type AND c.tick = g.tick_s
-    """,
-)
-def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap fill + forward fill on the 15 m grid: materialize every
-    tick between each series' bounds, carry the last observation
-    forward (operators/gapfill.py — per-series sequence explode + one
-    windowed last, no driver loops)."""
-    from .operators.gapfill import gap_fill_ffill
-
-    ev = _valid_ticks(load(spark, sf_dir, "events"))
-    ev = ev.withColumn("us", _us(ev, "ts")).withColumn("s", _sec(ev, "ts"))
-    out = gap_fill_ffill(
-        ev,
-        ts_sec_col="s",
-        series_cols=["event_type"],
-        value_cols=["value"],
-        tick_seconds=900,
-        tiebreak_cols=["us", "event_id"],
-    )
-    return out.select("event_type", "tick_s", "value")
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3): ts_gap_fill
+# — grid explode + forward-fill (operators/gapfill.py gap_fill_ffill).
+# Survivor: ts_gap_fill_linear, which runs the SAME grid explode and
+# windowed last-observation carry and then ALSO needs the next
+# observation for the interpolation — the ffill path is a strict
+# sub-plan of the survivor (gapfill.py keeps both entry points, with
+# the edge-corpus NULL-series scenario now riding the linear twin).
 
 
-@register(
-    "ts_rolling_mean",
-    f"""
-    SELECT event_type, us AS ts_us, value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-             / COUNT(value) OVER w AS rolling_mean
-    FROM (SELECT event_type, epoch_us(ts) AS us, event_id, value FROM events
-          WHERE {_VALID_TICKS_SQL})
-    WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-    """,
-)
-def ts_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling mean over a 4-row frame per series — decimal-exact
-    frame sum divided by the frame count (cross-engine stable)."""
-    from .operators.chunkwin import chunked_window
-
-    ev = _valid_ticks(load(spark, sf_dir, "events"))
-    ev = ev.withColumn("ts_us", _us(ev, "ts"))
-
-    def _build(w):
-        wf = w.rowsBetween(-3, 0)
-        return {
-            "rolling_mean": (
-                F.sum(F.col("value").cast("decimal(18,2)")).over(wf).cast("double")
-                / F.count("value").over(wf)
-            )
-        }
-
-    out = chunked_window(
-        ev.select("event_type", "ts_us", "event_id", "value"),
-        key_cols=["event_type"],
-        order_cols=["ts_us", "event_id"],
-        chunk_len=WEEK_US,
-        build=_build,
-        rows_before=3,
-    )
-    return out.select("event_type", "ts_us", "value", "rolling_mean")
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3):
+# ts_rolling_mean — a 4-row ROWS frame mean over chunked_window.
+# Survivor: ts_moving_range_avg, the time-based RANGE-frame trailing
+# average — the strictly harder frame class (frame bounds by timestamp
+# VALUE, ties share a frame) through the same chunk-parallel window
+# machinery; decimal-exact sums in both.
 
 
 @register(
@@ -1948,7 +1853,12 @@ def _ivf_topk_sql(k: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64, to
     """
 
 
-@register("emb_ivf_topk", _ivf_topk_sql())
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3): the
+# emb_ivf_topk registry slot.  Survivor: emb_ivf_recall, whose oracle
+# is literally _recall_vs_brute_sql(_ivf_topk_sql()) — the identical
+# IVF plan nests inside the survivor's SQL, so the path stays
+# rows+schema+hash-checked every time the survivor runs.  The function
+# STAYS (emb_ivf_recall's Spark side calls it).
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN end-to-end: train the INTEGER-EXACT k-means coarse
     quantizer (2^20-quantized bigint arithmetic — order-independent,
@@ -1990,7 +1900,11 @@ def _ann_lsh_sql() -> str:
     """
 
 
-@register("emb_ann_lsh", _ann_lsh_sql())
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3): the
+# emb_ann_lsh registry slot.  Survivor: emb_ann_recall, whose oracle
+# is _recall_vs_brute_sql(_ann_lsh_sql()) — the identical LSH plan
+# nests inside the survivor's SQL.  The function STAYS (emb_ann_recall
+# calls it).
 def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path end-to-end: random-hyperplane LSH buckets ->
     candidate set = query's bucket -> exact cosine re-rank of the
@@ -2299,50 +2213,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_candidate_pairs(docs, n=3, window=4, min_shared=2)
 
 
-@register(
-    "ts_zscore_anomaly",
-    f"""
-    WITH ticks AS (
-      SELECT * FROM events WHERE {_VALID_TICKS_SQL}
-    ),
-    stats AS (
-      SELECT event_type, count(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
-      FROM ticks GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type, epoch_us(e.ts) AS ts_us, e.value,
-           (e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)) AS zscore
-    FROM ticks e JOIN stats USING (event_type)
-    WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3.0
-    """,
-)
-def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch z-score anomaly flags per event type (the batch analog of
-    the streaming EWMA operator).  The group moments are EXACT decimal
-    sums cast to double once, so both engines evaluate the identical
-    IEEE expression tree — bit-equal z-scores with no tolerance."""
-    ev = _valid_ticks(load(spark, sf_dir, "events"))
-    dec = F.col("value").cast("decimal(18,2)")
-    stats = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(dec).cast("double").alias("s"),
-        F.sum(dec * dec).cast("double").alias("ss"),
-    )
-    j = ev.join(F.broadcast(stats), "event_type")
-    mean = F.col("s") / F.col("n")
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1))
-    z = (F.col("value") - mean) / F.sqrt(var)
-    return (
-        j.select(
-            "event_id",
-            "event_type",
-            _us(j, "ts").alias("ts_us"),
-            "value",
-            z.alias("zscore"),
-        )
-        .filter(F.coalesce(F.abs(F.col("zscore")) > 3.0, F.lit(False)))
-    )
+# RETIRED r11 (registry cadence policy, VERDICT r10 #3):
+# ts_zscore_anomaly — per-group exact decimal moments + broadcast join
+# back + flag filter.  Survivor: ts_mad_anomaly, the robust twin with
+# the IDENTICAL plan class (group stats agg -> broadcast join ->
+# filter) plus the strictly harder median/percentile aggregate; the
+# streaming z-score lives on in streaming/stateful.py (EWMA operator).
 
 
 def _dedup_clusters_sql() -> str:
@@ -2751,11 +2627,14 @@ def _ann_recall_sql() -> str:
     return _recall_vs_brute_sql(_ann_lsh_sql())
 
 
-def _recall_vs_brute(spark: SparkSession, sf_dir: str, ann_name: str) -> DataFrame:
-    """Spark side of :func:`_recall_vs_brute_sql`: join the named ANN
-    registry result against the brute-force top-10 and count hits."""
-    ann = REGISTRY[ann_name].fn(spark, sf_dir).select("vec_id")
-    brute = REGISTRY["emb_cosine_topk"].fn(spark, sf_dir).select("vec_id")
+def _recall_vs_brute(spark: SparkSession, sf_dir: str, ann_fn) -> DataFrame:
+    """Spark side of :func:`_recall_vs_brute_sql`: join the given ANN
+    path's result against the brute-force top-10 and count hits.
+    ``ann_fn`` is the (retired-from-registry, still-exported) ANN
+    query function — direct call, no registry indirection, so the
+    r11 retirements keep these gauges self-contained."""
+    ann = ann_fn(spark, sf_dir).select("vec_id")
+    brute = emb_cosine_topk(spark, sf_dir).select("vec_id")
     return (
         ann.join(brute, on="vec_id")
         .agg(F.count("*").alias("__h"))
@@ -2775,7 +2654,7 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides are deterministic (literal hyperplanes, sequential
     cosine folds), so even the EVALUATION has an exact oracle twin.
     Output is one row (k, n_hits, recall)."""
-    return _recall_vs_brute(spark, sf_dir, "emb_ann_lsh")
+    return _recall_vs_brute(spark, sf_dir, emb_ann_lsh)
 
 
 @register("emb_ivf_recall", _recall_vs_brute_sql(_ivf_topk_sql()))
@@ -2787,7 +2666,7 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes even the probed-lists choice bit-identical cross-engine, so
     the evaluation itself is value-checked (oracle nests the unrolled
     IVF twin)."""
-    return _recall_vs_brute(spark, sf_dir, "emb_ivf_topk")
+    return _recall_vs_brute(spark, sf_dir, emb_ivf_topk)
 
 
 def _semantic_dedup_sql(k: int = 8, iters: int = 2, dim: int = 64, threshold: float = 0.4) -> str:
@@ -3848,7 +3727,7 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking quality the 64x memory compression costs.  Deterministic
     end to end (integer-exact codebooks), so the evaluation itself is
     value-checked against an oracle nesting the four Lloyd's chains."""
-    return _recall_vs_brute(spark, sf_dir, "emb_pq_adc_topk")
+    return _recall_vs_brute(spark, sf_dir, emb_pq_adc_topk)
 
 
 _FUNNEL_SQL = """
@@ -4435,65 +4314,58 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r09 @ 9dadec51939d
+# planned-on: r01..r10 @ 97818eebe527
 _TAIL_ROTATION = [
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "emb_cosine_topk",
-    "emb_neardup_blocked",
-    "emb_quantized_topk",
-    "ts_delta",
-    "ts_rolling_mean",
-    "text_pii_scrub",
-    "text_repetition",
-    "emb_ivf_topk",
-    "dedup_clusters",
-    "dedup_passage_stats",
-    "text_gopher_quality",
-    "text_vocab",
-    "text_contamination",
-    "corpus_sample_stats",
-    "dedup_keep_best",
-    "doc_length_band",
-    "text_rare_tokens",
-    "corpus_pack_stats",
-    "dedup_ledger_backfill",
-    "dedup_semantic",
-    "text_bm25_topk",
-    "ts_ewma",
-    "emb_centroid_dist",
-    "corpus_mix_weights",
-    "corpus_epoch_mix",
-    "ts_mad_anomaly",
-    "dedup_minhash_error",
-    "text_fertility",
-    "text_c4_quality",
-    "text_bigram_novelty",
-    "dedup_ledger_replay",
-    "dedup_near_ledger_replay",
-    "dedup_ledger_crash_replay",
-    "corpus_topic_sample",
-    "emb_kmeans_k64",
-    "ts_last_timestamp",
-    "ts_upsert_last_wins",
-    "ts_usage_stats",
-    "ts_ingest_grouping",
-    "ts_ohlc",
-    "part_type_like",
-    "customers_above_nation_avg",
-    "doc_stats_by_lang",
-    "events_funnel",
-    "ts_snap_grid",
-    "events_json_extract",
     "events_interval_join",
     "events_retention",
     "graph_pagerank",
+    "ts_range_read",
+    "ts_downsample_first",
+    "ts_checksum_nansum",
+    "influx_roundtrip",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "tpch_q5ish",
+    "part_brand_agg",
+    "emb_label_centroids",
+    "emb_neardup_lsh",
+    "ts_asof_join",
+    "tpch_rollup",
+    "tpch_q6",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "orders_with_late_lines",
+    "customers_without_recent_orders",
+    "ts_sessionize",
+    "users_set_ops",
+    "ts_time_weighted_avg",
+    "top_orders_per_priority",
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_value_histogram",
+    "ts_cumulative_sum_chunked",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "ts_moving_range_avg",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "dedup_winnow",
+    "emb_ann_recall",
+    "emb_ivf_recall",
+    "corpus_curation_report",
+    "corpus_delta_stats",
+    "text_dup_spans",
+    "corpus_epoch_shards",
+    "corpus_shuffled_shards",
+    "corpus_pack_sequences",
+    "text_classifier_train",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "emb_pq_adc_topk",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
+    "emb_pq_recall",
 ]
 # --- TAIL_ROTATION END ---
 

@@ -38,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   events block (NULL ts/user/type, NaN value, malformed JSON):
 #   valid-ticks contract                          -> ts_snap_grid
 #   NULL-key rows through the chunked prefix sum  -> ts_cumulative_sum_chunked
-#   NULL series through the gap-fill grid joins   -> ts_gap_fill
+#   NULL series through the gap-fill grid joins   -> ts_gap_fill_linear
 #   shape-shifted / malformed / empty JSON        -> events_json_extract
 #   NULL-user cohort identity                     -> events_retention
 #   malformed-line-tolerant parser + writer gate  -> influx_roundtrip
@@ -54,7 +54,9 @@ EDGE_ENTRIES = [
     "multimodal_features",
     "ts_snap_grid",
     "ts_cumulative_sum_chunked",
-    "ts_gap_fill",
+    # ts_gap_fill retired r11: the NULL-series grid-join scenario rides
+    # the surviving linear twin (same grid explode + carry windows)
+    "ts_gap_fill_linear",
     "events_json_extract",
     "events_retention",
     "influx_roundtrip",

@@ -32,8 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #   hot shingle inverted-index key           -> dedup_ngram_jaccard
 #   giant duplicate cluster (CC)             -> dedup_clusters
 #   giant semantic cluster (bounded quad)    -> dedup_semantic
-#   massive cosine ties (50% one vector)     -> emb_cosine_topk
-#   hot IVF cell                             -> emb_ivf_topk
+#   massive cosine ties (50% one vector)     -> emb_ann_recall (brute inside)
+#   hot IVF cell                             -> emb_ivf_recall (IVF inside)
 #   hot source mass (50% one source)         -> corpus_epoch_mix
 #   hot classifier bucket                    -> corpus_mix_weights
 #   giant per-user window partition          -> ts_sessionize
@@ -45,8 +45,11 @@ SKEW_ENTRIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_semantic",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
+    # r11 retirements: the recall gauges run the same brute / IVF
+    # kernels (plus the recall join) — the tie/hot-cell skew scenarios
+    # still execute the retired plans inside the survivors
+    "emb_ann_recall",
+    "emb_ivf_recall",
     "corpus_epoch_mix",
     "corpus_mix_weights",
     "ts_sessionize",

@@ -30,21 +30,17 @@ QUERIES = [
     "ts_usage_stats",
     "ts_ingest_grouping",
     "influx_roundtrip",
-    "ts_delta",
     "ts_sessionize",
     "ts_rate",
-    "ts_gap_fill",
     "ts_cumulative_sum_chunked",
     "ts_ohlc",
     "ts_time_weighted_avg",
     "ts_downsample_first",
     "ts_asof_join",
     "ts_upsert_last_wins",
-    "ts_rolling_mean",
     "ts_gap_fill_linear",
     "ts_moving_range_avg",
     "ts_pivot_daily",
-    "ts_zscore_anomaly",
     "ts_ewma",
     "ts_mad_anomaly",
 ]
