@@ -3077,8 +3077,18 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_error_stats(docs, n=3, num_hashes=16, band_size=2)
 
 
-_CURATION_SQL = f"""
-    WITH g AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL})),
+# near_dup rides the same portable minhash/band CTEs as the
+# dedup_minhash_lsh oracle, then summarizes per BUCKET (bucket size
+# >= 2 <=> the doc appears in >= 1 candidate pair) — the SQL twin of
+# lsh_candidate_pairs(summarize=True), no pair join anywhere
+_CURATION_SQL = (
+    _SHINGLE_CTE
+    + _LSH_BANDS_CTE
+    + f"""
+    , bsz AS (SELECT band, sig, count(*) AS m FROM bands GROUP BY band, sig),
+    nd AS (SELECT DISTINCT bands.doc_id
+           FROM bands JOIN bsz USING (band, sig) WHERE bsz.m >= 2),
+    g AS (SELECT doc_id, gopher_pass FROM ({_GOPHER_SQL})),
     sem AS (SELECT vec_id AS doc_id, keep AS semantic_keep
             FROM ({_semantic_dedup_sql()})),
     fp AS (SELECT doc_id, md5(text) AS f FROM documents),
@@ -3086,9 +3096,12 @@ _CURATION_SQL = f"""
     ex AS (SELECT fp.doc_id, (fp.doc_id = win.keeper) AS exact_keep
            FROM fp JOIN win USING (f))
     SELECT ex.doc_id, ex.exact_keep, g.gopher_pass, sem.semantic_keep,
+           (nd.doc_id IS NOT NULL) AS near_dup,
            (ex.exact_keep AND g.gopher_pass AND sem.semantic_keep) AS keep
     FROM ex JOIN g USING (doc_id) JOIN sem USING (doc_id)
+      LEFT JOIN nd ON nd.doc_id = ex.doc_id
     """
+)
 
 
 @register("corpus_curation_report", _CURATION_SQL)
@@ -3096,10 +3109,12 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone curation verdict, one row per document: exact-dup
     keep (lowest id per md5 fingerprint), Gopher quality pass,
     semantic-dedup keep (SemDedup over the doc's embedding —
-    embeddings.vec_id is documents.doc_id in this corpus), and the
-    conjunction a shard writer would filter on.  Composes three
-    already-value-checked operator families in ONE value-checked
-    query — the oracle nests their exact SQL twins.
+    embeddings.vec_id is documents.doc_id in this corpus), the
+    near-dup flag (>= 1 MinHash-LSH candidate, via the stats-only
+    summarize path — bucket counts, never the pair stream; VERDICT
+    r10 #5), and the conjunction a shard writer would filter on.
+    Composes four already-value-checked operator families in ONE
+    value-checked query — the oracle nests their exact SQL twins.
 
     Plan shape: fingerprints + gopher features come from one corpus
     scan (map-side exprs); the only data-sized shuffles are the

@@ -443,7 +443,11 @@ def band_signatures(
 
 
 def _exact_dup_collapse(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int | None = None,
+    force: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame] | None:
     """Eligibility + slim tables for the exact-duplicate collapse
     shared by ``lsh_candidate_pairs`` and ``minhash_error_stats``
@@ -457,24 +461,43 @@ def _exact_dup_collapse(
     pass; EXACT_MAX_ABS eligibility pattern, one digest aggregate) —
     else ``(mem, groups, rep_docs)``: the checkpointed slim
     (digest, id) membership table, the checkpointed per-digest
-    (rep, size) table, and the representative documents frame."""
+    (rep, size) table, and the representative documents frame.
+
+    ``min_tokens`` (ADVICE r10): groups whose text is too short to
+    shingle (fewer whitespace tokens than the shingle width) produce
+    no signatures, no bands and no pairs — their duplicate mass saves
+    NOTHING, so the savings side of the eligibility rule excludes
+    them (the cost side, 2*n_docs, stays corpus-sized: the extra
+    stages run over everything either way).  A corpus dominated by
+    short duplicated strings no longer mis-triggers the plumbing.
+
+    ``force=True`` skips the eligibility aggregate entirely (no job
+    at construction time) and always builds the collapse tables —
+    the deterministic-branch hook for lint/invariance harnesses."""
     keyed = df.select(F.col(id_col), F.col(text_col)).withColumn(
         "__dig", F.md5(F.col(text_col))
     )
-    row = (
-        keyed.filter(F.col("__dig").isNotNull())
-        .groupBy("__dig")
-        .agg(F.count("*").alias("__g"))
-        .agg(
-            F.sum(F.col("__g") * (F.col("__g") - F.lit(1))).alias("__saved2"),
+    if not force:
+        nonnull = keyed.filter(F.col("__dig").isNotNull())
+        saved_term = F.col("__g") * (F.col("__g") - F.lit(1))
+        if min_tokens is not None:
+            can = (
+                F.size(F.split(F.col(text_col), " ")) >= min_tokens
+            ).cast("bigint")
+            grp_tbl = nonnull.groupBy("__dig").agg(
+                F.count("*").alias("__g"), F.max(can).alias("__can")
+            )
+            saved_term = saved_term * F.col("__can")
+        else:
+            grp_tbl = nonnull.groupBy("__dig").agg(F.count("*").alias("__g"))
+        row = grp_tbl.agg(
+            F.sum(saved_term).alias("__saved2"),
             F.sum("__g").alias("__n"),
-        )
-        .head()
-    )
-    saved2 = (row["__saved2"] or 0) if row else 0
-    n_docs = (row["__n"] or 0) if row else 0
-    if saved2 < 2 * n_docs:
-        return None
+        ).head()
+        saved2 = (row["__saved2"] or 0) if row else 0
+        n_docs = (row["__n"] or 0) if row else 0
+        if saved2 < 2 * n_docs:
+            return None
     mem = materialize_for_self_join(keyed.select("__dig", id_col))
     groups = materialize_for_self_join(
         mem.groupBy("__dig").agg(
@@ -548,6 +571,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 2,
+    summarize: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on all hashes of at
     least one band.  Returns distinct (d1 < d2).
@@ -566,7 +590,36 @@ def lsh_candidate_pairs(
     self-join (skew sf0.1: clusters 4.0 s brute vs 5.2 s collapsed).
     The collapse stays where per-pair compute is heavy
     (``minhash_error_stats``: 16-hash compare + shingle intersection
-    per pair, 2.3x there)."""
+    per pair, 2.3x there).
+
+    ``summarize=True`` (VERDICT r10 #5) is the STATS-ONLY output mode
+    for consumers that never need the pair list — one row per doc that
+    produced >= 1 band signature:
+
+        (id, n_cand_bands, cand_degree_ub, has_candidate)
+
+    where ``has_candidate`` is EXACT (a doc appears in >= 1 candidate
+    pair iff one of its (band, sig) buckets holds >= 2 docs),
+    ``n_cand_bands`` counts its colliding bands, and
+    ``cand_degree_ub`` = sum over bands of (bucket_size - 1) — an
+    upper bound on the distinct candidate degree (a pair colliding in
+    k bands is counted k times; equality whenever every candidate pair
+    collides in exactly one band).  Plan shape: one (band, sig)
+    window count + one per-doc aggregate — NEVER the pair self-join,
+    so a hot boilerplate bucket of size g costs O(g) instead of the
+    C(g,2) output the pair mode is bound to.  Docs with zero shingles
+    emit no bands and are absent; consumers left-join + coalesce."""
+    if summarize:
+        from pyspark.sql import Window
+
+        sigs = band_signatures(df, text_col, id_col, n, num_hashes, band_size)
+        m = F.count("*").over(Window.partitionBy("band", "sig"))
+        per_band = sigs.select(F.col(id_col), (m - F.lit(1)).alias("__x"))
+        return per_band.groupBy(id_col).agg(
+            F.sum((F.col("__x") >= 1).cast("bigint")).alias("n_cand_bands"),
+            F.sum("__x").cast("bigint").alias("cand_degree_ub"),
+            F.max(F.col("__x") >= 1).alias("has_candidate"),
+        )
     sigs = materialize_for_self_join(
         band_signatures(df, text_col, id_col, n, num_hashes, band_size)
     )
@@ -882,6 +935,7 @@ def minhash_error_stats(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 2,
+    collapse: str = "auto",
 ) -> DataFrame:
     """Sketch-quality evaluation for the MinHash-LSH dedup path: for
     every LSH candidate pair, the MinHash Jaccard ESTIMATE (fraction
@@ -922,13 +976,32 @@ def minhash_error_stats(
     duplicates cost less than the extra stages).  Both paths are
     value-identical — the DuckDB oracle is unchanged — and compute
     stays distinct-text-sized; only the OUTPUT remains pair-sized,
-    as the semantics demand."""
-    collapse = _exact_dup_collapse(df, text_col, id_col)
-    if collapse is None:
+    as the semantics demand.
+
+    ``collapse`` (ADVICE r10): ``"auto"`` (default) runs the one-job
+    eligibility aggregate at construction time and picks the branch
+    the data warrants; ``"off"`` skips the aggregate AND the collapse
+    (pure lazy uncollapsed plan — what a lint harness audits without
+    paying construction-time jobs); ``"on"`` skips the aggregate and
+    forces the collapse plumbing (the other branch, deterministically).
+    All three are value-identical; the eligibility savings aggregate
+    only counts groups whose text can actually shingle
+    (``min_tokens=n``), so short-string duplicate mass no longer
+    mis-triggers the plumbing."""
+    if collapse not in ("auto", "on", "off"):
+        raise ValueError(f"collapse must be auto|on|off, got {collapse!r}")
+    chosen = (
+        None
+        if collapse == "off"
+        else _exact_dup_collapse(
+            df, text_col, id_col, min_tokens=n, force=(collapse == "on")
+        )
+    )
+    if chosen is None:
         pairs, _sigs = _minhash_error_core(df, text_col, id_col, n,
                                            num_hashes, band_size)
         return pairs
-    mem, groups, rep_docs = collapse
+    mem, groups, rep_docs = chosen
     rep_pairs, sigs = _minhash_error_core(rep_docs, text_col, id_col, n,
                                           num_hashes, band_size)
     # intra-group pairs (identical texts with >= 1 shingle) are

@@ -34,15 +34,31 @@ def curation_report(
     centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """One row per document: ``(doc_id, exact_keep, gopher_pass,
-    semantic_keep, keep)`` where ``keep`` is the conjunction a shard
-    writer filters on.  ``embeddings.vec_id`` must be ``doc_id``.
+    semantic_keep, near_dup, keep)`` where ``keep`` is the conjunction
+    a shard writer filters on.  ``embeddings.vec_id`` must be
+    ``doc_id``.
+
+    ``near_dup`` (VERDICT r10 #5) reports whether the document has at
+    least one MinHash-LSH candidate — computed through the STATS-ONLY
+    ``lsh_candidate_pairs(summarize=True)`` path (per-bucket window
+    count, one per-doc aggregate), NEVER the pair stream: the report
+    needs a per-doc flag, and materializing C(g,2) pairs for a hot
+    boilerplate group of size g to derive a boolean is exactly the
+    skew amplification the r10 bench measured (1.71x) on the
+    output-bound pair mode.  The flag is exact (bucket size >= 2 iff
+    the doc appears in >= 1 candidate pair); it is REPORTED, not
+    conjoined into ``keep`` — near-dup resolution (which member to
+    keep) belongs to the clustering consumers that do need pairs.
 
     Plan shape: fingerprints + gopher features come from one corpus
     scan (map-side exprs); the only data-sized shuffles are the digest
-    groupBy/join pair and the final ``doc_id`` join against the
-    embedding-derived keep flags.  With ``centroids`` supplied, no
-    training jobs run at all."""
+    groupBy/join pair, the band-signature bucket count, and the final
+    ``doc_id`` joins against the embedding-derived keep flags.  With
+    ``centroids`` supplied, no training jobs run at all."""
     g = text.gopher_quality(docs).select("doc_id", "gopher_pass")
+    nd = dedup.lsh_candidate_pairs(docs, summarize=True).select(
+        "doc_id", F.col("has_candidate").alias("__nd")
+    )
     fp = dedup.materialize_for_self_join(
         docs.select("doc_id", F.md5("text").alias("fingerprint"))
     )
@@ -56,11 +72,13 @@ def curation_report(
     return (
         ex.join(g, on="doc_id")
         .join(sem, on="doc_id")
+        .join(nd, on="doc_id", how="left")
         .select(
             "doc_id",
             "exact_keep",
             "gopher_pass",
             "semantic_keep",
+            F.coalesce(F.col("__nd"), F.lit(False)).alias("near_dup"),
             (
                 F.col("exact_keep") & F.col("gopher_pass") & F.col("semantic_keep")
             ).alias("keep"),

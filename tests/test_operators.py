@@ -1775,6 +1775,72 @@ def test_minhash_error_collapse_is_value_identical(spark):
     assert not any(k[0] >= 201 or k[1] >= 201 for k in c)
 
 
+def test_minhash_error_collapse_kwarg_branches(spark, sf_dir):
+    """ADVICE r10: collapse=auto|on|off — all three branches must be
+    value-identical (the kwarg exists so harnesses can audit either
+    physical branch deterministically, and 'off' without paying the
+    construction-time eligibility job)."""
+    from ong_tsdb_spark import entry_queries as eq
+
+    docs = eq.load(spark, sf_dir, "documents")
+    auto = sorted(tuple(r) for r in dedup.minhash_error_stats(docs).collect())
+    off = sorted(
+        tuple(r) for r in dedup.minhash_error_stats(docs, collapse="off").collect()
+    )
+    on = sorted(
+        tuple(r) for r in dedup.minhash_error_stats(docs, collapse="on").collect()
+    )
+    assert auto == off == on and len(auto) > 0
+    with pytest.raises(ValueError):
+        dedup.minhash_error_stats(docs, collapse="maybe")
+
+
+def test_collapse_eligibility_ignores_unshingleable_dups(spark):
+    """ADVICE r10: duplicate groups of texts too short to shingle save
+    no pair work (they never sign/band), so they must not count toward
+    the collapse's saved-pair mass — a corpus dominated by short
+    duplicated strings stays on the plain path."""
+    rows = [(i, "hi") for i in range(100)]
+    rows += [(100 + i, f"alpha beta gamma delta {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup._exact_dup_collapse(df, "text", "doc_id", min_tokens=3) is None
+    # sanity: without the guard the same corpus WOULD trigger (the
+    # mis-trigger the guard exists to prevent)
+    assert dedup._exact_dup_collapse(df, "text", "doc_id") is not None
+    # and force=True always builds the tables, no eligibility job
+    assert (
+        dedup._exact_dup_collapse(df, "text", "doc_id", min_tokens=3, force=True)
+        is not None
+    )
+
+
+def test_lsh_summarize_matches_pair_stream(spark, sf_dir):
+    """VERDICT r10 #5: the stats-only summarize mode must agree with
+    the pair stream exactly on has_candidate (bucket >= 2 <=> appears
+    in >= 1 pair), upper-bound the true distinct candidate degree, and
+    hit zero degree exactly on candidate-free docs."""
+    import collections
+
+    from ong_tsdb_spark import entry_queries as eq
+
+    docs = eq.load(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs).collect()
+    summ = {
+        r["doc_id"]: r
+        for r in dedup.lsh_candidate_pairs(docs, summarize=True).collect()
+    }
+    deg = collections.Counter()
+    for r in pairs:
+        deg[r["d1"]] += 1
+        deg[r["d2"]] += 1
+    assert {d for d, r in summ.items() if r["has_candidate"]} == set(deg)
+    for d, true_deg in deg.items():
+        assert summ[d]["cand_degree_ub"] >= true_deg, d
+    for d, r in summ.items():
+        assert (r["cand_degree_ub"] == 0) == (d not in deg), d
+        assert (r["n_cand_bands"] == 0) == (d not in deg), d
+
+
 def test_curation_report_components_agree(spark, sf_dir):
     """Each curation-report column must equal its generating operator
     family computed independently."""
@@ -1797,11 +1863,18 @@ def test_curation_report_components_agree(spark, sf_dir):
         r["vec_id"]: r["keep"]
         for r in similarity.semantic_dedup(emb, k=8, iters=2, threshold=0.4).collect()
     }
+    nd_docs = set()
+    for r in dedup.lsh_candidate_pairs(docs).collect():
+        nd_docs.add(r["d1"])
+        nd_docs.add(r["d2"])
     assert set(rep) == set(gopher)
     for d, r in rep.items():
         assert r["exact_keep"] == (d in keepers)
         assert r["gopher_pass"] == gopher[d]
         assert r["semantic_keep"] == sem[d]
+        # near_dup rides the summarize path but must equal the pair
+        # stream's membership exactly (VERDICT r10 #5)
+        assert r["near_dup"] == (d in nd_docs)
         assert r["keep"] == (r["exact_keep"] and r["gopher_pass"] and r["semantic_keep"])
 
 

@@ -105,6 +105,10 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bpe-scale")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # 12M-token corpora (the 10x Zipf scale row) blow past the 1g
+        # default driver memory in the pair-count hash aggregate —
+        # same 16g the other tools' sessions use
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
