@@ -172,3 +172,160 @@ def test_untouched_chunk_files_never_rewritten(eng):
     assert _dir_digest(parts[0]) == first_before
     out = eng.read_pandas("test", "s4")
     assert out["active"].iloc[-1] == np.float32(pdf["active"].iloc[-1] + 5.0)
+
+
+def test_killed_merge_while_other_sensor_writes(spark, tmp_path):
+    """VERDICT r10 #7: kill one writer mid-``_merge`` while a second
+    writer holds a DIFFERENT sensor of the same database — both
+    sensors must verify clean afterward.  Locks are per-sensor
+    (reference test_database.py:141-207 runs its writers against one
+    OngTSDB instance the same way), so the doomed merge must neither
+    block nor damage the neighbour, and its own sensor must keep the
+    pre-crash bytes and accept a clean retry."""
+    import threading
+
+    from ong_tsdb_spark.plans import maintenance
+
+    base = str(tmp_path / "tsdb")
+    ea = OngTsdbSpark(spark, base)
+    ea.create_db("test")
+    ea.create_sensor("test", "sa", "1h", ["active"])
+    ea.create_sensor("test", "sb", "1h", ["active"])
+    pdf_a = _mk_pdf(10)
+    ea.write_df("test", "sa", pdf_a)
+    path_a = ea.catalog.data_path("test", "sa")
+    before_a = _dir_digest(path_a)
+
+    # a second engine instance = the reference's second writer process
+    eb = OngTsdbSpark(spark, base)
+    b_done = threading.Event()
+    b_err: list[Exception] = []
+
+    def writer_b():
+        try:
+            eb.write_df("test", "sb", _mk_pdf(10) + 50.0)
+        except Exception as exc:  # noqa: BLE001
+            b_err.append(exc)
+        finally:
+            b_done.set()
+
+    # kill A mid-_merge: the real merge runs (we are INSIDE the
+    # sensor-a locks, mid-upsert), then the process "dies" — but only
+    # after writer B has fully written sensor b under A's held lock,
+    # pinning the per-sensor lock scope deterministically
+    real_merge = ea._merge
+
+    def dying_merge(old, batch, known, cfg):
+        merged = real_merge(old, batch, known, cfg)
+        t = threading.Thread(target=writer_b)
+        t.start()
+        assert b_done.wait(timeout=120), "writer B deadlocked behind sensor-a lock"
+        t.join()
+        raise OSError("simulated kill mid-merge")
+
+    ea._merge = dying_merge
+    with pytest.raises(OSError, match="simulated kill mid-merge"):
+        ea.write_df("test", "sa", pdf_a + 1.0)
+    ea._merge = real_merge
+
+    # B's write landed while A was mid-merge
+    assert not b_err, b_err
+    out_b = eb.read_pandas("test", "sb")
+    assert out_b["active"].tolist() == (_mk_pdf(10) + 50.0)["active"].astype(
+        "float32"
+    ).tolist()
+
+    # A's sensor: pre-crash bytes intact, both sensors verify clean
+    assert _dir_digest(path_a) == before_a
+    for sensor in ("sa", "sb"):
+        st = maintenance.verify_sensor(ea, "test", sensor)
+        assert st.duplicate_ts == 0 and st.off_grid == 0, sensor
+        assert st.n_rows == 10, sensor
+
+    # the crashed writer's lock was released: a clean retry wins
+    ea.write_df("test", "sa", pdf_a + 1.0)
+    out_a = ea.read_pandas("test", "sa")
+    assert out_a["active"].tolist() == (pdf_a + 1.0)["active"].astype(
+        "float32"
+    ).tolist()
+
+
+def test_reference_concurrency_with_mid_write_kill(spark, tmp_path):
+    """The reference's 4-writers + schema-extender race
+    (test_database.py:141-207) crossed with a mid-commit kill: one
+    extra writer's job dies in-flight (executor-crash shape) while
+    the others contend for the same sensor lock and the extender grows
+    the schema.  Survivors' cells, the new metric, and the verify
+    audit must all come out clean; the crashed batch must be absent."""
+    import threading
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ong_tsdb_spark.plans import maintenance
+
+    eng = OngTsdbSpark(spark, str(tmp_path / "tsdb"))
+    eng.create_db("test")
+    eng.create_sensor("test", "s1", "1s", ["m0"])
+    base = 1672617600
+    errors: list[tuple[str, Exception]] = []
+
+    def writer(thread_id: int) -> None:
+        try:
+            for batch in range(3):
+                pts = [
+                    (
+                        "m0",
+                        float(thread_id * 1000 + batch),
+                        float(base + thread_id * 100 + batch * 10 + i),
+                    )
+                    for i in range(5)
+                ]
+                eng.write_points("test", "s1", pts)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("writer", exc))
+
+    def extender() -> None:
+        try:
+            pts = [("m_new", 7.0, float(base + 900 + i)) for i in range(5)]
+            eng.write_points("test", "s1", pts)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(("extender", exc))
+
+    @pandas_udf("double")
+    def poison(v: pd.Series) -> pd.Series:
+        raise RuntimeError("simulated executor crash")
+
+    def crasher() -> None:
+        bad = spark.range(5).select(
+            (F.lit(float(base + 500)) + F.col("id").cast("double")).alias("ts_sec"),
+            poison(F.col("id").cast("double")).alias("m0"),
+        )
+        try:
+            eng.write_spark_df("test", "s1", bad)
+        except Exception:
+            pass  # the kill is the point; the suite asserts its blast radius
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=extender))
+    threads.append(threading.Thread(target=crasher))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    st = maintenance.verify_sensor(eng, "test", "s1")
+    assert st.duplicate_ts == 0 and st.off_grid == 0
+    assert st.n_rows == 4 * 3 * 5 + 5  # writers + extender, no poison rows
+
+    out = eng.read_pandas("test", "s1")
+    assert "m_new" in out.columns
+    # every surviving cell holds the value its writer sent (disjoint
+    # ts ranges; the crashed batch's ts range must be absent)
+    for tid in range(4):
+        for batch in range(3):
+            ts = pd.Timestamp(base + tid * 100 + batch * 10, unit="s", tz="UTC")
+            assert out.loc[ts, "m0"] == np.float32(tid * 1000 + batch)
+    crash_ts = pd.Timestamp(base + 500, unit="s", tz="UTC")
+    assert crash_ts not in out.index
