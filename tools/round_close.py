@@ -153,10 +153,36 @@ def main(argv=None) -> int:
             ["git", "-C", REPO, "ls-files", "PLAN_LINT_r*.json"],
             capture_output=True, text=True).stdout.split()
         if tracked:
-            lint_cmd += ["--compare", f"git:HEAD:{sorted(tracked)[-1]}"]
+            # newest by PARSED round number, not lexicographic —
+            # sorted()[-1] would pick r99 over r100 (ADVICE r10)
+            def _lint_round(p: str) -> int:
+                m = re.search(r"PLAN_LINT_r(\d+)\.json$", p)
+                return int(m.group(1)) if m else -1
+
+            lint_cmd += [
+                "--compare", f"git:HEAD:{max(tracked, key=_lint_round)}"
+            ]
         stages.append(("plan-lint", lint_cmd))
 
-    failed = [label for label, cmd in stages if not run(label, cmd)]
+    # a replay over a FIXED /tmp corpus path must not run when the
+    # stage that (re)generates that corpus failed — it would replay
+    # stale data from a previous close and report a misleading
+    # per-stage pass (ADVICE r10)
+    stage_deps = {
+        "edge-replay": "edge-gen",
+        "edge-hostile": "edge-gen",
+        "skew-replay": "skew-gen",
+    }
+    failed: list[str] = []
+    for label, cmd in stages:
+        dep = stage_deps.get(label)
+        if dep in failed:
+            print(f"== {label}: SKIPPED (generator stage '{dep}' failed — "
+                  "the fixed corpus path may hold stale data)")
+            failed.append(label)
+            continue
+        if not run(label, cmd):
+            failed.append(label)
 
     # VERDICT r9 #5: whenever the engine family drifted beyond the
     # trigger vs the committed detail, the late/fresh A/B must exist
