@@ -423,10 +423,16 @@ def bench_skew(spark, sf_dir: str) -> None:
     )
 
 
-def bench_engine(spark, sf_dir: str) -> dict[str, float]:
+def bench_engine(spark, sf_dir: str, serve_steady: int = 0) -> dict[str, float]:
     """Engine write/read path throughput on the reference's workload
     shape: fixed-interval upsert ingest + pruned range reads.  Uses
-    the events table as the tick source (ns ts -> 1 s grid)."""
+    the events table as the tick source (ns ts -> 1 s grid).
+
+    ``serve_steady > 0`` additionally runs that many back-to-back
+    serving reads and records their median/p90 as
+    ``engine_serve_read_7d_steady_p50``/``_p90`` — the long-lived
+    serving-session latency contract (VERDICT r10 #2: one pass can't
+    distinguish a GC hiccup from a session-aging slope)."""
     import shutil
     import tempfile
 
@@ -479,6 +485,22 @@ def bench_engine(spark, sf_dir: str) -> dict[str, float]:
         out["engine_serve_read_7d"] = round(time.perf_counter() - t0, 4)
         print(f"[bench] engine_serve_read_7d: {n_serve} rows in "
               f"{out['engine_serve_read_7d'] * 1000:.1f} ms", file=sys.stderr)
+        if serve_steady > 0:
+            laps = []
+            for _ in range(serve_steady):
+                t0 = time.perf_counter()
+                eng.read_pandas("bench", "events_1s",
+                                start_ts=lo, end_ts=lo + 7 * 86400)
+                laps.append(time.perf_counter() - t0)
+            laps.sort()
+            out["engine_serve_read_7d_steady_p50"] = round(
+                laps[len(laps) // 2], 4)
+            out["engine_serve_read_7d_steady_p90"] = round(
+                laps[min(len(laps) - 1, int(len(laps) * 0.9))], 4)
+            print(f"[bench] serve steady ({serve_steady} laps): "
+                  f"p50 {out['engine_serve_read_7d_steady_p50'] * 1000:.1f} ms, "
+                  f"p90 {out['engine_serve_read_7d_steady_p90'] * 1000:.1f} ms",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
