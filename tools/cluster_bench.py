@@ -65,13 +65,19 @@ def run_engine(
     sf_dir: str,
     runs: int = 2,
     queries: list[str] | None = None,
+    discard_first: bool = False,
 ) -> dict[str, float]:
     """Best-of-``runs`` per metric in ONE session — the first pass
     absorbs executor-JVM + Python-worker launch (which local[] never
     pays), so best-of separates steady-state serialization cost from
     cluster cold-start, matching bench.py's best-of-N policy.
     ``queries`` are registry entries timed with the same best-of
-    policy after the engine passes."""
+    policy after the engine passes.
+
+    ``discard_first=True`` is the STRICTER protocol (VERDICT r10 #4):
+    one full untimed engine pass first, then best-of-``runs`` — the
+    cold-start pass never contributes a 'best', so the recorded
+    number is pure steady state under both masters."""
     import time
 
     from pyspark.sql import SparkSession
@@ -92,6 +98,8 @@ def run_engine(
     spark.sparkContext.setLogLevel("ERROR")
     try:
         best: dict[str, float] = {}
+        if discard_first:
+            bench.bench_engine(spark, sf_dir)  # untimed cold-start pass
         for _ in range(max(1, runs)):
             t = bench.bench_engine(spark, sf_dir)
             for k, v in t.items():
@@ -124,6 +132,12 @@ def main(argv=None) -> int:
                     help="registry entries to time under both masters "
                          f"(default: {' '.join(DEFAULT_QUERIES)}; pass "
                          "with no names to skip)")
+    ap.add_argument("--runs", type=int, default=2,
+                    help="best-of-N passes per master (default 2)")
+    ap.add_argument("--discard-first", action="store_true",
+                    help="stricter protocol (VERDICT r10 #4): one "
+                         "untimed cold-start engine pass before the "
+                         "timed best-of passes")
     args = ap.parse_args(argv)
 
     queries = DEFAULT_QUERIES if args.queries is None else args.queries
@@ -132,9 +146,11 @@ def main(argv=None) -> int:
     local_cores = args.local_cores or total_cores
     master = f"local-cluster[{args.workers},{args.cores},{args.mem_mb}]"
 
-    cluster = run_engine(master, total_cores, args.sf_dir, queries=queries)
+    cluster = run_engine(master, total_cores, args.sf_dir, queries=queries,
+                         runs=args.runs, discard_first=args.discard_first)
     local = run_engine(f"local[{local_cores}]", local_cores, args.sf_dir,
-                       queries=queries)
+                       queries=queries, runs=args.runs,
+                       discard_first=args.discard_first)
     ratio = {
         k: round(cluster[k] / local[k], 2) if local.get(k) else None
         for k in cluster
@@ -143,6 +159,8 @@ def main(argv=None) -> int:
         "master": master,
         "local_master": f"local[{local_cores}]",
         "sf_dir": args.sf_dir,
+        "runs": args.runs,
+        "discard_first": args.discard_first,
         "cluster": cluster,
         "local": local,
         "ratio": ratio,
