@@ -381,6 +381,24 @@ def test_minhash_error_candidates_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # cand pushed to both sides
 
 
+@pytest.mark.parametrize("branch", ["off", "on"])
+def test_minhash_error_both_branches_lint_clean(spark, sf_dir, branch):
+    """ADVICE r10: the registry entry's construction-time eligibility
+    aggregate means a lint harness only ever sees the branch the lint
+    corpus selects.  The collapse kwarg makes BOTH physical branches
+    auditable deterministically — neither may contain a cartesian
+    product or a row-at-a-time Python UDF ('off' additionally runs no
+    job at construction time; 'on' builds the collapse tables)."""
+    from ong_tsdb_spark import entry_queries as eq
+    from ong_tsdb_spark.operators import dedup
+
+    docs = eq.load(spark, sf_dir, "documents")
+    df = dedup.minhash_error_stats(docs, collapse=branch)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_curation_report_composition_shape(spark, sf_dir):
     """The capstone report: fingerprint table materialized once (the
     groupBy + join pair would otherwise scan the corpus twice), the
