@@ -478,11 +478,21 @@ def bench_engine(spark, sf_dir: str, serve_steady: int = 0) -> dict[str, float]:
         out["engine_last_ts"] = round(time.perf_counter() - t0, 4)
         # the SERVING read (round-6 pyarrow fast path): same 7-day
         # window to a pandas frame, no Spark job — the latency tier
-        # the reference's embedded store competes in
-        t0 = time.perf_counter()
-        n_serve = len(eng.read_pandas("bench", "events_1s",
-                                      start_ts=lo, end_ts=lo + 7 * 86400))
-        out["engine_serve_read_7d"] = round(time.perf_counter() - t0, 4)
+        # the reference's embedded store competes in.  Best-of-3
+        # (r11): a SINGLE shot of this ~35 ms pure-driver read has a
+        # 30-65 ms per-lap spread (first-touch warmup after the store
+        # rebuild — page cache + pyarrow metadata, NOT session aging;
+        # BENCH.md round-11 serve-read subsection), which at
+        # single-shot sampling produced a spurious 1.655x "aging"
+        # ratio in BENCH_QUIET_r10.  Three laps cost < 0.2 s and pin
+        # the number the serving tier actually delivers.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_serve = len(eng.read_pandas("bench", "events_1s",
+                                          start_ts=lo, end_ts=lo + 7 * 86400))
+            best = min(best, time.perf_counter() - t0)
+        out["engine_serve_read_7d"] = round(best, 4)
         print(f"[bench] engine_serve_read_7d: {n_serve} rows in "
               f"{out['engine_serve_read_7d'] * 1000:.1f} ms", file=sys.stderr)
         if serve_steady > 0:
