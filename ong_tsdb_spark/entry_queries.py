@@ -4329,8 +4329,32 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r10 @ 97818eebe527
+# planned-on: r01..r10 @ 1b8a3124c765
 _TAIL_ROTATION = [
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_cumulative_sum_chunked",
+    "corpus_clean_pipeline",
+    "ts_moving_range_avg",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "dedup_winnow",
+    "emb_ann_recall",
+    "emb_ivf_recall",
+    "corpus_curation_report",
+    "text_dup_spans",
+    "corpus_epoch_shards",
+    "corpus_shuffled_shards",
+    "corpus_pack_sequences",
+    "text_classifier_train",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "emb_pq_adc_topk",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
+    "emb_pq_recall",
+    "ts_snap_grid",
+    "events_json_extract",
     "events_interval_join",
     "events_retention",
     "graph_pagerank",
@@ -4343,7 +4367,6 @@ _TAIL_ROTATION = [
     "tpch_q5ish",
     "part_brand_agg",
     "emb_label_centroids",
-    "emb_neardup_lsh",
     "ts_asof_join",
     "tpch_rollup",
     "tpch_q6",
@@ -4353,34 +4376,11 @@ _TAIL_ROTATION = [
     "customers_without_recent_orders",
     "ts_sessionize",
     "users_set_ops",
-    "ts_time_weighted_avg",
     "top_orders_per_priority",
-    "ts_gap_fill_linear",
-    "ts_rate",
     "ts_value_histogram",
-    "ts_cumulative_sum_chunked",
     "multimodal_features",
-    "corpus_clean_pipeline",
-    "ts_moving_range_avg",
     "multimodal_frame_sample",
-    "text_rolling_fingerprint",
-    "text_bpe_tokens",
-    "dedup_winnow",
-    "emb_ann_recall",
-    "emb_ivf_recall",
-    "corpus_curation_report",
     "corpus_delta_stats",
-    "text_dup_spans",
-    "corpus_epoch_shards",
-    "corpus_shuffled_shards",
-    "corpus_pack_sequences",
-    "text_classifier_train",
-    "text_classifier_quality",
-    "corpus_dsir_weights",
-    "emb_pq_adc_topk",
-    "text_bpe_pairs",
-    "doc_chunk_stats",
-    "emb_pq_recall",
 ]
 # --- TAIL_ROTATION END ---
 
