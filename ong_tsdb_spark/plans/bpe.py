@@ -43,6 +43,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = [
     "train_bpe_merges",
@@ -95,6 +96,38 @@ LAST_TRAIN_ROUNDS = 0
 #: the cascade's round reduction survives past the G-gram horizon as
 #: the symbol table grows (VERDICT r7 #3).
 LAST_TRAIN_HISTORY: list[int] = []
+
+#: rows the DRIVER collected per round in the most recent
+#: train_bpe_merges call — the ONLY corpus-derived data the driver
+#: process ever holds (the summary / ranked-prefix collect; everything
+#: else is the merge table and the capped simulation memo).  Bounded
+#: by (G + 1) * top-K + |symbol universe| per round INDEPENDENT OF
+#: CORPUS SIZE; tests/test_bpe.py pins the bound so a future edit
+#: cannot quietly put the driver back in the data path.
+LAST_DRIVER_ROWS: list[int] = []
+
+#: peak _GramSummary memo size over the most recent training run —
+#: the other driver-side allocation, hard-capped at CASCADE_MEMO_CAP.
+LAST_MEMO_PEAK = 0
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Deterministically drop the block-store partitions backing an
+    eager ``localCheckpoint`` DataFrame.
+
+    The blocks otherwise live until the JVM-side Dataset is garbage
+    collected and the ContextCleaner's PERIODIC GC sweep runs (default
+    every 30 min) — a multi-round trainer re-checkpointing a
+    corpus-sized symbol table each round accumulates one corpus copy
+    per round in the meantime, which is exactly the memory wall the
+    10x Zipf run hit at the 1 GiB default heap.  The checkpointed RDD
+    is reachable from the DataFrame's LogicalRDD plan node; anything
+    unexpected (non-checkpoint plan, already-cleaned RDD) degrades to
+    the old GC-eventually behavior rather than failing training."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _exact_batch(
@@ -238,6 +271,22 @@ def _exact_batch(
 CASCADE_G = 6
 CASCADE_TOPK = 4096
 
+#: hard cap on the driver-side simulation memo (distinct (gram, depth)
+#: interval queries per round).  The memo is the one cascade
+#: allocation without a closed-form bound — created-pair queries
+#: recurse through inclusion-exclusion expansions whose count depends
+#: on how the accepted merges chain — so it gets a budget instead:
+#: blowing it simply ENDS the round after the merges already proven
+#: (the next round recounts exactly), trading a little batching for a
+#: corpus-independent driver-memory ceiling.  ~60 bytes/entry -> the
+#: default caps the memo near 60 MB; measured natural-text rounds peak
+#: around 1e4-1e5 entries, far below it.
+CASCADE_MEMO_CAP = 1 << 20
+
+
+class _MemoBudgetExceeded(Exception):
+    """Internal: the in-round simulation memo hit CASCADE_MEMO_CAP."""
+
 
 class _GramSummary:
     """Top-K per-level symbol n-gram counts with per-level floors,
@@ -268,6 +317,7 @@ class _GramSummary:
         self.G = G
         self.merges: list[tuple[str, str, str]] = []  # in-round (a, b, a+b)
         self._memo: dict[tuple[tuple[str, ...], int], tuple[int, int]] = {}
+        self.collected_rows = 0  # set by _collect_summary
 
     def query(
         self, gram: tuple[str, ...], k: int | None = None
@@ -313,6 +363,8 @@ class _GramSummary:
                         l4, h4 = self.query((a,) + E + (b,), k - 1)
                         lo, hi = lo + l4, hi + h4
                 out = (max(lo, 0), max(hi, 0))
+        if len(self._memo) >= CASCADE_MEMO_CAP:
+            raise _MemoBudgetExceeded
         self._memo[key] = out
         return out
 
@@ -428,7 +480,9 @@ def _collect_summary(cur, G: int, topk: int) -> _GramSummary:
         ns = level_rows.get(lvl, [])
         kth = min(ns) if len(ns) == topk else 0
         floors[lvl] = max(kth, floor2)
-    return _GramSummary(grams_d, floors, G)
+    S = _GramSummary(grams_d, floors, G)
+    S.collected_rows = len(pair_rows) + len(rows)
+    return S
 
 
 def _pair_str(p: tuple[str, str]) -> str:
@@ -488,17 +542,23 @@ def _cascade_round(
         S.merges.append((a, b, c))
         universe.add(c)
         del table[best]
-        for p in list(table):
-            if a in p or b in p:
-                table[p] = S.query(p)
-        # created pairs: every current symbol is in `universe`
-        # (alphabet + all merge outputs), so this enumeration is
-        # complete — no unknown-context bound is needed
-        for x in universe:
-            for p in ((x, c), (c, x)):
-                lo, hi = S.query(p)
-                if hi > 0:
-                    table[p] = (lo, hi)
+        try:
+            for p in list(table):
+                if a in p or b in p:
+                    table[p] = S.query(p)
+            # created pairs: every current symbol is in `universe`
+            # (alphabet + all merge outputs), so this enumeration is
+            # complete — no unknown-context bound is needed
+            for x in universe:
+                for p in ((x, c), (c, x)):
+                    lo, hi = S.query(p)
+                    if hi > 0:
+                        table[p] = (lo, hi)
+        except _MemoBudgetExceeded:
+            # driver-memory ceiling: keep everything proven so far and
+            # force a recount — exactness is untouched, the round just
+            # batches less (see CASCADE_MEMO_CAP)
+            return accepted, False
     return accepted, False
 
 
@@ -511,6 +571,7 @@ def train_bpe_merges(
     guard: str = "cascade",
     cascade_g: int | None = None,
     cascade_topk: int | None = None,
+    storage_level: StorageLevel = StorageLevel.DISK_ONLY,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
     ordered merge table [(a, b), ...]; stops early when the best
@@ -551,12 +612,29 @@ def train_bpe_merges(
     ``cascade_g`` / ``cascade_topk`` override the summary horizon /
     width (default CASCADE_G=6 / CASCADE_TOPK=4096) — exactness holds
     for any values (the simulation only accepts provable argmaxes; a
-    narrower summary just proves less per round)."""
+    narrower summary just proves less per round).
+
+    MEMORY CONTRACT (the 100 TB shape): the driver holds O(G * top-K)
+    summary rows per round (``LAST_DRIVER_ROWS``), the merge table,
+    and a simulation memo hard-capped at ``CASCADE_MEMO_CAP`` —
+    nothing that grows with the corpus.  The corpus-sized symbol table
+    lives in the block store at ``storage_level`` (default DISK_ONLY:
+    executor local disk on a cluster; in local mode that disk residency
+    is what keeps the single shared JVM's heap free for the pair-count
+    hash aggregate), and exactly ONE round's copy is ever live — each
+    rewrite frees the superseded round's blocks deterministically
+    (:func:`_free_checkpoint`) instead of waiting out the
+    ContextCleaner's periodic-GC sweep.  Proven: 1k merges on the 12M-
+    token 10x Zipf corpus at the 1 GiB default driver heap (BENCH.md
+    round-12 row; the r11 run OOMed there before this contract)."""
     from ..operators.dedup import ensure_parallelism
     from ..operators.text import tokens
 
     global LAST_TRAIN_ROUNDS, LAST_TRAIN_HISTORY
+    global LAST_DRIVER_ROWS, LAST_MEMO_PEAK
     history: list[int] = []
+    driver_rows: list[int] = []
+    memo_peak = 0
     if guard not in ("cascade", "exact", "disjoint", "stale"):
         raise ValueError(
             "guard must be 'cascade', 'exact', 'disjoint' or 'stale', "
@@ -568,7 +646,7 @@ def train_bpe_merges(
         .select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w").isNotNull() & (F.length("w") >= 1))
         .select(_sym_string(F.col("w")).alias("syms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=storage_level)
     )
     merges: list[tuple[str, str]] = []
     rounds = 0
@@ -588,6 +666,7 @@ def train_bpe_merges(
             .limit(1)
             .collect()
         )
+        driver_rows.append(len(top))
         if not top or int(top[0]["n"]) < min_count:
             return []
         a, b = top[0]["p"].split(" ")
@@ -600,7 +679,9 @@ def train_bpe_merges(
                 cur, cascade_g or CASCADE_G, cascade_topk or CASCADE_TOPK
             )
             rounds += 1
+            driver_rows.append(S.collected_rows)
             accepted, exhausted = _cascade_round(S, limit, min_count)
+            memo_peak = max(memo_peak, len(S._memo))
             if not accepted:
                 if exhausted:
                     # final probe round accepted nothing: record it so
@@ -631,6 +712,7 @@ def train_bpe_merges(
                 .collect()
             )
             rounds += 1
+            driver_rows.append(len(top))
             ranked = [(r["p"], int(r["n"])) for r in top]
             # a short collection saw the WHOLE table: nothing lurks below
             floor = ranked[-1][1] if len(ranked) == top_m else 0
@@ -652,10 +734,20 @@ def train_bpe_merges(
             syms = F.regexp_replace(
                 syms, merges_pattern(a, b), _quote_replacement(a + b)
             )
-        cur = cur.select(syms.alias("syms")).localCheckpoint(eager=True)
+        prev = cur
+        cur = cur.select(syms.alias("syms")).localCheckpoint(
+            eager=True, storageLevel=storage_level
+        )
+        # exactly one live corpus copy: the new round's blocks are
+        # materialized, so the superseded round's can go NOW
+        _free_checkpoint(prev)
+    _free_checkpoint(cur)
     LAST_TRAIN_ROUNDS = rounds
     LAST_TRAIN_HISTORY = history
+    LAST_DRIVER_ROWS = driver_rows
+    LAST_MEMO_PEAK = memo_peak
     return merges
+
 
 
 # ----------------------------------------------------------------------

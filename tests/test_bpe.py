@@ -431,3 +431,78 @@ def test_curve_eighths_covers_every_round():
         )
         assert abs(total - sum(hist)) < 0.5 * n + 1e-9, (n, curve, total)
     assert bs._curve_eighths([]) == []
+
+
+# ----------------------------------------------------------------------
+# driver-memory contract (VERDICT r11 #2): the driver never holds
+# corpus-derived state beyond the O(G * top-K) summary, the memo is
+# hard-capped, and the round checkpoints rotate (exactly one live
+# corpus copy; zero blocks leaked after training)
+# ----------------------------------------------------------------------
+
+def test_driver_rows_bounded_by_summary_width(spark):
+    """Per-round driver collects are bounded by (G-1)*topK pair/gram
+    rows plus the (never-truncated) level-1 symbol universe — a
+    corpus-INDEPENDENT function of the summary knobs.  A tight topk
+    makes the bound bite: any future edit that collects a corpus-sized
+    table (the r11 16-GiB-driver failure shape) trips this."""
+    texts = [
+        "the theatre then thens there is the thesis these theses",
+        "other ether tether the aaaa aaa aa the banana bandana",
+    ] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    topk, g, n_merges = 16, 4, 10
+    got = bpe.train_bpe_merges(
+        df, n_merges=n_merges, cascade_g=g, cascade_topk=topk
+    )
+    rows = list(bpe.LAST_DRIVER_ROWS)
+    assert rows and len(rows) == bpe.LAST_TRAIN_ROUNDS
+    alphabet = len({c for t in texts for w in t.split(" ") for c in w})
+    bound = (g - 1) * topk + alphabet + n_merges
+    assert max(rows) <= bound, (rows, bound)
+    assert bpe.LAST_MEMO_PEAK <= bpe.CASCADE_MEMO_CAP
+    assert got == _py_train(texts, n_merges)  # narrow summary stays exact
+
+
+def test_checkpoint_rotation_leaves_no_blocks(spark):
+    """Training rotates its round checkpoints (superseded blocks freed
+    deterministically, not left to the 30-min periodic-GC sweep) and
+    releases the final one — the block store must hold NOTHING of the
+    trainer's after it returns.  This is the fix for the r11 10x-Zipf
+    OOM: one live corpus copy, ever."""
+    jsc = spark.sparkContext._jsc
+
+    def persistent_ids():
+        return set(jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    texts = ["the theatre then thens these theses the the"] * 8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(df, n_merges=12, batch=4)
+    assert len(merges) >= 8  # multi-round run: rotation actually exercised
+    leaked = persistent_ids() - before
+    assert not leaked, f"trainer leaked checkpoint blocks: {leaked}"
+
+
+def test_memo_budget_ends_round_but_stays_exact(spark, monkeypatch):
+    """Blowing CASCADE_MEMO_CAP mid-round must END the round after the
+    merges already proven and recount — never truncate training or
+    deviate from the sequential reference table."""
+    texts = [
+        "the theatre then thens there is the thesis these theses",
+        "other ether tether the banana bandana cabana",
+    ] * 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    baseline = bpe.train_bpe_merges(df, n_merges=10)
+    rounds_unbudgeted = bpe.LAST_TRAIN_ROUNDS
+    monkeypatch.setattr(bpe, "CASCADE_MEMO_CAP", 8)
+    got = bpe.train_bpe_merges(df, n_merges=10)
+    assert got == baseline == _py_train(texts, 10)
+    assert bpe.LAST_MEMO_PEAK <= 8
+    assert bpe.LAST_TRAIN_ROUNDS >= rounds_unbudgeted  # less batching, never less output

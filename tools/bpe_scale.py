@@ -101,30 +101,43 @@ def main() -> int:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bpe-scale")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        # 12M-token corpora (the 10x Zipf scale row) blow past the 1g
-        # default driver memory in the pair-count hash aggregate —
-        # same 16g the other tools' sessions use
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Runs at Spark's DEFAULT 1 GiB driver heap unless overridden: the
+    # trainer's memory contract (DISK_ONLY round checkpoints, rotated
+    # blocks, capped driver state — train_bpe_merges docstring) is what
+    # the 12M-token scale row exists to prove, so this tool must not
+    # paper over a regression with a bigger heap.  The r11 run needed
+    # SPARK_GRAFT_DRIVER_MEM=16g before that contract landed.
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from ong_tsdb_spark.plans import bpe
 
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY like the trainer's own round checkpoints: the input
+    # corpus must not squat in the (local-mode shared) heap's protected
+    # storage region while the pair-count aggregates run
     if natural:
         from ong_tsdb_spark import entry_queries
 
         corpus = entry_queries.load(spark, sf_dir, "documents").select(
             "doc_id", "text"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     else:
-        corpus = bigram_token_corpus(spark, sf_dir, order).localCheckpoint(eager=True)
+        corpus = bigram_token_corpus(spark, sf_dir, order).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     t0 = time.perf_counter()
     cascade = bpe.train_bpe_merges(
         corpus, n_merges=n_merges, batch=batch, cascade_g=g
@@ -144,6 +157,13 @@ def main() -> int:
         # fallback — train_bpe_merges records it since round 9 so
         # len(history) == rounds on every exit path
         "fallback_rounds": sum(1 for x in history[:-1] if x == 0),
+        # driver-memory contract telemetry: max rows the driver
+        # collected in any round (bounded by (G-1)*topK + symbol
+        # universe, corpus-independent) and the simulation memo peak
+        # (hard-capped at CASCADE_MEMO_CAP)
+        "driver_rows_max": max(bpe.LAST_DRIVER_ROWS, default=0),
+        "memo_peak": bpe.LAST_MEMO_PEAK,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "default(1g)"),
         "g": g or bpe.CASCADE_G,
         "natural": natural,
         "order": None if natural else order,
