@@ -266,6 +266,90 @@ def release_blocks(spark) -> None:
             pass  # racing GC of a block already being dropped is fine
 
 
+def _prev_sweep_artifact(prefix: str) -> dict:
+    """Newest committed ``<prefix>_rNN.json`` at git HEAD — the
+    round-over-round baseline for the sweep directional verdicts
+    (VERDICT r11 #4).  {} when none is committed yet."""
+    import re as _re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ls = subprocess.run(
+        ["git", "-C", here, "ls-files", f"{prefix}_r*.json"],
+        capture_output=True, text=True,
+    ).stdout.split()
+
+    def rnd(p: str) -> int:
+        m = _re.search(rf"{prefix}_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    if not ls:
+        return {}
+    proc = subprocess.run(
+        ["git", "-C", here, "show", f"HEAD:{max(ls, key=rnd)}"],
+        capture_output=True, text=True,
+    )
+    try:
+        return json.loads(proc.stdout) if proc.returncode == 0 else {}
+    except ValueError:
+        return {}
+
+
+#: a family's warm ratio moving beyond this factor vs the previous
+#: round's committed sweep artifact triggers the in-run recheck
+SWEEP_MOVE_TRIGGER = 1.5
+
+
+def _adjudicate_sweep_movers(spark, out, prev, runners, pairs) -> None:
+    """Directional verdicts for the 10x/skew sweeps (VERDICT r11 #4):
+    any family whose warm ratio moved >SWEEP_MOVE_TRIGGER vs the
+    previous round's committed artifact is re-measured IN ISOLATION at
+    the end of the sweep (blocks released, discard-first lap, then
+    best-of-RUNS per side — the same protocol the r10/r11 quiet
+    rechecks applied by hand), and its row gains ``prev_ratio`` /
+    ``ratio_recheck`` / ``direction`` so a bare-ratio drift can never
+    again ride into the artifact unadjudicated.  Directions:
+    ``recheck-exonerated`` (the isolated ratio is back within the
+    trigger of the previous round — sweep-position/host noise) or
+    ``drift-real`` (the isolated ratio confirms the move — needs a
+    named cause in BENCH.md).  tools/sweep_drift.py (run by
+    round_close) fails the close on any mover without a direction."""
+    prev_q = prev.get("queries", {})
+    num_tag, den_tag = pairs[1][0], pairs[0][0]
+    for name, rec in out.items():
+        old = prev_q.get(name, {}).get("ratio_warm")
+        if not old or old <= 0:
+            continue
+        move = rec["ratio_warm"] / old
+        if 1.0 / SWEEP_MOVE_TRIGGER < move < SWEEP_MOVE_TRIGGER:
+            continue
+        rec["prev_ratio"] = old
+        run_one = runners[name]
+        warms: dict[str, float] = {}
+        for tag, d in pairs:
+            release_blocks(spark)
+            run_one(d)  # discard-first
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                run_one(d)
+                best = min(best, time.perf_counter() - t0)
+            warms[tag] = best
+        release_blocks(spark)
+        rec["ratio_recheck"] = round(warms[num_tag] / warms[den_tag], 2)
+        move2 = rec["ratio_recheck"] / old
+        if 1.0 / SWEEP_MOVE_TRIGGER < move2 < SWEEP_MOVE_TRIGGER:
+            rec["direction"] = "recheck-exonerated"
+        else:
+            rec["direction"] = "drift-real"
+        print(
+            f"[sweep-mover] {name}: ratio {old}x -> {rec['ratio_warm']}x "
+            f"in-sweep, {rec['ratio_recheck']}x isolated -> "
+            f"{rec['direction']}",
+            file=sys.stderr,
+        )
+
+
 def bench_scale10(spark, sf_dir: str) -> None:
     """One scripted run behind ``--scale10``: regenerate the 10x
     replica corpus (tools/gen_scale.py — ids offset, document token
@@ -336,6 +420,18 @@ def bench_scale10(spark, sf_dir: str) -> None:
         file=sys.stderr,
     )
 
+    runners = {
+        n: (lambda d, f=registry[n]: f(spark, d).count())
+        for n in SCALE_FAMILIES
+    }
+    runners["bpe_train_batched"] = lambda d: bpe.train_bpe_merges(
+        entry_queries.load(spark, d, "documents"), n_merges=24, batch=16
+    )
+    _adjudicate_sweep_movers(
+        spark, out, _prev_sweep_artifact("SCALE10"), runners,
+        (("x1", sf_dir), ("x10", dst)),
+    )
+
     print("\n| query | 1x cold | 1x warm | 10x cold | 10x warm | ratio (cold) | ratio (warm) |", file=sys.stderr)
     print("|---|---|---|---|---|---|---|", file=sys.stderr)
     for name, r in out.items():
@@ -401,6 +497,13 @@ def bench_skew(spark, sf_dir: str) -> None:
             f"skew {rec['skew_warm']:.2f}s (warm ratio {rec['ratio_warm']}x)",
             file=sys.stderr,
         )
+
+    _adjudicate_sweep_movers(
+        spark, out, _prev_sweep_artifact("SKEW"),
+        {n: (lambda d, f=registry[n]: f(spark, d).count())
+         for n in SCALE_FAMILIES},
+        (("clean", sf_dir), ("skew", dst)),
+    )
 
     print("\n| query | clean warm | skew warm | ratio |", file=sys.stderr)
     print("|---|---|---|---|", file=sys.stderr)
@@ -505,8 +608,11 @@ def bench_engine(spark, sf_dir: str, serve_steady: int = 0) -> dict[str, float]:
             laps.sort()
             out["engine_serve_read_7d_steady_p50"] = round(
                 laps[len(laps) // 2], 4)
+            # nearest-rank p90 = ceil(0.9 * n)-th lap (ADVICE r11: the
+            # old int(n * 0.9) index was the nearest-rank p95 at n=20)
+            p90_idx = (9 * len(laps) + 9) // 10 - 1
             out["engine_serve_read_7d_steady_p90"] = round(
-                laps[min(len(laps) - 1, int(len(laps) * 0.9))], 4)
+                laps[min(len(laps) - 1, p90_idx)], 4)
             print(f"[bench] serve steady ({serve_steady} laps): "
                   f"p50 {out['engine_serve_read_7d_steady_p50'] * 1000:.1f} ms, "
                   f"p90 {out['engine_serve_read_7d_steady_p90'] * 1000:.1f} ms",
@@ -627,6 +733,15 @@ def main() -> None:
             "cascade": bpe_t["bpe_train_rounds_cascade"],
             "batched": bpe_t["bpe_train_rounds_batched"],
             "sequential": bpe_t["bpe_train_rounds_sequential"],
+        },
+        # sampling protocol per metric, where it differs from the
+        # default single-shot timing (ADVICE r11: a protocol change
+        # under an unchanged key made the r10->r11 serve-read pair
+        # look like real movement).  bench_drift reads this and
+        # reports a protocol mismatch as a REBASELINE, not a mover.
+        "protocols": {
+            "engine_serve_read_7d": "best-of-3-min (since r11; "
+                                    "single-shot through r10)",
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -329,3 +329,150 @@ def test_reference_concurrency_with_mid_write_kill(spark, tmp_path):
             assert out.loc[ts, "m0"] == np.float32(tid * 1000 + batch)
     crash_ts = pd.Timestamp(base + 500, unit="s", tz="UTC")
     assert crash_ts not in out.index
+
+
+# ----------------------------------------------------------------------
+# streaming-ledger compaction x concurrency (VERDICT r11 #6): the
+# batch upsert's crash contracts above have a streaming twin —
+# compact_ledger's two crash windows, each crossed with an appender
+# that lands a new batch partition while the compaction is in flight.
+# Protocol under test (streaming/dedup.py compact_ledger): fold to a
+# FRESH negative partition, then delete only the source dirs that
+# were COMMITTED at listing time — so a kill anywhere leaves at worst
+# duplicate digest ROWS, never a lost digest, and a re-run converges.
+# ----------------------------------------------------------------------
+
+def _ledger_digests(spark, ledger_path):
+    """The digest SET a consumer (the anti-join) actually sees."""
+    from ong_tsdb_spark.streaming.dedup import _read_ledger
+
+    led = _read_ledger(spark, ledger_path, exclude_batch=None)
+    return set() if led is None else {r[0] for r in led.distinct().collect()}
+
+
+def _write_ledger_batch(spark, ledger_path, batch, digests):
+    from ong_tsdb_spark.streaming.dedup import FINGERPRINT_COL
+
+    spark.createDataFrame(
+        [(d,) for d in digests], f"{FINGERPRINT_COL} string"
+    ).write.mode("overwrite").parquet(f"{ledger_path}/batch={batch}")
+
+
+def test_ledger_compaction_killed_mid_write_with_concurrent_append(
+    spark, tmp_path
+):
+    """Window 1: the compacted-partition write dies before job commit
+    (visible partial part file, _temporary debris, no _SUCCESS) while
+    a concurrent appender commits batch=2.  No digest — including the
+    concurrently appended ones — may be lost, and a compaction re-run
+    must converge to the exact folded set."""
+    import shutil
+
+    from ong_tsdb_spark.streaming.dedup import compact_ledger
+
+    ledger = str(tmp_path / "ledger")
+    _write_ledger_batch(spark, ledger, 0, ["a1", "a2", "dup"])
+    _write_ledger_batch(spark, ledger, 1, ["b1", "dup"])
+
+    # the killed compaction: it listed batches {0, 1}, started writing
+    # the fold to batch=-1, and died mid-commit — one task's file was
+    # already renamed visible, the rest still staged, no _SUCCESS, and
+    # (crucially) NO source dir was deleted yet
+    staged = str(tmp_path / "staged_fold")
+    spark.createDataFrame(
+        [("a1",), ("dup",)], "__fp string"
+    ).coalesce(1).write.parquet(staged)
+    part = next(
+        p for p in os.listdir(staged)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    os.makedirs(f"{ledger}/batch=-1/_temporary/0", exist_ok=True)
+    shutil.copy(f"{staged}/{part}", f"{ledger}/batch=-1/{part}")
+
+    # the concurrent appender lands AFTER the doomed compaction's
+    # listing — its directory must survive any recovery compaction
+    _write_ledger_batch(spark, ledger, 2, ["c1", "dup"])
+
+    want = {"a1", "a2", "b1", "c1", "dup"}
+    # post-crash, pre-recovery: the consumer view is already exact
+    # (partial fold rows are duplicates, folded by distinct)
+    assert _ledger_digests(spark, ledger) == want
+
+    # recovery: a fresh compaction converges
+    n = compact_ledger(spark, ledger)
+    assert n == len(want)
+    assert _ledger_digests(spark, ledger) == want
+    # the committed sources were folded and removed; the uncommitted
+    # crash debris is not a committed dir and must never be deleted
+    # by a protocol that only removes listing-time-committed dirs
+    entries = set(os.listdir(ledger))
+    assert "batch=0" not in entries and "batch=1" not in entries
+    assert "batch=2" not in entries
+
+    # life goes on: another append + compaction stays exact
+    _write_ledger_batch(spark, ledger, 3, ["d1", "dup"])
+    assert compact_ledger(spark, ledger) == len(want | {"d1"})
+    assert _ledger_digests(spark, ledger) == want | {"d1"}
+
+
+def test_ledger_compaction_killed_mid_delete_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Window 2: the fold committed, then the source-directory
+    deletion dies after removing ONE of the listed dirs — while an
+    appender lands batch=2 mid-compaction (after listing).  The crash
+    leaves duplicate rows (batch=1's digests live in both the fold and
+    their source dir) but no lost digest; the re-run converges."""
+    from ong_tsdb_spark.streaming import dedup as sdedup
+
+    ledger = str(tmp_path / "ledger")
+    _write_ledger_batch(spark, ledger, 0, ["a1", "a2", "dup"])
+    _write_ledger_batch(spark, ledger, 1, ["b1", "dup"])
+
+    real_fs = sdedup._fs
+
+    class DyingFs:
+        """Forwards to the real HadoopFs; delete dies on its 2nd call
+        — the mid-deletion kill — after injecting the concurrent
+        appender's commit between listing time and the first delete."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._deletes = 0
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def delete(self, path, recursive=False):
+            self._deletes += 1
+            if self._deletes == 1:
+                # the appender commits while the compaction is between
+                # its listing and its deletes — strictly concurrent
+                _write_ledger_batch(spark, ledger, 2, ["c1", "dup"])
+                return self._inner.delete(path, recursive=recursive)
+            raise OSError("simulated crash during source-dir deletion")
+
+    dying = {}
+
+    def fs_factory(spark_, path):
+        fs = DyingFs(real_fs(spark_, path))
+        dying["fs"] = fs
+        return fs
+
+    monkeypatch.setattr(sdedup, "_fs", fs_factory)
+    with pytest.raises(OSError, match="simulated crash"):
+        sdedup.compact_ledger(spark, ledger)
+    assert dying["fs"]._deletes == 2  # one delete landed, one died
+
+    monkeypatch.setattr(sdedup, "_fs", real_fs)
+    want = {"a1", "a2", "b1", "c1", "dup"}
+    # post-crash: duplicates possible, losses not — including the
+    # concurrently appended batch, which was never in the doomed
+    # compaction's listing
+    assert _ledger_digests(spark, ledger) == want
+
+    # recovery compaction folds the survivors + the appended batch
+    assert sdedup.compact_ledger(spark, ledger) == len(want)
+    assert _ledger_digests(spark, ledger) == want
+    entries = set(os.listdir(ledger))
+    assert not any(e.startswith("batch=") and "=-" not in e for e in entries), entries

@@ -53,7 +53,15 @@ def load_detail(src: str) -> dict:
 
 def drift(old: dict, new: dict, threshold: float) -> dict:
     oq, nq = old.get("queries", {}), new.get("queries", {})
-    common = sorted(set(oq) & set(nq))
+    # a metric whose recorded sampling protocol changed between the
+    # two snapshots is a REBASELINE, not a mover (ADVICE r11: the
+    # serve-read single-shot -> best-of-3 switch under an unchanged
+    # key read as 0.25x "movement" for one round)
+    op, np_ = old.get("protocols", {}), new.get("protocols", {})
+    rebaselined = sorted(
+        n for n in set(oq) & set(nq) if op.get(n) != np_.get(n)
+    )
+    common = sorted((set(oq) & set(nq)) - set(rebaselined))
     rows = []
     for name in common:
         a, b = float(oq[name]), float(nq[name])
@@ -71,6 +79,7 @@ def drift(old: dict, new: dict, threshold: float) -> dict:
         "common": len(common),
         "added": sorted(set(nq) - set(oq)),
         "removed": sorted(set(oq) - set(nq)),
+        "rebaselined": rebaselined,
         "movers": movers,
         "total_old": round(tot_old, 2),
         "total_new": round(tot_new, 2),
@@ -99,6 +108,9 @@ def main(argv=None) -> int:
         print(f"added: {', '.join(d['added'])}", file=sys.stderr)
     if d["removed"]:
         print(f"removed: {', '.join(d['removed'])}", file=sys.stderr)
+    if d["rebaselined"]:
+        print(f"rebaselined (sampling protocol changed, not movers): "
+              f"{', '.join(d['rebaselined'])}", file=sys.stderr)
     shown = d["movers"]
     if args.all:
         oq, nq = old.get("queries", {}), new.get("queries", {})
@@ -121,6 +133,7 @@ def main(argv=None) -> int:
         "common": d["common"],
         "total_ratio": d["total_ratio"],
         "added": d["added"], "removed": d["removed"],
+        "rebaselined": d["rebaselined"],
     }))
     return 0
 

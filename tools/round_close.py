@@ -163,6 +163,11 @@ def main(argv=None) -> int:
                 "--compare", f"git:HEAD:{max(tracked, key=_lint_round)}"
             ]
         stages.append(("plan-lint", lint_cmd))
+        # 10x/skew sweep directional gate (VERDICT r11 #4): any family
+        # whose warm ratio moved >1.5x round-over-round in the newest
+        # SCALE10/SKEW artifacts must carry the in-sweep recheck's
+        # direction verdict; a bare-ratio mover fails the close
+        stages.append(("sweep-drift", [py, "tools/sweep_drift.py"]))
 
     # a replay over a FIXED /tmp corpus path must not run when the
     # stage that (re)generates that corpus failed — it would replay
@@ -174,12 +179,13 @@ def main(argv=None) -> int:
         "skew-replay": "skew-gen",
     }
     failed: list[str] = []
+    skipped: list[str] = []  # dep-failed stages: not run, reported apart
     for label, cmd in stages:
         dep = stage_deps.get(label)
         if dep in failed:
             print(f"== {label}: SKIPPED (generator stage '{dep}' failed — "
                   "the fixed corpus path may hold stale data)")
-            failed.append(label)
+            skipped.append(label)
             continue
         if not run(label, cmd):
             failed.append(label)
@@ -205,8 +211,17 @@ def main(argv=None) -> int:
             print(f"   -> BENCH_QUIET_r{rnd:02d}.json (commit it with "
                   "BENCH_DETAIL.json)")
 
-    print(f"\nROUND CLOSE: {'all green' if not failed else f'FAILED: {failed}'}")
-    return 1 if failed else 0
+    # skipped stages never ran — the summary names them separately so
+    # one root-cause generator failure doesn't read as N failures
+    # (ADVICE r11); the exit stays non-zero either way (a skip means a
+    # standing gate has NO evidence this close)
+    verdict = "all green"
+    if failed or skipped:
+        verdict = f"FAILED: {failed}"
+        if skipped:
+            verdict += f"; SKIPPED (dep failed, not run): {skipped}"
+    print(f"\nROUND CLOSE: {verdict}")
+    return 1 if (failed or skipped) else 0
 
 
 if __name__ == "__main__":
