@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..blockstore import free_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -71,6 +73,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # rotation: exactly one superseded label checkpoint is ever live —
+    # each round frees the previous round's (node, label) blocks the
+    # moment the new round is materialized (blockstore.free_checkpoint;
+    # the same one-live-copy contract the BPE trainer pins).  `sym` is
+    # read every round and freed before returning: the returned frame
+    # reads only the final round's checkpoint.
+    prev_ckpt = labels
     for _ in range(max_rounds):
         # pull: min neighbour label per node (one shuffle on node id)
         nb = (
@@ -108,9 +117,13 @@ def connected_components(
             .localCheckpoint(eager=True)  # cut lineage every round
         )
         changed = jumped.filter(F.col("label") != F.col("__old")).count()
+        free_checkpoint(prev_ckpt)
+        prev_ckpt = jumped
         labels = jumped.drop("__old")
         if changed == 0:
+            free_checkpoint(sym)
             return labels.select("node", F.col("label").alias("component"))
+    free_checkpoint(sym)
     raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
 
@@ -198,6 +211,7 @@ def pagerank_exact(
     num, den = int(damping_num), int(damping_den)
     base = (den - num) * int(scale)
     every = max(1, int(checkpoint_every))
+    prev_ckpt = None  # superseded rank checkpoints rotate (one live)
     for i in range(iters):
         # per-source share first (node-sized join), THEN the one
         # edge-sized join — the old shape joined deg edge-by-edge
@@ -219,6 +233,16 @@ def pagerank_exact(
         )
         if (i + 1) % every == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+    if iters >= 1:
+        # the returned frame reads only the final rank checkpoint; the
+        # loop-support tables can go (with iters == 0 the result is a
+        # view OVER `nodes`, whose blocks must then stay)
+        free_checkpoint(e)
+        free_checkpoint(nodes)
+        free_checkpoint(deg)
     return ranks.select(
         "node",
         F.col("score").cast("bigint").alias("pr_scaled"),

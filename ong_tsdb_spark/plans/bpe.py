@@ -110,24 +110,9 @@ LAST_DRIVER_ROWS: list[int] = []
 #: the other driver-side allocation, hard-capped at CASCADE_MEMO_CAP.
 LAST_MEMO_PEAK = 0
 
-
-def _free_checkpoint(df: DataFrame) -> None:
-    """Deterministically drop the block-store partitions backing an
-    eager ``localCheckpoint`` DataFrame.
-
-    The blocks otherwise live until the JVM-side Dataset is garbage
-    collected and the ContextCleaner's PERIODIC GC sweep runs (default
-    every 30 min) — a multi-round trainer re-checkpointing a
-    corpus-sized symbol table each round accumulates one corpus copy
-    per round in the meantime, which is exactly the memory wall the
-    10x Zipf run hit at the 1 GiB default heap.  The checkpointed RDD
-    is reachable from the DataFrame's LogicalRDD plan node; anything
-    unexpected (non-checkpoint plan, already-cleaned RDD) degrades to
-    the old GC-eventually behavior rather than failing training."""
-    try:
-        df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:
-        pass
+# deterministic release of a superseded round's checkpoint blocks —
+# the r11 10x-Zipf OOM fix; shared with the other iterative operators
+from ..blockstore import free_checkpoint as _free_checkpoint  # noqa: E402
 
 
 def _exact_batch(
