@@ -470,3 +470,74 @@ def test_rotation_r10_head_contains_curation_pair():
     head, _tail, _g = rot.plan(50, max_round=9, code_upper="HEAD")
     assert "corpus_curation_report" in head
     assert "corpus_delta_stats" in head
+
+
+def test_bench_drift_protocol_change_is_rebaseline_not_mover():
+    """ADVICE r11: a metric whose recorded sampling protocol changed
+    between the two snapshots (BENCH_DETAIL's ``protocols`` map) is
+    reported as a rebaseline and excluded from movers and totals."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_drift_mod2", os.path.join(repo, "tools", "bench_drift.py")
+    )
+    bd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bd)
+
+    old = {"queries": {"serve": 0.12, "a": 1.0}, "protocols": {}}
+    new = {"queries": {"serve": 0.03, "a": 1.0},
+           "protocols": {"serve": "best-of-3-min"}}
+    d = bd.drift(old, new, threshold=1.3)
+    assert d["rebaselined"] == ["serve"]
+    assert not d["movers"] and d["common"] == 1
+    # same protocol on both sides -> ordinary mover semantics
+    old2 = {"queries": old["queries"], "protocols": new["protocols"]}
+    d2 = bd.drift(old2, new, threshold=1.3)
+    assert d2["rebaselined"] == [] and [m[0] for m in d2["movers"]] == ["serve"]
+
+
+def test_sweep_drift_gate_requires_direction_on_movers():
+    """VERDICT r11 #4 gate (tools/sweep_drift.py): a >1.5x
+    round-over-round ratio mover in a sweep artifact without a
+    ``direction`` verdict is unexplained (gate fails); adjudicated
+    movers pass, with drift-real reported apart; sub-trigger moves are
+    ignored."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sweep_drift_mod", os.path.join(repo, "tools", "sweep_drift.py")
+    )
+    sd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sd)
+
+    old = {"queries": {
+        "bare": {"ratio_warm": 2.0},
+        "ok": {"ratio_warm": 2.0},
+        "real": {"ratio_warm": 2.0},
+        "steady": {"ratio_warm": 2.0},
+    }}
+    new = {"queries": {
+        "bare": {"ratio_warm": 4.0},                                  # unexplained
+        "ok": {"ratio_warm": 0.9, "direction": "recheck-exonerated"},  # adjudicated
+        "real": {"ratio_warm": 4.0, "direction": "drift-real"},       # named drift
+        "steady": {"ratio_warm": 2.4},                                # 1.2x, no trigger
+    }}
+    sd._newest_worktree = lambda prefix: "/tmp/FAKE_r12.json"
+    sd._prev_committed = lambda prefix, newer_than: old
+    import json as _json
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix="_r12.json",
+                                     delete=False) as f:
+        _json.dump(new, f)
+        fake = f.name
+    sd._newest_worktree = lambda prefix: fake
+    sd._round_of = lambda prefix, path: 12
+    unexplained, real = sd.check("FAKE")
+    assert [t.split(":")[0] for t in unexplained] == ["bare"]
+    assert [t.split(":")[0] for t in real] == ["real"]
+    os.unlink(fake)
