@@ -4329,8 +4329,9 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r11 @ bd87515c05aa
+# planned-on: r01..r11 @ ff9694ad33a5
 _TAIL_ROTATION = [
+    "corpus_delta_stats",
     "ts_last_timestamp",
     "ts_upsert_last_wins",
     "ts_usage_stats",
@@ -4353,7 +4354,6 @@ _TAIL_ROTATION = [
     "part_type_like",
     "customers_above_nation_avg",
     "doc_stats_by_lang",
-    "dedup_clusters",
     "dedup_passage_stats",
     "text_gopher_quality",
     "text_vocab",
