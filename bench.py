@@ -17,8 +17,10 @@ throughput, what a long-running service sees).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -267,9 +269,13 @@ def release_blocks(spark) -> None:
 
 
 def _prev_sweep_artifact(prefix: str) -> dict:
-    """Newest committed ``<prefix>_rNN.json`` at git HEAD — the
-    round-over-round baseline for the sweep directional verdicts
-    (VERDICT r11 #4).  {} when none is committed yet."""
+    """Newest committed ``<prefix>_rNN.json`` at git HEAD from a round
+    STRICTLY BEFORE the one being written — the round-over-round
+    baseline for the sweep directional verdicts (VERDICT r11 #4).
+    Round-aware like tools/sweep_drift.py's ``_prev_committed``
+    (ADVICE r12: baselining against the current round's own committed
+    artifact made a sweep rerun adjudicate vs itself while the gate
+    compared vs the prior round).  {} when none is committed yet."""
     import re as _re
     import subprocess
 
@@ -283,6 +289,15 @@ def _prev_sweep_artifact(prefix: str) -> dict:
         m = _re.search(rf"{prefix}_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
+    # the round being written = newest driver round file + 1 (the
+    # round_close.current_round convention)
+    writing = max(
+        (int(m.group(1))
+         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))),
+        default=0,
+    ) + 1
+    ls = [p for p in ls if rnd(p) < writing]
     if not ls:
         return {}
     proc = subprocess.run(
@@ -739,6 +754,9 @@ def main() -> None:
         # under an unchanged key made the r10->r11 serve-read pair
         # look like real movement).  bench_drift reads this and
         # reports a protocol mismatch as a REBASELINE, not a mover.
+        # NOTE: the string IS the identity (ADVICE r12) — rewording it
+        # retriggers a one-round rebaseline, so treat each value as a
+        # frozen id and only change it when the protocol itself changes.
         "protocols": {
             "engine_serve_read_7d": "best-of-3-min (since r11; "
                                     "single-shot through r10)",

@@ -541,3 +541,84 @@ def test_sweep_drift_gate_requires_direction_on_movers():
     assert [t.split(":")[0] for t in unexplained] == ["bare"]
     assert [t.split(":")[0] for t in real] == ["real"]
     os.unlink(fake)
+
+
+def _load_tool(name):
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"{name}_mod", os.path.join(repo, "tools", f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_drift_missing_old_protocols_is_not_rebaseline():
+    """ADVICE r12: an OLD snapshot with no ``protocols`` key at all
+    (pre-r12 artifact) means "same protocol", not "changed" — the
+    metric stays an ordinary mover instead of being excluded for a
+    round."""
+    bd = _load_tool("bench_drift")
+    old = {"queries": {"serve": 0.12, "a": 1.0}}  # no protocols key
+    new = {"queries": {"serve": 0.03, "a": 1.0},
+           "protocols": {"serve": "best-of-3-min"}}
+    d = bd.drift(old, new, threshold=1.3)
+    assert d["rebaselined"] == []
+    assert [m[0] for m in d["movers"]] == ["serve"]
+
+
+def test_driver_drift_tail_recovery_and_movers():
+    """tools/driver_drift.bench_queries recovers per-query seconds
+    from a truncated ``tail`` string overlaid by ``parsed.queries``;
+    movers() applies the 1.5x trigger and 0.1s floor in both
+    directions."""
+    dd = _load_tool("driver_drift")
+    doc = {
+        # tail truncated at the front, carries envelope scalars too
+        "tail": '79, "q_a": 0.2561, "q_b": 1.0, "sf": 0.1, '
+                '"core_total": 12.3}',
+        "parsed": {"queries": {"engine_ingest": 4.525, "q_b": 1.1}},
+    }
+    qs = dd.bench_queries(doc)
+    assert qs["q_a"] == 0.2561
+    assert qs["q_b"] == 1.1              # parsed overlays tail
+    assert qs["engine_ingest"] == 4.525
+    assert "sf" not in qs and "core_total" not in qs
+
+    old = {"q_a": 0.2561, "q_b": 1.0, "tiny": 0.01, "fast": 2.0}
+    new = {"q_a": 0.5957, "q_b": 1.2, "tiny": 0.09, "fast": 1.0}
+    rows = dd.movers(old, new)
+    names = [r["query"] for r in rows]
+    assert names == ["q_a", "fast"]      # worst first; both directions
+    assert rows[0]["ratio"] == 2.33
+    assert "tiny" not in names           # under the 0.1s floor
+    assert "q_b" not in names            # 1.2x, under trigger
+
+
+def test_driver_drift_gate_requires_direction():
+    """VERDICT r12 #2 gate: a >1.5x driver-bench mover without a
+    direction verdict in DRIVER_DRIFT_rN.json is unexplained (exit
+    path); exonerated movers pass; drift-real passes but is reported
+    apart; engine movers marked see-quiet-ab need the matching
+    BENCH_QUIET artifact."""
+    dd = _load_tool("driver_drift")
+    rows = [
+        {"query": "bare", "old": 0.2, "new": 0.6, "ratio": 3.0},
+        {"query": "ok", "old": 0.2, "new": 0.6, "ratio": 3.0},
+        {"query": "real", "old": 0.2, "new": 0.6, "ratio": 3.0},
+        {"query": "engine_x", "old": 1.0, "new": 2.0, "ratio": 2.0},
+    ]
+    verdicts = {
+        "ok": {"direction": "recheck-exonerated (...)"},
+        "real": {"direction": "drift-real (...)"},
+        "engine_x": {"direction": "see-quiet-ab"},
+    }
+    unexplained, real = dd.gate(rows, verdicts, 12, quiet_exists=True)
+    assert [t.split(":")[0] for t in unexplained] == ["bare"]
+    assert [t.split(":")[0] for t in real] == ["real"]
+    # without the quiet artifact the see-quiet-ab verdict is not enough
+    unexplained2, _ = dd.gate(rows, verdicts, 12, quiet_exists=False)
+    assert {t.split(":")[0] for t in unexplained2} == {"bare", "engine_x"}

@@ -56,10 +56,15 @@ def drift(old: dict, new: dict, threshold: float) -> dict:
     # a metric whose recorded sampling protocol changed between the
     # two snapshots is a REBASELINE, not a mover (ADVICE r11: the
     # serve-read single-shot -> best-of-3 switch under an unchanged
-    # key read as 0.25x "movement" for one round)
+    # key read as 0.25x "movement" for one round).  Only classify when
+    # the OLD snapshot actually records a protocols map — a pre-r12
+    # artifact with no map means "same protocol", not "changed"
+    # (ADVICE r12: the missing r11 map marked engine_serve_read_7d
+    # rebaselined for a round it wasn't)
     op, np_ = old.get("protocols", {}), new.get("protocols", {})
     rebaselined = sorted(
-        n for n in set(oq) & set(nq) if op.get(n) != np_.get(n)
+        n for n in set(oq) & set(nq)
+        if "protocols" in old and op.get(n) != np_.get(n)
     )
     common = sorted((set(oq) & set(nq)) - set(rebaselined))
     rows = []

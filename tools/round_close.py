@@ -168,6 +168,11 @@ def main(argv=None) -> int:
         # SCALE10/SKEW artifacts must carry the in-sweep recheck's
         # direction verdict; a bare-ratio mover fails the close
         stages.append(("sweep-drift", [py, "tools/sweep_drift.py"]))
+        # driver-bench directional gate (VERDICT r12 #2): any query
+        # that moved >1.5x between the two newest driver BENCH_rN
+        # artifacts must carry an isolated best-of-3 direction verdict
+        # in DRIVER_DRIFT_rN.json (tools/driver_drift.py --recheck)
+        stages.append(("driver-drift", [py, "tools/driver_drift.py"]))
 
     # a replay over a FIXED /tmp corpus path must not run when the
     # stage that (re)generates that corpus failed — it would replay
