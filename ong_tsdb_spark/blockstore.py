@@ -21,9 +21,14 @@ recompute, it is a failure.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
 __all__ = ["free_checkpoint"]
+
+_log = logging.getLogger(__name__)
+_warned = False
 
 
 def free_checkpoint(df: DataFrame) -> None:
@@ -33,9 +38,22 @@ def free_checkpoint(df: DataFrame) -> None:
     The checkpointed RDD is reachable from the DataFrame's LogicalRDD
     plan node.  Anything unexpected (a plan that is not a bare
     checkpoint, an already-cleaned RDD) degrades to the old
-    GC-eventually behavior rather than failing the caller.
+    GC-eventually behavior rather than failing the caller — but is
+    LOGGED once per process (ADVICE r12): this path leans on private
+    Spark internals, and a Spark upgrade silently disabling all block
+    freeing would otherwise reintroduce the r11 OOM with no signal
+    outside the test suite.
     """
+    global _warned
     try:
         df._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as ex:  # noqa: BLE001 — degrade, but observably
+        if not _warned:
+            _warned = True
+            _log.warning(
+                "free_checkpoint: could not release checkpoint blocks "
+                "(%s: %s); superseded copies will persist until the "
+                "periodic ContextCleaner GC — iterative operators lose "
+                "the one-live-copy memory bound. Further occurrences "
+                "are silent.", type(ex).__name__, ex,
+            )

@@ -79,52 +79,64 @@ def connected_components(
     # the same one-live-copy contract the BPE trainer pins).  `sym` is
     # read every round and freed before returning: the returned frame
     # reads only the final round's checkpoint.
+    # try/finally so error exits (the non-convergence raise, any
+    # mid-loop failure) release the support checkpoints too instead of
+    # silently reverting to the 30-min periodic-GC behavior (ADVICE
+    # r12); on the SUCCESS path the final label checkpoint is what the
+    # returned frame reads, so only error exits free prev_ckpt
     prev_ckpt = labels
-    for _ in range(max_rounds):
-        # pull: min neighbour label per node (one shuffle on node id)
-        nb = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        # the pre-round label rides along as __old so convergence is a
-        # filter+count over the checkpointed result — no extra join
-        stepped = (
-            labels.join(nb, labels.node == nb.a, "left")
-            .select(
-                "node",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
-                ).alias("label"),
+    returned = False
+    try:
+        for _ in range(max_rounds):
+            # pull: min neighbour label per node (one shuffle on node id)
+            nb = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("label").alias("nb_label"))
             )
-        )
-        # pointer jumping: label <- label[label]; the label table is
-        # (nodes x 2 ints), so this self-join is cheap and collapses
-        # chains geometrically.
-        lut = stepped.select(
-            F.col("node").alias("l_node"), F.col("label").alias("l_label")
-        )
-        jumped = (
-            stepped.join(lut, stepped.label == lut.l_node, "left")
-            .select(
-                "node",
-                "__old",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
-                ).alias("label"),
+            # the pre-round label rides along as __old so convergence is a
+            # filter+count over the checkpointed result — no extra join
+            stepped = (
+                labels.join(nb, labels.node == nb.a, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                    ).alias("label"),
+                )
             )
-            .localCheckpoint(eager=True)  # cut lineage every round
+            # pointer jumping: label <- label[label]; the label table is
+            # (nodes x 2 ints), so this self-join is cheap and collapses
+            # chains geometrically.
+            lut = stepped.select(
+                F.col("node").alias("l_node"), F.col("label").alias("l_label")
+            )
+            jumped = (
+                stepped.join(lut, stepped.label == lut.l_node, "left")
+                .select(
+                    "node",
+                    "__old",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)  # cut lineage every round
+            )
+            changed = jumped.filter(F.col("label") != F.col("__old")).count()
+            free_checkpoint(prev_ckpt)
+            prev_ckpt = jumped
+            labels = jumped.drop("__old")
+            if changed == 0:
+                returned = True
+                return labels.select("node", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds"
         )
-        changed = jumped.filter(F.col("label") != F.col("__old")).count()
-        free_checkpoint(prev_ckpt)
-        prev_ckpt = jumped
-        labels = jumped.drop("__old")
-        if changed == 0:
-            free_checkpoint(sym)
-            return labels.select("node", F.col("label").alias("component"))
-    free_checkpoint(sym)
-    raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
+    finally:
+        free_checkpoint(sym)
+        if not returned:
+            free_checkpoint(prev_ckpt)
 
 
 def duplicate_clusters(
@@ -212,30 +224,42 @@ def pagerank_exact(
     base = (den - num) * int(scale)
     every = max(1, int(checkpoint_every))
     prev_ckpt = None  # superseded rank checkpoints rotate (one live)
-    for i in range(iters):
-        # per-source share first (node-sized join), THEN the one
-        # edge-sized join — the old shape joined deg edge-by-edge
-        srcs = ranks.join(deg, on="node").select(
-            F.col("node").alias("__s"),
-            F.expr("score div __outdeg").alias("__c"),
-        )
-        incoming = (
-            e.join(srcs, on="__s")
-            .groupBy("__d")
-            .agg(F.sum("__c").alias("__inc"))
-            .withColumnRenamed("__d", "node")
-        )
-        ranks = nodes.join(incoming, on="node", how="left").select(
-            "node",
-            F.expr(
-                f"cast(({base} + {num} * coalesce(__inc, 0)) div {den} as long)"
-            ).alias("score"),
-        )
-        if (i + 1) % every == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-            if prev_ckpt is not None:
-                free_checkpoint(prev_ckpt)
-            prev_ckpt = ranks
+    try:
+        for i in range(iters):
+            # per-source share first (node-sized join), THEN the one
+            # edge-sized join — the old shape joined deg edge-by-edge
+            srcs = ranks.join(deg, on="node").select(
+                F.col("node").alias("__s"),
+                F.expr("score div __outdeg").alias("__c"),
+            )
+            incoming = (
+                e.join(srcs, on="__s")
+                .groupBy("__d")
+                .agg(F.sum("__c").alias("__inc"))
+                .withColumnRenamed("__d", "node")
+            )
+            ranks = nodes.join(incoming, on="node", how="left").select(
+                "node",
+                F.expr(
+                    f"cast(({base} + {num} * coalesce(__inc, 0)) div {den} as long)"
+                ).alias("score"),
+            )
+            if (i + 1) % every == 0 or i == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+                if prev_ckpt is not None:
+                    free_checkpoint(prev_ckpt)
+                prev_ckpt = ranks
+    except BaseException:
+        # error exit: nothing is returned, so ALL support checkpoints
+        # (and the newest rank rotation) can go — without this a
+        # mid-loop failure leaks every checkpoint until the periodic
+        # GC (ADVICE r12)
+        if prev_ckpt is not None:
+            free_checkpoint(prev_ckpt)
+        free_checkpoint(e)
+        free_checkpoint(nodes)
+        free_checkpoint(deg)
+        raise
     if iters >= 1:
         # the returned frame reads only the final rank checkpoint; the
         # loop-support tables can go (with iters == 0 the result is a

@@ -40,6 +40,8 @@ operators/dedup.py does for batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
@@ -312,9 +314,46 @@ def start_ledger_dedup(
     return writer.start()
 
 
-def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
+def _local_dir(path: str) -> str | None:
+    """Local filesystem directory behind ``path``, or None for a
+    remote/object-store URI (where the lockfile protocol does not
+    apply — see locks.py's conditional-PUT note)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if "://" not in path:
+        return path
+    return None
+
+
+def compact_ledger(
+    spark: SparkSession,
+    ledger_path: str,
+    *,
+    wait: bool = False,
+    lock_timeout: float = 60.0,
+) -> int:
     """Fold the ledger down to distinct digests.  Returns the distinct
-    digest count.
+    digest count, or ``-1`` when another compactor already holds the
+    ledger lock and ``wait`` is False.
+
+    Concurrent compactions are SINGLE-WINNER (VERDICT r12 #7): on a
+    local ledger an exclusive heartbeating lockfile (``_writer.lock``
+    via :class:`~ong_tsdb_spark.locks.SensorFileLock`; the ``_`` prefix
+    keeps it invisible to parquet listing) serializes compactors —
+    without it two racers compute the SAME fresh partition id
+    ``batch=-K`` and their overwrite/delete cycles interleave
+    destructively (the one genuinely unsafe window in an otherwise
+    crash-safe protocol).  The loser returns ``-1`` immediately
+    (``wait=False``, the cron-job default: the winner's fold covers
+    its work) or blocks up to ``lock_timeout`` (``wait=True``) and
+    compacts after the winner.  On an object-store URI the lock is
+    skipped — serialize compaction cron jobs externally there.  A
+    compactor killed outright (not an exception — those release in
+    the ``finally``) leaves its lockfile until the locks.py stale
+    horizon; ``wait=True`` with a ``lock_timeout`` past that horizon
+    rides the stale-break, the non-waiting cron default just keeps
+    returning ``-1`` until then (digests are never at risk — only
+    folding is deferred).
 
     Streaming (per-batch-partitioned) layout — CRASH-SAFE at every
     point: the compacted set is written to a FRESH negative partition
@@ -330,9 +369,12 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
 
     Flat layout (root-level part files — the sequential backfill
     pattern of :func:`dedup_batch_against_ledger` with ``append``):
-    rewritten in place; NOT crash-safe or concurrent-safe — backfills
-    are sequential, rerunnable jobs, and the streaming layout is the
-    durable protocol."""
+    rewritten in place; NOT crash-safe — backfills are sequential,
+    rerunnable jobs, and the streaming layout is the durable protocol.
+    (The root-level rewrite also deletes the lockfile, so the lock
+    covers a flat compaction but not writers racing it.)"""
+    from ..locks import SensorFileLock, SensorLockTimeout
+
     fs = _fs(spark, ledger_path)
     # a missing or not-yet-committed ledger is a benign no-op for a
     # maintenance job (ops pre-created the dir, or compaction cron ran
@@ -341,32 +383,48 @@ def compact_ledger(spark: SparkSession, ledger_path: str) -> int:
     # files that cannot be read) still raises through _read_ledger
     if not fs.exists(ledger_path):
         return 0
-    ledger = _read_ledger(spark, ledger_path, exclude_batch=None)
-    if ledger is None:
-        return 0
-    entries = fs.listdir(ledger_path)
-    batch_dirs = [d for d in entries if d.startswith("batch=")]
-    committed = [
-        d
-        for d in batch_dirs
-        if fs.exists(f"{ledger_path}/{d}/_SUCCESS")
-    ]
-    distinct = ledger.distinct().localCheckpoint(eager=True)
-    n = distinct.count()
-    if batch_dirs:
-        neg = [
-            int(d.split("=", 1)[1])
+    lock = None
+    local = _local_dir(ledger_path)
+    if local is not None and os.path.isdir(local):
+        lock = SensorFileLock(
+            local, timeout=lock_timeout if wait else 0.0
+        )
+        try:
+            lock.acquire()
+        except SensorLockTimeout:
+            if not wait:
+                return -1  # another compactor is the winner
+            raise
+    try:
+        ledger = _read_ledger(spark, ledger_path, exclude_batch=None)
+        if ledger is None:
+            return 0
+        entries = fs.listdir(ledger_path)
+        batch_dirs = [d for d in entries if d.startswith("batch=")]
+        committed = [
+            d
             for d in batch_dirs
-            if d.split("=", 1)[1].lstrip("-").isdigit() and "=-" in d
+            if fs.exists(f"{ledger_path}/{d}/_SUCCESS")
         ]
-        k = (min(neg) - 1) if neg else -1
-        distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch={k}")
-        for d in committed:
-            if d != f"batch={k}":
-                fs.delete(f"{ledger_path}/{d}", recursive=True)
-    else:
-        distinct.write.mode("overwrite").parquet(ledger_path)
-    return n
+        distinct = ledger.distinct().localCheckpoint(eager=True)
+        n = distinct.count()
+        if batch_dirs:
+            neg = [
+                int(d.split("=", 1)[1])
+                for d in batch_dirs
+                if d.split("=", 1)[1].lstrip("-").isdigit() and "=-" in d
+            ]
+            k = (min(neg) - 1) if neg else -1
+            distinct.write.mode("overwrite").parquet(f"{ledger_path}/batch={k}")
+            for d in committed:
+                if d != f"batch={k}":
+                    fs.delete(f"{ledger_path}/{d}", recursive=True)
+        else:
+            distinct.write.mode("overwrite").parquet(ledger_path)
+        return n
+    finally:
+        if lock is not None:
+            lock.release()
 
 
 

@@ -51,6 +51,65 @@ def test_connected_components_convergence_rail(spark):
         connected_components(edges, max_rounds=0)
 
 
+def _persistent_ids(spark):
+    jsc = spark.sparkContext._jsc
+    return set(jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_connected_components_error_exit_frees_checkpoints(spark):
+    """ADVICE r12: the non-convergence raise must release ALL support
+    checkpoints — the symmetrized edge list AND the final label
+    rotation — instead of leaving the label checkpoint to the 30-min
+    periodic-GC sweep."""
+    before = _persistent_ids(spark)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["d1", "d2"]
+    )
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_rounds=1)
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_pagerank_error_exit_frees_checkpoints(spark, monkeypatch):
+    """ADVICE r12: an exception mid-iteration must free the support
+    checkpoints (edges / nodes / degrees and any rank rotation) on the
+    way out — the deterministic-release contract holds on error exits
+    too."""
+    from ong_tsdb_spark.operators import graph as g
+
+    before = _persistent_ids(spark)
+    edges = spark.createDataFrame([(1, 100), (2, 100)], ["src", "dst"])
+
+    def boom(*_a, **_k):
+        raise RuntimeError("boom")
+
+    # F.expr is first used inside the iteration body, AFTER the three
+    # support checkpoints are materialized — exactly the leak window
+    monkeypatch.setattr(g.F, "expr", boom)
+    with pytest.raises(RuntimeError, match="boom"):
+        g.pagerank_exact(edges, iters=2)
+    assert _persistent_ids(spark) - before == set()
+
+
+def test_free_checkpoint_failure_warns_once(spark, caplog):
+    """ADVICE r12: the blanket internals-guard in
+    blockstore.free_checkpoint must be observable — one warning per
+    process when the private-API path stops working, silence after."""
+    import logging
+
+    from ong_tsdb_spark import blockstore
+
+    blockstore._warned = False
+    df = spark.range(5)  # not a checkpoint: the LogicalRDD path raises
+    with caplog.at_level(logging.WARNING, logger="ong_tsdb_spark.blockstore"):
+        blockstore.free_checkpoint(df)
+        blockstore.free_checkpoint(df)
+    msgs = [r for r in caplog.records
+            if "free_checkpoint" in r.getMessage()]
+    assert len(msgs) == 1
+    blockstore._warned = False  # leave the process flag clean
+
+
 W8 = "alpha bravo charlie delta echo foxtrot golf hotel"
 OTHER8 = "india juliet kilo lima mike november oscar papa"
 
