@@ -25,7 +25,7 @@ import logging
 
 from pyspark.sql import DataFrame
 
-__all__ = ["free_checkpoint"]
+__all__ = ["free_checkpoint", "CheckpointRotation"]
 
 _log = logging.getLogger(__name__)
 _warned = False
@@ -57,3 +57,39 @@ def free_checkpoint(df: DataFrame) -> None:
                 "the one-live-copy memory bound. Further occurrences "
                 "are silent.", type(ex).__name__, ex,
             )
+
+
+class CheckpointRotation:
+    """Bounded backlog of superseded checkpoints (round-13 rotation
+    policy, VERDICT r12 #3).
+
+    Freeing every superseded checkpoint the moment it is replaced
+    measured ~9% wall overhead on the 10x pagerank A/B (BENCH.md
+    round-13 row) — the unpersist call itself is ~1.5 ms, but the
+    asynchronous block removal contends with the next rounds' compute
+    in a shared local JVM.  Deferring frees behind a small backlog
+    removes every mid-loop free from short runs (a 6-iteration
+    PageRank supersedes at most one checkpoint) while a long run's
+    live superseded copies stay bounded at ``backlog``; ``drain()`` at
+    the call boundary restores the zero-superseded-copies-after-return
+    contract either way.  Operators whose per-round copy is
+    corpus-sized (the BPE trainer) keep the strict one-live-copy
+    rotation instead — there the memory bound is worth the
+    contention."""
+
+    def __init__(self, backlog: int = 2):
+        self.backlog = max(0, int(backlog))
+        self._q: list[DataFrame] = []
+
+    def supersede(self, df: DataFrame) -> None:
+        """Register a checkpoint no consumer reads anymore; frees the
+        oldest entries once more than ``backlog`` accumulate."""
+        self._q.append(df)
+        while len(self._q) > self.backlog:
+            free_checkpoint(self._q.pop(0))
+
+    def drain(self) -> None:
+        """Free every backlog entry — call at the operator boundary
+        (success or error) so nothing outlives the call."""
+        while self._q:
+            free_checkpoint(self._q.pop(0))

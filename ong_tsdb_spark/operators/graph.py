@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..blockstore import free_checkpoint
+from ..blockstore import CheckpointRotation, free_checkpoint
 
 
 def connected_components(
@@ -73,17 +73,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    # rotation: exactly one superseded label checkpoint is ever live —
-    # each round frees the previous round's (node, label) blocks the
-    # moment the new round is materialized (blockstore.free_checkpoint;
-    # the same one-live-copy contract the BPE trainer pins).  `sym` is
-    # read every round and freed before returning: the returned frame
-    # reads only the final round's checkpoint.
+    # rotation: superseded label checkpoints are freed through a
+    # bounded backlog (blockstore.CheckpointRotation — at most 2 live
+    # beyond the current round, all drained at exit; see the r13
+    # policy note there).  `sym` is read every round and freed before
+    # returning: the returned frame reads only the final round's
+    # checkpoint.
     # try/finally so error exits (the non-convergence raise, any
     # mid-loop failure) release the support checkpoints too instead of
     # silently reverting to the 30-min periodic-GC behavior (ADVICE
     # r12); on the SUCCESS path the final label checkpoint is what the
-    # returned frame reads, so only error exits free prev_ckpt
+    # returned frame reads, so only error exits free prev_ckpt.
+    # Superseded label checkpoints rotate through a BOUNDED BACKLOG
+    # (not freed per round): the eager unpersist contends with the
+    # next round's compute (~9% wall on the 10x pagerank A/B, BENCH.md
+    # round-13), so short runs do no mid-loop frees at all while long
+    # runs keep at most `backlog` node-sized superseded copies live
+    rotation = CheckpointRotation(backlog=2)
     prev_ckpt = labels
     returned = False
     try:
@@ -124,7 +130,7 @@ def connected_components(
                 .localCheckpoint(eager=True)  # cut lineage every round
             )
             changed = jumped.filter(F.col("label") != F.col("__old")).count()
-            free_checkpoint(prev_ckpt)
+            rotation.supersede(prev_ckpt)
             prev_ckpt = jumped
             labels = jumped.drop("__old")
             if changed == 0:
@@ -134,6 +140,7 @@ def connected_components(
             f"connected_components: no convergence in {max_rounds} rounds"
         )
     finally:
+        rotation.drain()
         free_checkpoint(sym)
         if not returned:
             free_checkpoint(prev_ckpt)
@@ -195,7 +202,13 @@ def pagerank_exact(
     rounds (default 3: bounded plan depth without paying a
     materialization job per round — measured 5.1 s -> 3.2 s for 6
     rounds on the 600k-edge bench graph; pass 1 for the
-    round-per-round pattern of connected_components).  Magnitudes:
+    round-per-round pattern of connected_components).  Superseded rank
+    checkpoints are released through a backlog-2
+    :class:`~ong_tsdb_spark.blockstore.CheckpointRotation` and a drain
+    at the call boundary — NOT per supersession, which measured ~9%
+    wall overhead at 10x from async block-removal contention (VERDICT
+    r12 #3 A/B, BENCH.md round-13); at most 2 superseded node-sized
+    copies are ever live and none survive the call.  Magnitudes:
     total mass <= n_nodes * scale, so stay under 2^63 / damping_num —
     the defaults allow ~5 * 10^8 nodes; lower ``scale`` for bigger
     graphs.
@@ -223,7 +236,14 @@ def pagerank_exact(
     num, den = int(damping_num), int(damping_den)
     base = (den - num) * int(scale)
     every = max(1, int(checkpoint_every))
-    prev_ckpt = None  # superseded rank checkpoints rotate (one live)
+    # superseded rank checkpoints rotate through a bounded backlog
+    # (VERDICT r12 #3 A/B, BENCH.md round-13: per-supersession frees
+    # cost ~9% wall at 10x via async block-removal contention; the
+    # backlog removes mid-loop frees from short runs and bounds long
+    # runs at `backlog` node-sized copies; drain() at exit keeps the
+    # nothing-outlives-the-call contract)
+    rotation = CheckpointRotation(backlog=2)
+    prev_ckpt = None
     try:
         for i in range(iters):
             # per-source share first (node-sized join), THEN the one
@@ -247,13 +267,14 @@ def pagerank_exact(
             if (i + 1) % every == 0 or i == iters - 1:
                 ranks = ranks.localCheckpoint(eager=True)
                 if prev_ckpt is not None:
-                    free_checkpoint(prev_ckpt)
+                    rotation.supersede(prev_ckpt)
                 prev_ckpt = ranks
     except BaseException:
         # error exit: nothing is returned, so ALL support checkpoints
         # (and the newest rank rotation) can go — without this a
         # mid-loop failure leaks every checkpoint until the periodic
         # GC (ADVICE r12)
+        rotation.drain()
         if prev_ckpt is not None:
             free_checkpoint(prev_ckpt)
         free_checkpoint(e)
@@ -264,6 +285,7 @@ def pagerank_exact(
         # the returned frame reads only the final rank checkpoint; the
         # loop-support tables can go (with iters == 0 the result is a
         # view OVER `nodes`, whose blocks must then stay)
+        rotation.drain()
         free_checkpoint(e)
         free_checkpoint(nodes)
         free_checkpoint(deg)

@@ -606,7 +606,12 @@ def train_bpe_merges(
     lives in the block store at ``storage_level`` (default DISK_ONLY:
     executor local disk on a cluster; in local mode that disk residency
     is what keeps the single shared JVM's heap free for the pair-count
-    hash aggregate), and exactly ONE round's copy is ever live — each
+    hash aggregate — and it is the configuration the 1 GiB-heap proof
+    below ran under.  Measured tradeoff, BENCH.md round-13: at 12M
+    tokens MEMORY_AND_DISK is only 0.3% faster — the aggregate, not
+    symbol-table IO, is the critical path — so the default stays
+    DISK_ONLY; pass MEMORY_AND_DISK for small-corpus interactive use,
+    where it wins ~14%), and exactly ONE round's copy is ever live — each
     rewrite frees the superseded round's blocks deterministically
     (:func:`_free_checkpoint`) instead of waiting out the
     ContextCleaner's periodic-GC sweep.  Proven: 1k merges on the 12M-
