@@ -42,6 +42,26 @@ def main(argv=None) -> int:
         "adversarial-session sweep as a first-class flag; compose with "
         "an edge-corpus --sf-dir for data x session hostility",
     )
+    ap.add_argument(
+        "--lowmem",
+        action="store_true",
+        help="memory-pressure session (round-13 axis): 1g driver heap "
+        "(= the whole local-mode JVM), spark.memory.fraction 0.2 (a "
+        "~200 MB unified pool shared by all tasks — hash aggregates "
+        "and sort-merge joins must SPILL), broadcast joins disabled "
+        "(every join takes the shuffle path).  Proves no operator "
+        "silently depends on everything fitting in executor memory — "
+        "the difference between a plan that survives a 100 TB "
+        "partition skew and one that OOMs.  Value-compared against "
+        "the same DuckDB oracles, so spilled execution must stay "
+        "bit-identical",
+    )
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="also write {entry: {status, sec}} plus a summary to this "
+        "path (round artifacts, e.g. LOWMEM_rNN.json)",
+    )
     args = ap.parse_args(argv)
 
     import duckdb
@@ -55,6 +75,12 @@ def main(argv=None) -> int:
             builder.config("spark.sql.ansi.enabled", "false")
             .config("spark.sql.session.timeZone", "Australia/Eucla")
             .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        )
+    if args.lowmem:
+        builder = (
+            builder.config("spark.driver.memory", "1g")
+            .config("spark.memory.fraction", "0.2")
             .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         )
     spark = builder.getOrCreate()
@@ -83,6 +109,7 @@ def main(argv=None) -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     names = args.only or list(qs)
     bad = []
+    per_entry: dict[str, dict] = {}
     for i, name in enumerate(names):
         t0 = time.time()
         try:
@@ -98,9 +125,26 @@ def main(argv=None) -> int:
             status = f"ERROR {type(e).__name__}: {e}"[:160]
         if status != "OK":
             bad.append(name)
-        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)",
+        sec = round(time.time() - t0, 1)
+        per_entry[name] = {"status": status, "sec": sec}
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({sec}s)",
               flush=True)
     print(f"\nRESULT: {len(names) - len(bad)}/{len(names)} exact; failures: {bad}")
+    if args.json_out:
+        import json
+
+        session = "+".join(
+            [s for s, on in (("lowmem", args.lowmem),
+                             ("hostile", args.hostile)) if on]
+        ) or "default"
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "session": session, "sf_dir": args.sf_dir,
+                "exact": len(names) - len(bad), "total": len(names),
+                "failures": bad, "entries": per_entry,
+            }, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {args.json_out}")
     return 1 if bad else 0
 
 
