@@ -32,6 +32,7 @@ training-data-pipeline mandate.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,6 +44,8 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_rounds: int = 25,
+    edge_storage_level: StorageLevel = StorageLevel.DISK_ONLY,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; the
     component id is the smallest node id in the component.
@@ -50,11 +53,21 @@ def connected_components(
     ``max_rounds`` is a safety rail: pointer jumping converges in
     O(log n) rounds, so 25 covers graphs far beyond any realistic
     corpus (2^25 -diameter chains).  Raises if the rail is hit.
+
+    Checkpoint residency splits by size class like
+    :func:`pagerank_exact` (measured rationale there / BENCH.md
+    round-13): the symmetrized EDGE list at ``edge_storage_level``
+    (default DISK_ONLY — no deserialized unroll spike at 100x, one
+    sequential read per round), the node-sized per-round label tables
+    at ``storage_level`` (default MEMORY_AND_DISK — serialized +
+    evictable from PySpark, keeps round latency at memory speed).
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().localCheckpoint(
+        eager=True, storageLevel=edge_storage_level
+    )
 
     # init labels at min(node, min_neighbor): the groupBy costs the
     # same shuffle as the node-list distinct it replaces but performs
@@ -70,7 +83,7 @@ def connected_components(
             F.col("a").alias("node"),
             F.least(F.col("a"), F.col("__mn")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=storage_level)
     )
 
     # rotation: superseded label checkpoints are freed through a
@@ -127,7 +140,7 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                     ).alias("label"),
                 )
-                .localCheckpoint(eager=True)  # cut lineage every round
+                .localCheckpoint(eager=True, storageLevel=storage_level)  # cut lineage every round
             )
             changed = jumped.filter(F.col("label") != F.col("__old")).count()
             rotation.supersede(prev_ckpt)
@@ -173,6 +186,8 @@ def pagerank_exact(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 3,
+    edge_storage_level: StorageLevel = StorageLevel.DISK_ONLY,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """PageRank over a directed edge list in INTEGER-EXACT arithmetic
     — partition-independent and bit-identical across reruns, like the
@@ -208,7 +223,17 @@ def pagerank_exact(
     at the call boundary — NOT per supersession, which measured ~9%
     wall overhead at 10x from async block-removal contention (VERDICT
     r12 #3 A/B, BENCH.md round-13); at most 2 superseded node-sized
-    copies are ever live and none survive the call.  Magnitudes:
+    copies are ever live and none survive the call.  Checkpoint
+    residency is SPLIT by size class (measured, BENCH.md round-13):
+    the EDGE table lives at ``edge_storage_level`` (default DISK_ONLY
+    — the deserialized unroll of 60M edges across all tasks at once is
+    what OOMed the 16 GiB local JVM on the 100x graph, and the edge
+    scan is one sequential read per round), while the node-sized
+    tables (nodes / degrees / rank rotations) stay at
+    ``storage_level`` (default MEMORY_AND_DISK, which from PySpark is
+    SERIALIZED + evictable — compact enough to never unroll-spike, and
+    keeping ranks memory-resident is what preserves the small-scale
+    latency that full DISK_ONLY cost ~1.3x at sf0.1).  Magnitudes:
     total mass <= n_nodes * scale, so stay under 2^63 / damping_num —
     the defaults allow ~5 * 10^8 nodes; lower ``scale`` for bigger
     graphs.
@@ -219,18 +244,18 @@ def pagerank_exact(
     # re-scanning the input and re-running the degree shuffle per round
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=edge_storage_level)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=storage_level)
     )
     deg = (
         e.groupBy("__s")
         .agg(F.count("*").alias("__outdeg"))
         .withColumnRenamed("__s", "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=storage_level)
     )
     ranks = nodes.withColumn("score", F.lit(int(scale)).cast("long"))
     num, den = int(damping_num), int(damping_den)
@@ -265,7 +290,7 @@ def pagerank_exact(
                 ).alias("score"),
             )
             if (i + 1) % every == 0 or i == iters - 1:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ranks.localCheckpoint(eager=True, storageLevel=storage_level)
                 if prev_ckpt is not None:
                     rotation.supersede(prev_ckpt)
                 prev_ckpt = ranks
