@@ -4329,8 +4329,13 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r12 @ ac416bbbcc86
+# planned-on: r01..r12 @ fce655c8674d
 _TAIL_ROTATION = [
+    "text_c4_quality",
+    "events_funnel",
+    "text_bigram_novelty",
+    "corpus_topic_sample",
+    "emb_kmeans_k64",
     "ts_range_read",
     "ts_snap_grid",
     "ts_downsample_first",
@@ -4363,14 +4368,10 @@ _TAIL_ROTATION = [
     "text_rolling_fingerprint",
     "text_bpe_tokens",
     "dedup_winnow",
-    "dedup_clusters",
     "emb_ann_recall",
     "emb_ivf_recall",
     "corpus_curation_report",
     "text_dup_spans",
-    "corpus_epoch_shards",
-    "corpus_shuffled_shards",
-    "corpus_pack_sequences",
     "text_classifier_train",
     "text_classifier_quality",
     "corpus_dsir_weights",
@@ -4380,7 +4381,6 @@ _TAIL_ROTATION = [
     "emb_pq_recall",
     "events_interval_join",
     "events_retention",
-    "graph_pagerank",
 ]
 # --- TAIL_ROTATION END ---
 
