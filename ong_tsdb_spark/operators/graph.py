@@ -188,6 +188,7 @@ def pagerank_exact(
     checkpoint_every: int = 3,
     edge_storage_level: StorageLevel = StorageLevel.DISK_ONLY,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    rotation_backlog: int = 2,
 ) -> DataFrame:
     """PageRank over a directed edge list in INTEGER-EXACT arithmetic
     — partition-independent and bit-identical across reruns, like the
@@ -266,8 +267,10 @@ def pagerank_exact(
     # cost ~9% wall at 10x via async block-removal contention; the
     # backlog removes mid-loop frees from short runs and bounds long
     # runs at `backlog` node-sized copies; drain() at exit keeps the
-    # nothing-outlives-the-call contract)
-    rotation = CheckpointRotation(backlog=2)
+    # nothing-outlives-the-call contract; rotation_backlog=0 restores
+    # strict per-supersession frees — the measurement tools use it to
+    # A/B the policy on the live code path)
+    rotation = CheckpointRotation(backlog=rotation_backlog)
     prev_ckpt = None
     try:
         for i in range(iters):

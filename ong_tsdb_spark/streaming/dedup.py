@@ -317,9 +317,21 @@ def start_ledger_dedup(
 def _local_dir(path: str) -> str | None:
     """Local filesystem directory behind ``path``, or None for a
     remote/object-store URI (where the lockfile protocol does not
-    apply — see locks.py's conditional-PUT note)."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
+    apply — see locks.py's conditional-PUT note).
+
+    Hadoop normalizes ``file://`` URIs to the single-slash form
+    ``file:/path`` (no netloc), so both spellings — and the rare
+    ``file://localhost/path`` — must resolve to the local directory;
+    a bare ``'://' not in path`` test misclassified ``file:/path`` as
+    local-with-scheme-prefix and the compaction lock was silently
+    skipped on a genuinely local ledger (ADVICE r13)."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.netloc not in ("", "localhost"):
+            return None  # remote file://host/... — not this machine
+        return parsed.path or None
     if "://" not in path:
         return path
     return None
@@ -369,10 +381,13 @@ def compact_ledger(
 
     Flat layout (root-level part files — the sequential backfill
     pattern of :func:`dedup_batch_against_ledger` with ``append``):
-    rewritten in place; NOT crash-safe — backfills are sequential,
-    rerunnable jobs, and the streaming layout is the durable protocol.
-    (The root-level rewrite also deletes the lockfile, so the lock
-    covers a flat compaction but not writers racing it.)"""
+    rewritten via a sibling temp dir + file swap when the lock is
+    held, so ``_writer.lock`` (and ``_version``) stay in place for the
+    whole critical section — a plain ``overwrite`` of the root would
+    delete the held lockfile and let a second compactor race the
+    in-flight rewrite (ADVICE r13).  Still NOT crash-safe mid-swap —
+    backfills are sequential, rerunnable jobs, and the streaming
+    layout is the durable protocol."""
     from ..locks import SensorFileLock, SensorLockTimeout
 
     fs = _fs(spark, ledger_path)
@@ -419,7 +434,31 @@ def compact_ledger(
             for d in committed:
                 if d != f"batch={k}":
                     fs.delete(f"{ledger_path}/{d}", recursive=True)
+        elif lock is not None:
+            # flat layout under the held lock: overwrite-in-place would
+            # unlink _writer.lock mid-critical-section.  Write to a
+            # sibling temp dir, clear the data files (keeping the lock
+            # and version markers), and move the new files in — the
+            # lockfile's directory stays intact while the lock is held.
+            from ..locks import LOCK_NAME, VERSION_NAME
+
+            tmp = ledger_path.rstrip("/") + "__compact_tmp"
+            distinct.write.mode("overwrite").parquet(tmp)
+            keep = {LOCK_NAME, VERSION_NAME}
+            for e in fs.listdir(ledger_path):
+                if e not in keep:
+                    fs.delete(f"{ledger_path}/{e}", recursive=True)
+            tmp_local = _local_dir(tmp)
+            assert local is not None and tmp_local is not None
+            for e in os.listdir(tmp_local):
+                os.replace(
+                    os.path.join(tmp_local, e), os.path.join(local, e)
+                )
+            fs.delete(tmp, recursive=True)
         else:
+            # no lockfile exists on a remote flat ledger — plain
+            # overwrite (flat compaction there remains unserialized,
+            # as the object-store note in locks.py documents)
             distinct.write.mode("overwrite").parquet(ledger_path)
         return n
     finally:

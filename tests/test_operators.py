@@ -2149,6 +2149,64 @@ def test_compact_ledger_flat_layout(spark, tmp_path):
     assert spark.read.parquet(ledger).count() == 2  # still readable, deduped
 
 
+def test_local_dir_uri_forms():
+    """Hadoop normalizes file:// URIs to the single-slash file:/path
+    form — both (and file://localhost/...) must resolve to the local
+    path so the compaction lock engages; remote schemes and
+    file://otherhost stay None (ADVICE r13: the old '://' test
+    silently skipped the lock for file:/path)."""
+    from ong_tsdb_spark.streaming.dedup import _local_dir
+
+    assert _local_dir("/tmp/ledger") == "/tmp/ledger"
+    assert _local_dir("file:///tmp/ledger") == "/tmp/ledger"
+    assert _local_dir("file:/tmp/ledger") == "/tmp/ledger"
+    assert _local_dir("file://localhost/tmp/ledger") == "/tmp/ledger"
+    assert _local_dir("file://otherhost/tmp/ledger") is None
+    assert _local_dir("s3a://bucket/ledger") is None
+    assert _local_dir("hdfs://nn/ledger") is None
+
+
+def test_compact_ledger_flat_layout_keeps_lock_dir_intact(spark, tmp_path):
+    """Flat-layout compaction must NOT delete _writer.lock or _version
+    mid-critical-section (ADVICE r13: a root overwrite unlinked the
+    held lockfile, opening the exact race the lock closes).  Also: a
+    single-slash file:/ URI — the Hadoop-normalized form — must still
+    engage the lock (returns -1 while another compactor holds it)."""
+    import os
+
+    from ong_tsdb_spark.locks import LOCK_NAME, SensorFileLock, VERSION_NAME
+    from ong_tsdb_spark.streaming import dedup as sd
+
+    ledger = str(tmp_path / "ledger")
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",)], f"{sd.FINGERPRINT_COL} string"
+    )
+    df.write.parquet(ledger)
+    df.write.mode("append").parquet(ledger)
+    (tmp_path / "ledger" / VERSION_NAME).write_text("7")
+
+    # lock engagement through the file:/ URI spelling
+    holder = SensorFileLock(ledger, timeout=5.0)
+    holder.acquire()
+    try:
+        assert sd.compact_ledger(spark, f"file:{ledger}") == -1
+    finally:
+        holder.release()
+
+    n = sd.compact_ledger(spark, f"file:{ledger}")
+    assert n == 2
+    # markers survived the rewrite; lockfile released (not deleted
+    # mid-section — release() removed it after the swap)
+    assert (tmp_path / "ledger" / VERSION_NAME).read_text() == "7"
+    assert not os.path.exists(os.path.join(ledger, LOCK_NAME))
+    assert not os.path.exists(ledger + "__compact_tmp")
+    assert spark.read.parquet(ledger).count() == 2
+    vals = {
+        r[0] for r in spark.read.parquet(ledger).select(sd.FINGERPRINT_COL).collect()
+    }
+    assert vals == {"a", "b"}
+
+
 def test_ledger_empty_directory_is_first_batch(spark, tmp_path):
     """A pre-created empty ledger directory means 'no ledger yet' —
     it must not wedge the stream."""

@@ -153,6 +153,12 @@ def gate(mover_rows: list[dict], verdicts: dict, new_round: int,
             unexplained.append(tag + " (no BENCH_QUIET artifact to back it)")
         elif str(direction).startswith("drift-real"):
             real.append(tag)
+        elif str(direction).startswith("inconclusive"):
+            # a recheck that matched NEITHER reading is not green — it
+            # stays in the unexplained set so the gate's "every mover
+            # adjudicated" claim holds and it owes a BENCH.md note
+            # (ADVICE r13)
+            unexplained.append(tag + " (recheck inconclusive)")
         print(f"[driver-drift] mover {tag}")
     return unexplained, real
 

@@ -66,7 +66,19 @@ def main() -> int:
 
     # ---------------------------------------------------------- A
     if not only or "A" in only:
-        real_free = graph_mod.free_checkpoint
+        # Patch point matters (ADVICE r13): CheckpointRotation frees go
+        # through blockstore.free_checkpoint (module global), while
+        # graph.py's direct end-of-call frees go through its imported
+        # name — the no-free side must null BOTH, and the free sides
+        # must exercise the per-supersession path, which backlog=2 with
+        # iters=6 never reaches (one supersession, absorbed by the
+        # backlog).  Three-way cell: no frees at all / strict
+        # per-supersession (rotation_backlog=0) / the shipped backlog-2
+        # policy — on the LIVE CheckpointRotation code path.
+        from ong_tsdb_spark import blockstore as blockstore_mod
+
+        real_free_bs = blockstore_mod.free_checkpoint
+        real_free_g = graph_mod.free_checkpoint
         for d, tag in ((sf_dir, "sf0.1"), ("/tmp/sf_scale10", "10x")):
             if not os.path.isdir(d):
                 print(json.dumps({"measure": "pagerank_rotation_ab",
@@ -78,17 +90,33 @@ def main() -> int:
                 (F.lit(1_000_000_000) + F.col("l_partkey")).alias("dst"),
             )
             res = {}
-            for side, free_fn in (("with_free", real_free),
-                                  ("without_free", lambda _df: None)):
-                graph_mod.free_checkpoint = free_fn
-                bench.release_blocks(spark)
-                res[side] = round(best_of(
-                    lambda: graph_mod.pagerank_exact(edges, iters=6).count()
-                ), 4)
-                bench.release_blocks(spark)
-            graph_mod.free_checkpoint = real_free
-            res["overhead_pct"] = round(
-                100.0 * (res["with_free"] / res["without_free"] - 1.0), 1)
+            cells = (
+                ("without_free", None, 2),
+                ("free_backlog0", real_free_bs, 0),
+                ("free_backlog2", real_free_bs, 2),
+            )
+            try:
+                for side, free_fn, backlog in cells:
+                    noop = lambda _df: None  # noqa: E731
+                    blockstore_mod.free_checkpoint = free_fn or noop
+                    graph_mod.free_checkpoint = (
+                        real_free_g if free_fn else noop
+                    )
+                    bench.release_blocks(spark)
+                    res[side] = round(best_of(
+                        lambda: graph_mod.pagerank_exact(
+                            edges, iters=6, checkpoint_every=1,
+                            rotation_backlog=backlog,
+                        ).count()
+                    ), 4)
+                    bench.release_blocks(spark)
+            finally:
+                blockstore_mod.free_checkpoint = real_free_bs
+                graph_mod.free_checkpoint = real_free_g
+            res["backlog0_overhead_pct"] = round(
+                100.0 * (res["free_backlog0"] / res["without_free"] - 1.0), 1)
+            res["backlog2_overhead_pct"] = round(
+                100.0 * (res["free_backlog2"] / res["without_free"] - 1.0), 1)
             print(json.dumps({"measure": "pagerank_rotation_ab",
                               "corpus": tag, **res}), flush=True)
 
