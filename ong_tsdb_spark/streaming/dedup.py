@@ -343,6 +343,7 @@ def compact_ledger(
     *,
     wait: bool = False,
     lock_timeout: float = 60.0,
+    lock_stale_after: float | None = None,
 ) -> int:
     """Fold the ledger down to distinct digests.  Returns the distinct
     digest count, or ``-1`` when another compactor already holds the
@@ -365,7 +366,11 @@ def compact_ledger(
     horizon; ``wait=True`` with a ``lock_timeout`` past that horizon
     rides the stale-break, the non-waiting cron default just keeps
     returning ``-1`` until then (digests are never at risk — only
-    folding is deferred).
+    folding is deferred).  ``lock_stale_after`` overrides the horizon
+    (seconds; default the locks.py 30-min
+    :data:`~ong_tsdb_spark.locks.DEFAULT_STALE_AFTER`) — keep it well
+    above worst-case compaction wall time, since breaking a merely
+    slow holder opens a dual-compactor window.
 
     Streaming (per-batch-partitioned) layout — CRASH-SAFE at every
     point: the compacted set is written to a FRESH negative partition
@@ -401,8 +406,12 @@ def compact_ledger(
     lock = None
     local = _local_dir(ledger_path)
     if local is not None and os.path.isdir(local):
+        lock_kw = (
+            {} if lock_stale_after is None
+            else {"stale_after": lock_stale_after}
+        )
         lock = SensorFileLock(
-            local, timeout=lock_timeout if wait else 0.0
+            local, timeout=lock_timeout if wait else 0.0, **lock_kw
         )
         try:
             lock.acquire()

@@ -565,3 +565,106 @@ def test_ledger_compaction_true_race_loses_nothing(spark, tmp_path):
     # a follow-up compaction converges regardless of the interleaving
     assert compact_ledger(spark, ledger) == len(want)
     assert _ledger_digests(spark, ledger) == want
+
+
+def test_ledger_compaction_sigkilled_compactor_successor_wins(
+    spark, tmp_path
+):
+    """VERDICT r13 #3: a compactor killed OUTRIGHT (SIGKILL — no
+    finally, no lock release) mid-compaction, end to end.  A real OS
+    process acquires the ledger lock, reports back, leaves a partial
+    uncommitted fold (the mid-write crash state), and is kill -9'd.
+    The successor must: (a) skip while the lockfile is inside the
+    stale horizon (crashed != released), then (b) ride the stale-break
+    after the horizon and win with an INTACT digest set — the partial
+    fold's rows are duplicates, never losses.
+
+    Reference analog: atomic-write crash simulation,
+    /root/reference/tests/test_fileutils.py:297-357 (kill between
+    staging and rename), here lifted to the cross-process lock
+    protocol (locks.py two-observation stale break)."""
+    import shutil
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from ong_tsdb_spark.locks import LOCK_NAME
+    from ong_tsdb_spark.streaming.dedup import compact_ledger
+
+    ledger = str(tmp_path / "ledger")
+    _write_ledger_batch(spark, ledger, 0, ["a1", "a2", "dup"])
+    _write_ledger_batch(spark, ledger, 1, ["b1", "dup"])
+    want = {"a1", "a2", "b1", "dup"}
+
+    # the doomed compactor: a REAL separate process that acquires the
+    # lock exactly as compact_ledger does, prints HELD, and hangs (it
+    # "is" mid-Spark-job when the kill lands)
+    child_src = textwrap.dedent(
+        f"""
+        import sys, time
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from ong_tsdb_spark.locks import SensorFileLock
+        lock = SensorFileLock({ledger!r}, timeout=10.0)
+        lock.acquire()
+        print("HELD", flush=True)
+        time.sleep(600)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stdout.readline().strip()
+        assert line == "HELD", line
+        # its mid-write debris: a partial fold in batch=-1, no _SUCCESS
+        staged = str(tmp_path / "staged_fold")
+        spark.createDataFrame(
+            [("a1",), ("dup",)], "__fp string"
+        ).coalesce(1).write.parquet(staged)
+        part = next(
+            p for p in os.listdir(staged)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.makedirs(f"{ledger}/batch=-1", exist_ok=True)
+        shutil.copy(f"{staged}/{part}", f"{ledger}/batch=-1/{part}")
+
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+    # the orphaned lockfile is still there — the kill released nothing
+    assert os.path.exists(os.path.join(ledger, LOCK_NAME))
+
+    # (a) inside the stale horizon the successor must NOT break the
+    # lock: a long horizon means "maybe still alive", and the
+    # non-waiting cron default just reports the winner elsewhere
+    assert compact_ledger(spark, ledger) == -1
+    assert _ledger_digests(spark, ledger) == want  # nothing touched
+
+    # (b) past the horizon the successor breaks the stale lock (two
+    # identical payload+mtime sightings) and compacts to the exact set.
+    # The horizon is measured from the dead holder's LAST HEARTBEAT
+    # (lockfile mtime) — not from when the successor starts waiting —
+    # so pin the break-only-after-horizon property against that mtime.
+    dead_mtime = os.stat(os.path.join(ledger, LOCK_NAME)).st_mtime
+    n = compact_ledger(
+        spark, ledger, wait=True, lock_timeout=60.0, lock_stale_after=1.5
+    )
+    assert n == len(want), n
+    assert time.time() - dead_mtime >= 1.5  # broke only past the horizon
+    assert _ledger_digests(spark, ledger) == want
+    # successor's own release cleaned the lock; committed sources folded
+    assert not os.path.exists(os.path.join(ledger, LOCK_NAME))
+    entries = set(os.listdir(ledger))
+    assert "batch=0" not in entries and "batch=1" not in entries
+
+    # life goes on: append + compaction after the recovery stays exact
+    _write_ledger_batch(spark, ledger, 2, ["c1"])
+    assert compact_ledger(spark, ledger) == len(want | {"c1"})
+    assert _ledger_digests(spark, ledger) == want | {"c1"}
