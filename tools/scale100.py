@@ -38,6 +38,11 @@ def main() -> int:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=None,
+                    help="warm laps per cell (default bench.RUNS); the "
+                         "r13 single-lap run produced a warm>cold "
+                         "anomaly for dedup_minhash_lsh — measurement-"
+                         "grade sweeps want >=2")
     args = ap.parse_args()
     if not os.path.isdir(args.corpus):
         raise SystemExit(f"{args.corpus} missing — run tools/gen_scale.py first")
@@ -59,6 +64,7 @@ def main() -> int:
     import bench
     from ong_tsdb_spark import entry_queries
 
+    runs = args.runs if args.runs is not None else bench.RUNS
     registry = entry_queries.queries()
     out: dict[str, dict[str, float]] = {}
     for name in bench.SCALE_FAMILIES:
@@ -69,7 +75,7 @@ def main() -> int:
             fn(spark, d).count()
             rec[f"{tag}_cold"] = round(time.perf_counter() - t0, 4)
             best = float("inf")
-            for _ in range(bench.RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
@@ -111,6 +117,7 @@ def main() -> int:
                   f"| {r['ratio_warm']}x |", file=sys.stderr)
     print(json.dumps({
         "metric": "scale100_families",
+        "runs": runs,
         "value": round(sum(r.get("x100_warm", r.get("x100_cold", 0.0))
                            for r in out.values()), 4),
         "unit": "sec",
