@@ -687,8 +687,19 @@ class OngTsdbSpark:
         import os
 
         p = self.catalog.data_path(db, sensor)
-        if p.startswith("file://"):
-            p = p[len("file://"):]
+        if p.startswith("file:"):
+            # both file:///p and the Hadoop-normalized file:/p (and
+            # file://localhost/p) are this machine; file://host/p is
+            # not.  Same normalization as streaming/dedup._local_dir
+            # (ADVICE r13) — here the miss only cost the pyarrow fast
+            # path (the Spark path still served the read), but a
+            # file:-based catalog should get serve-tier latency too.
+            from urllib.parse import urlparse
+
+            parsed = urlparse(p)
+            if parsed.netloc not in ("", "localhost"):
+                return None
+            p = parsed.path
         if "://" in p:
             return None
         return p if os.path.isdir(p) else None

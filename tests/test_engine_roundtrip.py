@@ -422,3 +422,31 @@ def test_fast_last_timestamp_uses_stats(spark, tmp_path):
     dt = time.perf_counter() - t0
     assert got == want
     assert dt < 0.25, f"stats fast path did not engage ({dt:.3f}s)"
+
+
+def test_local_data_dir_resolves_file_uri_forms(spark, tmp_path):
+    """A file:-schemed catalog base (single-slash Hadoop-normalized
+    included) must still reach the pyarrow serve fast path — the old
+    '://' test returned None for file:/p and silently downgraded every
+    read to the Spark path (ADVICE r13 twin of the dedup lock miss)."""
+    import numpy as np
+    import pandas as pd
+
+    from ong_tsdb_spark import OngTsdbSpark
+
+    base = str(tmp_path / "uridb")
+    eng = OngTsdbSpark(spark, f"file:{base}")
+    eng.create_db("d")
+    eng.create_sensor("d", "s", "1s", ["a"])
+    idx = pd.date_range("2024-01-01", periods=50, freq="30s", tz="UTC")
+    eng.write_df("d", "s", pd.DataFrame({"a": np.arange(50.0)}, index=idx))
+
+    local = eng._local_data_dir("d", "s")
+    assert local is not None and local.startswith("/"), local
+    got = eng.read_pandas("d", "s", idx[0].timestamp(), idx[-1].timestamp())
+    assert len(got) == 50
+    assert float(got["a"].iloc[-1]) == 49.0
+
+    # triple-slash spelling resolves to the same directory
+    eng3 = OngTsdbSpark(spark, f"file://{base}")
+    assert eng3._local_data_dir("d", "s") == local
