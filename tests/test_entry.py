@@ -622,3 +622,12 @@ def test_driver_drift_gate_requires_direction():
     # without the quiet artifact the see-quiet-ab verdict is not enough
     unexplained2, _ = dd.gate(rows, verdicts, 12, quiet_exists=False)
     assert {t.split(":")[0] for t in unexplained2} == {"bare", "engine_x"}
+    # ADVICE r13: an inconclusive recheck (matches NEITHER reading) is
+    # not green — it stays unexplained and owes a BENCH.md note
+    rows.append({"query": "shrug", "old": 0.2, "new": 0.6, "ratio": 3.0})
+    verdicts["shrug"] = {
+        "direction": "inconclusive (isolated steady-state matches neither)"
+    }
+    unexplained3, real3 = dd.gate(rows, verdicts, 12, quiet_exists=True)
+    assert {t.split(":")[0] for t in unexplained3} == {"bare", "shrug"}
+    assert [t.split(":")[0] for t in real3] == ["real"]
