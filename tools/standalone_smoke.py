@@ -80,8 +80,8 @@ def main() -> int:
     execs = 0
     while time.time() < deadline:
         execs = (
-            spark.sparkContext._jsc.sc().statusTracker()
-            .getExecutorInfos().length - 1  # minus the driver entry
+            spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+            - 1  # minus the driver entry
         )
         if execs >= 2:
             break
