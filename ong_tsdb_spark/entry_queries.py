@@ -4329,8 +4329,14 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r13 @ 7ab5bbcdb772
+# planned-on: r01..r13 @ 8cd412a2db10
 _TAIL_ROTATION = [
+    "emb_pq_adc_topk",
+    "text_bpe_pairs",
+    "doc_chunk_stats",
+    "emb_pq_recall",
+    "events_interval_join",
+    "events_retention",
     "ts_last_timestamp",
     "ts_upsert_last_wins",
     "ts_usage_stats",
@@ -4353,7 +4359,6 @@ _TAIL_ROTATION = [
     "part_type_like",
     "customers_above_nation_avg",
     "doc_stats_by_lang",
-    "dedup_clusters",
     "dedup_passage_stats",
     "text_gopher_quality",
     "text_vocab",
@@ -4363,7 +4368,6 @@ _TAIL_ROTATION = [
     "doc_length_band",
     "text_rare_tokens",
     "corpus_pack_stats",
-    "dedup_ledger_backfill",
     "dedup_semantic",
     "text_bm25_topk",
     "ts_ewma",
@@ -4377,10 +4381,6 @@ _TAIL_ROTATION = [
     "corpus_epoch_shards",
     "corpus_shuffled_shards",
     "corpus_pack_sequences",
-    "graph_pagerank",
-    "dedup_ledger_replay",
-    "dedup_near_ledger_replay",
-    "dedup_ledger_crash_replay",
 ]
 # --- TAIL_ROTATION END ---
 
