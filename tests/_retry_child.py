@@ -142,4 +142,69 @@ assert len(clean_f) > 1
 print(f"extract_features retry-stable over {len(clean_f)} rows, "
       f"{n_inj} injected failures", flush=True)
 
+
+# ------------------------------------------------- streaming ledger
+# The foreachBatch ledger protocol under TASK-level retry (pulled
+# forward from the r15 candidate list): poison the micro-batch input
+# so its tasks die on attempt 0 INSIDE the batch function's jobs —
+# distinct from the crash-replay tests, which exercise BATCH-level
+# replay after a query restart.  The committed output and the ledger
+# digest set must be bit-identical to a clean run.
+import json
+import shutil
+import tempfile
+
+from ong_tsdb_spark.sources.jsonl import DOCUMENTS_SCHEMA
+from ong_tsdb_spark.streaming import dedup as sd
+
+
+def run_ledger(fail: bool):
+    base = tempfile.mkdtemp(prefix="retry_ledger_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": i, "text": f"document text {i % 7}", "lang": "en",
+         "source": "s", "n_chars": 15}
+        for i in range(60)
+    ]
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    for f, chunk in (("a.json", rows[:30]), ("b.json", rows[30:])):
+        with open(os.path.join(src, f), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1").json(src)
+    )
+    poisoned_stream = stream.repartition(4).mapInPandas(
+        passthrough(fail), stream.schema
+    )
+    ledger = os.path.join(base, "ledger")
+    out = os.path.join(base, "out")
+    q = sd.start_ledger_dedup(
+        spark, poisoned_stream, ledger, out, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination(300)
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    digests = sorted(
+        r[0] for r in spark.read.parquet(ledger)
+        .select(sd.FINGERPRINT_COL).distinct().collect()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return docs, digests
+
+
+base = _n_marks()
+clean_led = run_ledger(False)
+hurt_led = run_ledger(True)
+n_inj = _n_marks() - base
+assert n_inj > 0, "injection never fired for ledger"
+assert clean_led == hurt_led, "ledger dedup NOT retry-stable"
+assert len(clean_led[0]) == 7 and len(clean_led[1]) == 7, clean_led
+print(f"ledger_dedup retry-stable over {len(clean_led[0])} docs / "
+      f"{len(clean_led[1])} digests, {n_inj} injected failures", flush=True)
+
 print("RETRY-DETERMINISM OK")

@@ -28,4 +28,5 @@ def test_mapinpandas_operators_survive_task_retries(tmp_path):
     assert proc.returncode == 0, f"child failed:\n{out}\n{proc.stderr[-4000:]}"
     assert "pack_sequences retry-stable" in out, out
     assert "extract_features retry-stable" in out, out
+    assert "ledger_dedup retry-stable" in out, out
     assert "RETRY-DETERMINISM OK" in out, out
