@@ -102,6 +102,11 @@ def main(argv=None) -> int:
     ap.add_argument("--force-quiet", action="store_true",
                     help="run the quiet-host A/B even without an "
                          "engine-family trigger")
+    ap.add_argument("--standalone", action="store_true",
+                    help="also run the 2-executor standalone-cluster "
+                         "smoke (tools/standalone_smoke.sh) — the five "
+                         "engine headline shapes off local[N]; opt-in "
+                         "because it binds fixed ports and adds ~3 min")
     args = ap.parse_args(argv)
 
     py = sys.executable
@@ -110,6 +115,9 @@ def main(argv=None) -> int:
         stages.append(("tests", [py, "-m", "pytest", "tests/", "-q"]))
     stages.append(("bench", [py, "bench.py"]))
     stages.append(("drift", [py, "tools/bench_drift.py"]))
+    if args.standalone:
+        stages.append(("standalone-smoke",
+                       ["bash", "tools/standalone_smoke.sh"]))
     if not args.skip_cluster:
         stages.append(("cluster", [py, "tools/cluster_check.py"]))
     if not args.skip_axes:
