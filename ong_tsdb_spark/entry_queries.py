@@ -896,7 +896,7 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy."""
     emb = load(spark, sf_dir, "embeddings")
     with_b = emb.withColumn(
-        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), 64, _NEARDUP_LSH_PLANES)
+        "bucket", similarity.lsh_bucket_expr("embedding", 64, _NEARDUP_LSH_PLANES)
     )
     return similarity.cosine_pairs_blocked_numpy(
         with_b,
@@ -1916,7 +1916,7 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     dim = 64
     with_buckets = emb.withColumn(
-        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), dim, 8)
+        "bucket", similarity.lsh_bucket_expr("embedding", dim, 8)
     )
     qrow = with_buckets.filter(F.col("vec_id") == 0).select("embedding", "bucket").first()
     qvec, qbucket = qrow[0], qrow[1]

@@ -22,8 +22,46 @@ whole-stage codegen; no UDF, no driver-side loops.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _lit_double_array_sql(vals) -> str:
+    """SQL text for a literal double array.
+
+    Construction-cost fix (optimization r14, guide §7.3 driver
+    overhead): ``F.array(*[F.lit(v).cast("double") ...])`` costs ~2*dim
+    py4j round-trips PER ARRAY (~1-3 ms each), which made every
+    64-dim literal vector ~0.15 s of pure driver latency and the
+    8-plane LSH bucket ~2.5 s — per query construction, per lap.  One
+    parsed SQL string is a single round-trip.  ``repr(float)`` is
+    shortest-round-trip, and both the JVM parser and Python resolve it
+    to the identical IEEE-754 double, so the parsed literals are
+    bit-identical to the F.lit path.  Callers must guard non-finite
+    values (repr(nan)/'inf' are not SQL literals) — see
+    :func:`_finite_floats`."""
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _finite_floats(vals) -> bool:
+    """True iff every element is a finite float (the precondition for
+    :func:`_lit_double_array_sql`)."""
+    try:
+        return all(math.isfinite(float(v)) for v in vals)
+    except (TypeError, ValueError):
+        return False
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    """SQL text of the deterministic left-to-right double dot-product
+    fold — the exact parser-level twin of :func:`_dot` (same
+    ``aggregate(zip_with(...))`` Catalyst operators after parsing)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -67,7 +105,11 @@ def cosine_topk(
     """Top-k rows by cosine similarity to a literal query vector.
     Deterministic ordering: (cosine desc, id asc)."""
     dim = len(query_vec)
-    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    if _finite_floats(query_vec):
+        # one parsed literal array instead of 2*dim py4j round-trips
+        q = F.expr(_lit_double_array_sql(query_vec))
+    else:
+        q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
     scored = df.select(
         F.col(id_col), cosine_similarity(F.col(vec_col), q, dim).alias("cosine")
     )
@@ -817,11 +859,30 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
         vals.append((state / 2**31) - 1.0)  # [-1, 1)
     return vals
 
-def lsh_bucket_expr(vec_col: Column, dim: int, num_planes: int = 16) -> Column:
+def lsh_bucket_expr(vec_col: Column | str, dim: int, num_planes: int = 16) -> Column:
     """The LSH bucket as a pure Catalyst expression: sign pattern of
     ``num_planes`` deterministic hyperplane projections packed into a
     long.  Usable as a ``withColumn`` (no join, no shuffle) — the
-    quantizer-derived block key for blocked near-dup at scale."""
+    quantizer-derived block key for blocked near-dup at scale.
+
+    Built as ONE parsed SQL expression (optimization r14): the old
+    per-element ``F.lit`` loop cost ~2.5 s of py4j round-trips per
+    call (num_planes * dim literals plus the fold lambdas) — pure
+    driver latency repeated on every query construction.  The parsed
+    tree is operator-identical (same zip_with/aggregate fold, same
+    left-assoc bigint sum), pinned by test_lsh_bucket_expr_sql_twin.
+    The fast path needs the column as SQL text, so it applies to
+    ``str`` input only (Spark 4 classic has no stable Column→SQL API);
+    a ``Column`` argument takes the original loop-built path."""
+    if isinstance(vec_col, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for p in range(num_planes):
+            dot = _dot_fold_sql(vec_col, _lit_double_array_sql(_hyperplane(p, dim)))
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = F.array(*[F.lit(v).cast("double") for v in _hyperplane(p, dim)])
@@ -843,7 +904,7 @@ def lsh_cosine_buckets(
     pattern of ``num_planes`` projections.  Join on the bucket to get
     candidate pairs at scale."""
     return df.select(
-        F.col(id_col), lsh_bucket_expr(F.col(vec_col), dim, num_planes).alias("bucket")
+        F.col(id_col), lsh_bucket_expr(vec_col, dim, num_planes).alias("bucket")
     )
 
 

@@ -172,6 +172,42 @@ def test_cosine_topk_matches_numpy(spark):
         assert r["cosine"] == pytest.approx(cos[r["vec_id"]], rel=1e-9)
 
 
+def test_lsh_bucket_expr_sql_twin(spark):
+    """The fast SQL-text construction of the LSH bucket (str column
+    input) is bit-identical to the original loop-built Column path
+    (Column input) — the optimization-r14 construction-cost rewrite
+    may not change a single bucket."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 16).astype("float64")
+    # include edge vectors: zeros and exact repr-roundtrip stress values
+    vecs[3] = 0.0
+    vecs[4] = np.array([1e-300, -1e-300] * 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = df.select(
+        "vec_id", similarity.lsh_bucket_expr("embedding", 16, 16).alias("b")
+    ).collect()
+    slow = df.select(
+        "vec_id", similarity.lsh_bucket_expr(F.col("embedding"), 16, 16).alias("b")
+    ).collect()
+    assert {r["vec_id"]: r["b"] for r in fast} == {r["vec_id"]: r["b"] for r in slow}
+
+
+def test_lit_double_array_sql_bit_exact(spark):
+    """repr() literals parse back to the identical IEEE-754 doubles."""
+    rng = np.random.RandomState(3)
+    vals = [float(x) for x in rng.randn(64) * 1e3] + [0.0, -0.0, 1e-308, -1.5e300]
+    row = spark.sql(
+        "select " + similarity._lit_double_array_sql(vals) + " as a"
+    ).first()[0]
+    assert len(row) == len(vals)
+    assert all(x == y for x, y in zip(row, vals))
+    # non-finite values must take the fallback path
+    assert not similarity._finite_floats([1.0, float("nan")])
+    assert not similarity._finite_floats([float("inf")])
+    assert similarity._finite_floats(vals)
+
+
 def test_cosine_pairs_blocked(spark):
     rows = [
         (1, [1.0, 0.0], "a"),
