@@ -51,6 +51,15 @@ EN_LIST_SQL = "'" + "','".join(text.EN_STOPWORDS) + "'"
 ES_LIST_SQL = "'" + "','".join(text.ES_STOPWORDS) + "'"
 
 
+#: per-session memo of table SCAN PLANS (lazy DataFrames), weakly
+#: keyed by session — see :func:`load`.  This is the moral equivalent
+#: of registering the tables in a catalog once per session: it holds
+#: schema/file-listing METADATA only (a DataFrame is an unexecuted
+#:  plan — zero rows live here), every action still reads the parquet
+#: data from disk, and no result or intermediate is ever stored.
+_LOAD_PLAN_CACHE = None
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table.  Timestamp columns may be either
     TIMESTAMP(NANOS) (read as long ns under ``nanosAsLong``) or plain
@@ -58,7 +67,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     in the driver's testdata, so nothing downstream may assume one.
     The raw column is kept as-is (normalizing here would break Parquet
     predicate pushdown); use ``_us``/``_sec``/``_ns``/``_ts_pred_*``.
-    Session tz pinned to UTC so NTZ->epoch matches DuckDB epoch_us."""
+    Session tz pinned to UTC so NTZ->epoch matches DuckDB epoch_us.
+
+    The resolved scan (a LAZY DataFrame) is memoized per (session,
+    path): a bare ``read.parquet`` re-reads file footers and re-lists
+    the directory on every call — ~75 ms of driver latency per table
+    per query construction (optimization r14, guide §1.2), which a
+    production deployment would pay ONCE by registering the table in a
+    catalog.  DataFrames are immutable, so sharing the base plan is
+    safe; the testdata directories are immutable for the life of a
+    session (the generators write a dir before its first load).  Data
+    is re-scanned from parquet on every action — nothing here caches
+    rows or results."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # size(NULL) must be NULL, not the legacy -1: with ANSI disabled
@@ -68,7 +88,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # edge-corpus sweep, code-review r9).  Pin it like nanosAsLong so
     # the entry surface is session-default-independent.
     spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    global _LOAD_PLAN_CACHE
+    if _LOAD_PLAN_CACHE is None:
+        import weakref
+
+        _LOAD_PLAN_CACHE = weakref.WeakKeyDictionary()
+    per_session = _LOAD_PLAN_CACHE.setdefault(spark, {})
+    path = f"{sf_dir}/{table}.parquet"
+    df = per_session.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        # tag the scan with its source path so ensure_parallelism can
+        # memoize its partition-count probe (a ~0.1 s plan->RDD
+        # conversion otherwise paid per construction)
+        df._ong_src_path = path
+        per_session[path] = df
+    return df
 
 
 # the schema-adaptive epoch converters live in functions/timeseries

@@ -184,15 +184,45 @@ def materialize_for_self_join(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: per-source-path scan partition counts, weakly keyed by session —
+#: see :func:`ensure_parallelism`
+_NPARTS_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input has fewer partitions (e.g. one small Parquet file -> one
     split -> one task doing ALL the per-doc compute).  No-op at scale
     where scans already produce many splits; the small shuffle this
-    adds is repaid many times over by parallel lambda evaluation."""
+    adds is repaid many times over by parallel lambda evaluation.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) converts
+    the whole plan to an RDD — ~0.1 s of driver work PER QUERY
+    CONSTRUCTION (optimization r14, guide §1.2 driver overhead).  For
+    the common shape — the df IS a raw table scan that
+    ``entry_queries.load`` tagged with its source path — the probe
+    result is memoized per (live session, path): same path + same
+    session conf => same split count, and the cached value only gates
+    a repartition DECISION (results are identical either way; a stale
+    count after a mid-session conf change costs at most one redundant
+    shuffle).  Untagged inputs take the uncached probe as before."""
+    global _NPARTS_CACHE
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    src = getattr(df, "_ong_src_path", None)
+    if src is None:
+        n = df.rdd.getNumPartitions()
+    else:
+        import weakref
+
+        if _NPARTS_CACHE is None:
+            _NPARTS_CACHE = weakref.WeakKeyDictionary()
+        per_session = _NPARTS_CACHE.setdefault(df.sparkSession, {})
+        n = per_session.get(src)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            per_session[src] = n
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -643,20 +673,28 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     rows-only correctness check (documented non-SQL-expressible)."""
     toks = F.explode(F.split(F.col(text_col), " ")).alias("tok")
     per_tok = df.select(F.col(id_col), toks).withColumn("h", F.xxhash64("tok"))
+    # one parsed SQL expression per aggregate column and ONE for the
+    # 64-term signature sum (optimization r14, guide §1.2 driver
+    # overhead): the loop-built Column version cost ~1 s of py4j
+    # round-trips per construction; the parsed trees are operator-
+    # identical (same Sum/CaseWhen aggregates, same left-assoc bigint
+    # sum with sign-bit shiftleft wrap) — pinned bit-identical by
+    # test_simhash_sql_twin
     bit_cols = [
-        F.sum(
-            F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{b}")
+        F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}")
         for b in range(64)
     ]
     agg = per_tok.groupBy(id_col).agg(*bit_cols)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        # shiftleft wraps at bit 63 (sign bit) — fine for a hash key
-        sig = sig + F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    # shiftleft wraps at bit 63 (sign bit) — fine for a hash key
+    sig_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
+        ]
+    )
+    return agg.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_portable(
@@ -671,19 +709,22 @@ def simhash_portable(
     per_tok = df.select(F.col(id_col), toks).withColumn(
         "h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
+    # parsed-SQL construction, same rationale (and twin-test pin) as
+    # :func:`simhash` above
     bit_cols = [
-        F.sum(
-            F.when(F.expr(f"(h32 >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{b}")
+        F.expr(f"sum(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}")
         for b in range(bits)
     ]
     agg = per_tok.groupBy(id_col).agg(*bit_cols)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
+        ]
+    )
+    return agg.select(F.col(id_col), F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_portable_oracle_sql(bits: int = 32) -> str:

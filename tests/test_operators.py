@@ -92,6 +92,44 @@ def test_xxh64_sql_matches_spark(spark):
         assert signed == got[s], f"xxh64 mismatch for {s!r}"
 
 
+def test_simhash_sql_twin(spark):
+    """The parsed-SQL construction of simhash / simhash_portable
+    (optimization r14) is bit-identical to the original loop-built
+    Column path, reproduced here verbatim as the reference."""
+    df = _docs(spark)
+
+    def reference(per_tok_col, bits, shift_wrap):
+        toks = F.explode(F.split(F.col("text"), " ")).alias("tok")
+        if per_tok_col == "h":
+            per_tok = df.select(F.col("doc_id"), toks).withColumn(
+                "h", F.xxhash64("tok"))
+        else:
+            per_tok = df.select(F.col("doc_id"), toks).withColumn(
+                "h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+        bit_cols = [
+            F.sum(
+                F.when(F.expr(f"({per_tok_col} >> {b}) & 1") == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+        agg = per_tok.groupBy("doc_id").agg(*bit_cols)
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            one = (F.shiftleft(F.lit(1).cast("long"), b) if shift_wrap
+                   else F.lit(1 << b).cast("long"))
+            sig = sig + F.when(F.col(f"b{b}") > 0, one).otherwise(
+                F.lit(0).cast("long"))
+        return {r["doc_id"]: r["simhash"]
+                for r in agg.select("doc_id", sig.alias("simhash")).collect()}
+
+    fast64 = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert fast64 == reference("h", 64, shift_wrap=True)
+    fast32 = {r["doc_id"]: r["simhash"]
+              for r in dedup.simhash_portable(df).collect()}
+    assert fast32 == reference("h32", 32, shift_wrap=False)
+
+
 def test_simhash_near_for_near_docs(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]
