@@ -1144,12 +1144,24 @@ def hash_bucket(tok: Column, n_buckets: int) -> Column:
     )
 
 
+def _lit_long_array_sql(vals) -> str:
+    """SQL text for a literal bigint array — ``F.array(*[F.lit(int)
+    .cast("long") ...])`` costs ~2 py4j round-trips per element (~1-3
+    ms each), i.e. ~0.5 s of pure driver latency for the 256-bucket
+    classifier weight vector PER QUERY CONSTRUCTION (optimization r14,
+    guide §1.2 driver overhead).  One parsed string is a single round
+    trip; SQL ``L`` literals are exact bigints, so the parsed array is
+    value-identical to the F.lit path (pinned by
+    ``test_classifier_score_sql_twin``)."""
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
 def classifier_score_expr(text: Column, weights: list[int] | None = None) -> Column:
     """Integer classifier score as a reusable column expression (the
     heart of :func:`classifier_quality`) — composable into batch
     selects and streaming gates alike."""
     w = weights if weights is not None else classifier_weights()
-    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    warr = F.expr(_lit_long_array_sql(w))
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
@@ -1348,7 +1360,15 @@ def dsir_importance(
     # each weight is one exact-int division — correctly rounded, so the
     # Python float here equals the SQL double the oracle computes
     w = [(t + 1) / (r + 1) for t, r in zip(tgt, raw)]
-    warr = F.array(*[F.lit(float(x)).cast("double") for x in w])
+    # literal weight vector from ONE parsed SQL string instead of
+    # 2*n_buckets py4j round-trips (optimization r14, guide §1.2);
+    # repr(float) double literals parse bit-identically — same helper
+    # and twin-test discipline as similarity._lit_double_array_sql
+    # (weights are exact-int divisions: always finite, so no guard
+    # branch is needed)
+    from .similarity import _lit_double_array_sql
+
+    warr = F.expr(_lit_double_array_sql(w))
     toks = tokens(F.col(text_col))
     imp = F.aggregate(
         toks,

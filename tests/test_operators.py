@@ -130,6 +130,46 @@ def test_simhash_sql_twin(spark):
     assert fast32 == reference("h32", 32, shift_wrap=False)
 
 
+def test_literal_weight_array_sql_twins(spark):
+    """The parsed-SQL literal weight arrays (optimization r14) in
+    classifier_score_expr and dsir_importance are bit-identical to the
+    original loop-built F.lit constructions, reproduced here verbatim
+    as the reference."""
+    df = _docs(spark)
+
+    # classifier: integer weights, default 256-bucket vector
+    w = text.classifier_weights()
+    warr_ref = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    score_ref = F.aggregate(
+        text.tokens(F.col("text")),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr_ref, (text.hash_bucket(t, len(w)) + F.lit(1)).cast("int")),
+    )
+    ref = {r["doc_id"]: r["s"]
+           for r in df.select("doc_id", score_ref.alias("s")).collect()}
+    fast = {r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", text.classifier_score_expr(F.col("text")).alias("s")
+            ).collect()}
+    assert fast == ref
+
+    # dsir: double weights including exact-int-division values; pin
+    # the parsed double array against the F.lit one element-wise
+    wts = [(t + 1) / (r + 1) for t, r in zip(range(7), [3, 1, 0, 5, 2, 9, 4])]
+    from ong_tsdb_spark.operators.similarity import _lit_double_array_sql
+
+    got = spark.range(1).select(
+        F.expr(_lit_double_array_sql(wts)).alias("a"),
+        F.array(*[F.lit(float(x)).cast("double") for x in wts]).alias("b"),
+    ).first()
+    import struct
+
+    assert [struct.pack("<d", v) for v in got["a"]] == [
+        struct.pack("<d", v) for v in got["b"]
+    ]
+
+
 def test_simhash_near_for_near_docs(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]
