@@ -47,6 +47,54 @@ def test_roundtrip_multichunk(eng):
     assert out.equals(pdf.astype("float32"))
 
 
+def test_write_layout_one_file_per_chunk_dir(eng):
+    """The explicit-count repartition in the chunked write
+    (optimization r14: repartition(n, chunk_start) instead of the
+    advisory repartition(chunk_start) that AQE coalesced to one
+    serial writer task) must preserve the storage contract: each
+    chunk_start partition dir holds exactly ONE data file, on both
+    the fresh-write and the merge (upsert) path, and the
+    spark.ong.write.partitions override is honored."""
+    import os
+
+    eng.create_sensor("test", "slay", "1s", ["active", "reactive"])
+    pdf = _mk_pdf(600, "10min")
+    eng.write_df("test", "slay", pdf)
+
+    data_dir = eng.catalog.data_path("test", "slay")
+
+    def files_per_chunk():
+        out = {}
+        for d in os.listdir(data_dir):
+            if not d.startswith("chunk_start="):
+                continue
+            parts = [p for p in os.listdir(os.path.join(data_dir, d))
+                     if p.startswith("part-") and p.endswith(".parquet")]
+            out[d] = len(parts)
+        return out
+
+    fresh = files_per_chunk()
+    assert len(fresh) > 1  # genuinely multi-chunk
+    assert set(fresh.values()) == {1}, fresh
+
+    # upsert path (existing != None -> second repartition site)
+    eng.write_df("test", "slay", pdf.iloc[:60])
+    merged = files_per_chunk()
+    assert set(merged.values()) == {1}, merged
+    assert eng.read_pandas("test", "slay").equals(pdf.astype("float32"))
+
+    # the deployment override still yields the same layout
+    eng.spark.conf.set("spark.ong.write.partitions", "3")
+    try:
+        assert eng._write_partitions() == 3
+        eng.write_df("test", "slay", pdf.iloc[60:120])
+        over = files_per_chunk()
+        assert set(over.values()) == {1}, over
+    finally:
+        eng.spark.conf.unset("spark.ong.write.partitions")
+    assert eng.read_pandas("test", "slay").equals(pdf.astype("float32"))
+
+
 def test_read_iter_chunked(eng):
     """S3: chunk-by-chunk iteration — each yielded frame is one chunk
     partition, concatenation equals the one-shot read, driver memory
