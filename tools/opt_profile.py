@@ -28,7 +28,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from ong_tsdb_spark import entry_queries  # noqa: E402
 
-PLANS_DIR = os.path.join(REPO, "plans", "r14")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+)
 
 
 def build_session(cpus: str, ui: bool) -> SparkSession:
