@@ -459,6 +459,60 @@ def _assign_exact_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame
     return qdf.mapInPandas(block, out_schema)
 
 
+def _assign_sums_arrow(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Fused Lloyd's assignment + PER-BATCH PARTIAL AGGREGATION for the
+    trainer (optimization r15, guide §4 shuffle-fewer-bytes across the
+    Python boundary): instead of shipping every row's (id, qv, __c)
+    back across Arrow and hash-aggregating N rows JVM-side, each batch
+    returns at most k rows of (cluster, count, dim partial sums) —
+    int64-exact numpy reductions, so the per-cluster TOTALS the caller
+    aggregates are bit-identical to the row-at-a-time Sum(ElementAt)
+    aggregate (integer addition is associative; np.argmin keeps the
+    same first-minimum tie-break as the Catalyst fold).  Only the
+    trainer may use this: rows with null/dirty vectors are DROPPED from
+    the partials (the trainer pre-filters them out anyway), whereas
+    :func:`_assign_exact_arrow` must surface them with a null code."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(centroids, dtype=np.int64)
+    cnorm = (C * C).sum(axis=1)
+    k, dim = C.shape
+
+    def block(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [
+                    np.asarray(v, dtype="float64")
+                    if v is not None and len(v) == dim
+                    else np.full(dim, np.nan)
+                    for v in pdf["qv"]
+                ]
+            )
+            mask = ~np.isnan(M).any(axis=1)
+            if not mask.any():
+                continue
+            V = M[mask].astype(np.int64)
+            D = cnorm[None, :] - 2 * (V @ C.T)
+            a = np.argmin(D, axis=1)
+            counts = np.bincount(a, minlength=k)
+            S = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(S, a, V)  # unbuffered int64 scatter-add: exact
+            present = np.flatnonzero(counts)
+            out = {"__c": present.astype("int32"),
+                   "n": counts[present].astype("int64")}
+            for i in range(dim):
+                out[f"s{i}"] = S[present, i]
+            yield pd.DataFrame(out)
+
+    schema = "__c int, n long, " + ", ".join(f"s{i} long" for i in range(dim))
+    # project to just the vector column BEFORE the boundary (§4.1:
+    # Spark cannot see which columns the function touches)
+    return qdf.select("qv").mapInPandas(block, schema)
+
+
 def train_ivf_centroids_exact(
     df: DataFrame,
     k: int = 8,
@@ -508,25 +562,33 @@ def train_ivf_centroids_exact(
     qdf = qdf.persist()
     try:
         for _ in range(iters):
-            assigned = (
-                _assign_exact_arrow(qdf, centroids)
-                if use_arrow
-                else qdf.withColumn(
+            if use_arrow:
+                # fused assignment + per-batch partial sums inside the
+                # Arrow boundary (optimization r15): the shuffle and
+                # the Python->JVM return carry <= batches x k partial
+                # rows instead of the full corpus — bit-identical
+                # totals (int64 addition is associative)
+                sums = _assign_sums_arrow(qdf, centroids).groupBy("__c").agg(
+                    F.expr("sum(n) AS n"),
+                    *[F.expr(f"sum(s{i}) AS s{i}") for i in range(dim)],
+                ).collect()
+            else:
+                assigned = qdf.withColumn(
                     "__c", _nearest_centroid_l2(F.col("qv"), centroids)
                 )
-            )
-            # agg columns via F.expr (optimization r14, guide §1.2
-            # driver overhead): the F.sum(F.element_at(...)) loop cost
-            # ~0.24 s of py4j round-trips per iteration at dim=64; one
-            # parsed string per column is ~10x cheaper and parses to
-            # the identical Count/Sum(ElementAt) aggregates
-            sums = assigned.groupBy("__c").agg(
-                F.expr("count(*) AS n"),
-                *[
-                    F.expr(f"sum(element_at(qv, {i + 1})) AS s{i}")
-                    for i in range(dim)
-                ],
-            ).collect()
+                # agg columns via F.expr (optimization r14, guide §1.2
+                # driver overhead): the F.sum(F.element_at(...)) loop
+                # cost ~0.24 s of py4j round-trips per iteration at
+                # dim=64; one parsed string per column is ~10x cheaper
+                # and parses to the identical Count/Sum(ElementAt)
+                # aggregates
+                sums = assigned.groupBy("__c").agg(
+                    F.expr("count(*) AS n"),
+                    *[
+                        F.expr(f"sum(element_at(qv, {i + 1})) AS s{i}")
+                        for i in range(dim)
+                    ],
+                ).collect()
             new = {
                 int(r["__c"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
                 for r in sums  # qdf is pre-filtered: no null clusters here
@@ -1267,18 +1329,19 @@ def train_pq_codebooks_exact(
     qdf = qdf.persist()
     try:
         for _ in range(iters):
-            assigned = _assign_pq_arrow(qdf, books, sub)
             # ONE combo aggregate replaces m per-subspace aggregates:
             # group on the m code columns jointly (<= k^m combo rows,
             # each carrying the full dim sums + count), then fold the
             # per-subspace marginals driver-side in exact Python ints —
-            # bit-identical to training each subspace separately.
-            combos = assigned.groupBy(*[f"__c{s}" for s in range(m)]).agg(
-                F.expr("count(*) AS n"),
-                *[
-                    F.expr(f"sum(element_at(qv, {i + 1})) AS s{i}")
-                    for i in range(dim)
-                ],
+            # bit-identical to training each subspace separately.  The
+            # per-batch partials are computed INSIDE the Arrow boundary
+            # (optimization r15, same move as _assign_sums_arrow) so
+            # the Python->JVM return is combo-sized, not corpus-sized.
+            combos = _assign_pq_sums_arrow(qdf, books, sub).groupBy(
+                *[f"__c{s}" for s in range(m)]
+            ).agg(
+                F.expr("sum(n) AS n"),
+                *[F.expr(f"sum(s{i}) AS s{i}") for i in range(dim)],
             ).collect()
             sums = [
                 [[0] * sub for _ in range(k)] for _ in range(m)
@@ -1304,6 +1367,72 @@ def train_pq_codebooks_exact(
     finally:
         qdf.unpersist()
     return books
+
+
+def _assign_pq_sums_arrow(
+    qdf: DataFrame, books: list[list[list[int]]], sub: int
+) -> DataFrame:
+    """Fused PQ assignment + per-batch partial combo aggregation
+    (optimization r15; the trainer twin of :func:`_assign_sums_arrow`):
+    each batch returns one row per OCCUPIED code combo — the m subspace
+    codes, the member count, and the full-dim int64 partial sums —
+    instead of every input row.  Rows with null/dirty vectors are
+    dropped (trainer input is pre-filtered); all arithmetic is exact
+    int64, so the aggregated totals are bit-identical to summing
+    row-at-a-time."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array(b, dtype=np.int64) for b in books]
+    norms = [(C * C).sum(axis=1) for C in mats]
+    m = len(books)
+    k = len(books[0])
+    dim = m * sub
+
+    def block(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.array(
+                [
+                    np.asarray(v, dtype="float64")
+                    if v is not None and len(v) == dim
+                    else np.full(dim, np.nan)
+                    for v in pdf["qv"]
+                ]
+            )
+            mask = ~np.isnan(M).any(axis=1)
+            if not mask.any():
+                continue
+            V = M[mask].astype(np.int64)
+            codes = []
+            for s, (C, cn) in enumerate(zip(mats, norms)):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                D = cn[None, :] - 2 * (Vs @ C.T)
+                codes.append(np.argmin(D, axis=1))
+            key = codes[0].astype(np.int64)
+            for s in range(1, m):
+                key = key * k + codes[s]
+            uniq, inv = np.unique(key, return_inverse=True)
+            counts = np.bincount(inv)
+            S = np.zeros((len(uniq), dim), dtype=np.int64)
+            np.add.at(S, inv, V)
+            out = {}
+            rem = uniq.copy()
+            for s in range(m - 1, -1, -1):
+                out[f"__c{s}"] = (rem % k).astype("int32")
+                rem = rem // k
+            out["n"] = counts.astype("int64")
+            for i in range(dim):
+                out[f"s{i}"] = S[:, i]
+            yield pd.DataFrame(out)
+
+    schema = (
+        ", ".join(f"__c{s} int" for s in range(m))
+        + ", n long, "
+        + ", ".join(f"s{i} long" for i in range(dim))
+    )
+    return qdf.select("qv").mapInPandas(block, schema)
 
 
 def _assign_pq_arrow(qdf: DataFrame, books: list[list[list[int]]], sub: int) -> DataFrame:

@@ -822,6 +822,38 @@ def test_ivf_exact_trainer_partition_invariant(spark):
     ]
 
 
+def test_ivf_trainer_fused_partials_dirty_corpus(spark):
+    """The r15 fused assignment+partial-sum Arrow boundary (the
+    trainer returns per-batch (cluster, n, dim sums) partials instead
+    of per-row assignments) must train BIT-IDENTICAL centroids to the
+    Catalyst reference on a corpus carrying every dirty-vector class
+    the quantizer nulls (null vector, null element, NaN, Inf,
+    |x| > EXACT_MAX_ABS), and regardless of batch/partition
+    boundaries (partials are summed across batches)."""
+    import random
+
+    from ong_tsdb_spark.operators.similarity import train_ivf_centroids_exact
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows += [
+        (90, None),
+        (91, [None] + [0.1] * 7),
+        (92, [float("nan")] + [0.2] * 7),
+        (93, [float("inf")] + [0.3] * 7),
+        (94, [1e30] + [0.4] * 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = train_ivf_centroids_exact(df, k=4, iters=3, use_arrow=False)
+    assert train_ivf_centroids_exact(df, k=4, iters=3) == ref
+    assert (
+        train_ivf_centroids_exact(df.repartition(16), k=4, iters=3) == ref
+    )
+    assert (
+        train_ivf_centroids_exact(df.coalesce(1), k=4, iters=3) == ref
+    )
+
+
 def test_adaptive_shingle_cap_skewed_corpus(spark):
     """ROADMAP #4: on a skewed corpus (one 3-gram shared by every doc)
     the auto cap drops the mega-shingle before the pair join — pair
