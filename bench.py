@@ -221,28 +221,39 @@ def bench_bpe_trainer(spark, sf_dir: str) -> dict[str, float]:
     cascade = bpe.train_bpe_merges(docs, n_merges=24, batch=64)
     out["bpe_train_cascade"] = round(time.perf_counter() - t0, 4)
     rounds_cascade = bpe.LAST_TRAIN_ROUNDS
+    # The reference rows run 8 merges since r15 (24 through r14 —
+    # recorded in the detail JSON's ``protocols`` so drift tooling
+    # rebaselines instead of reading a 3x mover; VERDICT r14 #6): the
+    # one-merge-per-round loop exists only to assert the batchers'
+    # bit-identity, and greedy BPE is PREFIX-STABLE — the first 8
+    # merges of the 24-merge production cascade above ARE the 8-merge
+    # greedy sequence — so the identity asserts keep tying the
+    # production row to the reference while the lap stops paying ~17 s
+    # for rounds 9..24 of two reference loops.  tests/test_bpe.py
+    # still pins the full algorithm against a pure-Python twin.
     t0 = time.perf_counter()
-    batched = bpe.train_bpe_merges(docs, n_merges=24, batch=16, guard="exact")
+    batched = bpe.train_bpe_merges(docs, n_merges=8, batch=16, guard="exact")
     out["bpe_train_batched"] = round(time.perf_counter() - t0, 4)
     rounds_batched = bpe.LAST_TRAIN_ROUNDS
     t0 = time.perf_counter()
-    sequential = bpe.train_bpe_merges(docs, n_merges=24, batch=1, guard="exact")
+    sequential = bpe.train_bpe_merges(docs, n_merges=8, batch=1, guard="exact")
     out["bpe_train_sequential"] = round(time.perf_counter() - t0, 4)
     rounds_seq = bpe.LAST_TRAIN_ROUNDS
-    assert cascade == sequential, "cascade BPE diverged from reference loop"
+    assert cascade[:8] == sequential, (
+        "cascade BPE diverged from reference loop on the shared prefix"
+    )
     assert batched == sequential, "exact-batched BPE diverged from reference loop"
     out["bpe_train_rounds_cascade"] = float(rounds_cascade)
     out["bpe_train_rounds_batched"] = float(rounds_batched)
     out["bpe_train_rounds_sequential"] = float(rounds_seq)
     print(
-        f"[bench] bpe_trainer: 24 merges — cascade {rounds_cascade} "
-        f"rounds ({out['bpe_train_cascade']:.2f}s, table == sequential), "
-        f"exact-batched {rounds_batched} rounds "
+        f"[bench] bpe_trainer: cascade 24 merges, {rounds_cascade} "
+        f"rounds ({out['bpe_train_cascade']:.2f}s, first 8 == sequential), "
+        f"exact-batched 8 merges, {rounds_batched} rounds "
         f"({out['bpe_train_batched']:.2f}s, table == sequential), "
-        f"sequential {rounds_seq} rounds "
-        f"({out['bpe_train_sequential']:.2f}s); round reductions "
-        f"{rounds_seq / max(rounds_cascade, 1):.1f}x cascade / "
-        f"{rounds_seq / max(rounds_batched, 1):.1f}x exact-batched",
+        f"sequential 8 merges, {rounds_seq} rounds "
+        f"({out['bpe_train_sequential']:.2f}s); round reduction "
+        f"{rounds_seq / max(rounds_batched, 1):.1f}x exact-batched at 8",
         file=sys.stderr,
     )
     return out
@@ -801,6 +812,13 @@ def main() -> None:
                                   "pre-materialized off the clock, "
                                   "single-shot; excluded from "
                                   "core_total)",
+            "bpe_train_batched": "8-merge run since r15 (24 through "
+                                 "r14; identity vs sequential still "
+                                 "asserted)",
+            "bpe_train_sequential": "8-merge reference since r15 (24 "
+                                    "through r14; cascade row stays "
+                                    "24 merges, its first 8 asserted "
+                                    "== this reference)",
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
