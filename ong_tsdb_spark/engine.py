@@ -116,6 +116,10 @@ class OngTsdbSpark:
         )
         self._locks: dict[tuple[str, str], threading.Lock] = {}
         self._locks_guard = threading.Lock()
+        #: per-sensor resolved-scan memo — (db, sensor) -> (key, df);
+        #: key = (write version, data-dir mtime, storage schema), see
+        #: :meth:`_read_raw`.  Plan metadata only, never rows.
+        self._scan_memo: dict[tuple[str, str], tuple] = {}
 
     # ------------------------------------------------------------------
     # auth (service layer, SURVEY §2.13)
@@ -585,7 +589,20 @@ class OngTsdbSpark:
         files reads as NULL under an explicit schema, exactly what
         footer merging produced — and chunk_start long (double only for
         fractional sub-second grids).  Stale columns from deleted
-        metrics are simply not requested."""
+        metrics are simply not requested.
+
+        The resolved scan (a LAZY DataFrame — plan metadata and a file
+        listing snapshot, zero rows) is memoized per sensor and
+        INVALIDATED ON WRITE (optimization r15, VERDICT r14 #7 —
+        mirrors entry_queries.load's session memo): the key carries
+        the sensor's write version (bumped by every commit, readable
+        cross-process), the data dir's mtime (changes when chunk dirs
+        are created/removed — belt-and-braces for out-of-band
+        delete+recreate at the same path) and the storage schema, so
+        a repeat read in a serving session skips the per-call
+        directory re-listing while an upsert anywhere forces a fresh
+        resolve.  Remote (object-store) catalogs skip the memo — no
+        cheap mtime fingerprint there."""
         if not self.catalog.data_exists(db, sensor):
             return None
         d = cfg.grid.chunk_duration
@@ -595,10 +612,30 @@ class OngTsdbSpark:
             + [T.StructField(m, T.FloatType()) for m in flatten_metrics(cfg.metrics)]
             + [T.StructField(PART_COL, part_t)]
         )
+        memo_key = None
+        local = self._local_data_dir(db, sensor)
+        if local is not None:
+            import os
+
+            try:
+                memo_key = (
+                    self.catalog.get_version(db, sensor),
+                    os.stat(local).st_mtime_ns,
+                    tuple((f.name, f.dataType.simpleString()) for f in schema.fields),
+                )
+            except OSError:
+                memo_key = None
+        if memo_key is not None:
+            hit = self._scan_memo.get((db, sensor))
+            if hit is not None and hit[0] == memo_key:
+                return hit[1]
         try:
-            return self.spark.read.schema(schema).parquet(
+            df = self.spark.read.schema(schema).parquet(
                 self.catalog.data_path(db, sensor)
             )
+            if memo_key is not None:
+                self._scan_memo[(db, sensor)] = (memo_key, df)
+            return df
         except AnalysisException as ex:
             # ONLY a vanished path (raced a concurrent delete) is
             # "no data".  Anything else must RAISE: write_spark_df

@@ -111,6 +111,46 @@ def test_write_partitions_conf_validated(eng):
     assert eng._write_partitions() >= 1
 
 
+def test_scan_memo_invalidated_on_write(eng):
+    """The r15 per-sensor scan memo (plan + file-listing snapshot)
+    must never serve a stale read: a cell upsert, a write that CREATES
+    new chunk dirs (the cached listing wouldn't contain them), and
+    schema growth must all invalidate; an untouched sensor hits the
+    memo (same plan object)."""
+    import numpy as np
+    import pandas as pd
+
+    eng.create_sensor("test", "memo", "1h", ["a"])
+    pdf = _mk_pdf(600, "10min", metrics=("a",))
+    eng.write_df("test", "memo", pdf)
+    n0 = eng.read("test", "memo").count()
+    cfg = eng.catalog.get_config("test", "memo")
+    assert eng._read_raw("test", "memo", cfg) is eng._read_raw(
+        "test", "memo", cfg
+    )  # memo hit: identical plan object, no re-resolve
+
+    # cell upsert (existing chunk dirs only) -> version bump -> fresh
+    one = pdf.iloc[:1].copy()
+    one["a"] = 123.5
+    eng.write_df("test", "memo", one)
+    assert eng.read_pandas("test", "memo")["a"].iloc[0] == np.float32(123.5)
+    assert eng.read("test", "memo").count() == n0
+
+    # a write that adds NEW chunk dirs: the stale listing would miss
+    # the new partitions entirely
+    idx = pd.date_range("2024-06-01", periods=48, freq="1h", tz="UTC")
+    later = pd.DataFrame({"a": np.arange(48.0)}, index=idx)
+    eng.write_df("test", "memo", later)
+    assert eng.read("test", "memo").count() == n0 + 48
+
+    # schema growth: new column must be visible immediately
+    ts0 = float(pdf.index[0].timestamp())
+    eng.write_points("test", "memo", [("b", 7.0, ts0)], fill_value=0.0)
+    got = eng.read_pandas("test", "memo")
+    assert got["b"].iloc[0] == np.float32(7.0)
+    assert got["b"].iloc[1] == np.float32(0.0)
+
+
 def test_read_iter_chunked(eng):
     """S3: chunk-by-chunk iteration — each yielded frame is one chunk
     partition, concatenation equals the one-shot read, driver memory
