@@ -4165,6 +4165,7 @@ def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .streaming.dedup import (
+        FINGERPRINT_COL,
         near_dedup_batch_against_ledger,
         near_keys_of,
     )
@@ -4175,13 +4176,31 @@ def dedup_near_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         outs = []
         for bid, pred in ((0, F.col("doc_id") < 250), (1, F.col("doc_id") >= 250)):
-            surv = near_dedup_batch_against_ledger(
+            # return_keys mirrors the LIVE hook pair in
+            # start_near_ledger_dedup (optimization r15): the batch's
+            # checkpointed band-key table feeds both the dup semi-join
+            # and — survivor-filtered by id — the ledger write, instead
+            # of re-running the whole shingle+minhash aggregate for
+            # near_keys_of.  Keys are a pure function of the text, so
+            # the written ledger is value-identical either way (the
+            # first batch, with no ledger and hence no keys table yet,
+            # still derives from the survivors like the replay path).
+            surv, keys = near_dedup_batch_against_ledger(
                 spark, docs.filter(pred), ledger_path, "text",
-                exclude_batch=bid,
-            ).localCheckpoint(eager=True)
-            near_keys_of(surv, "text").write.mode("overwrite").parquet(
-                f"{ledger_path}/batch={bid}"
+                exclude_batch=bid, return_keys=True,
             )
+            surv = surv.localCheckpoint(eager=True)
+            if keys is None:
+                kdf = near_keys_of(surv, "text")
+            else:
+                kdf = (
+                    keys.join(
+                        surv.select("doc_id"), on="doc_id", how="left_semi"
+                    )
+                    .select(FINGERPRINT_COL)
+                    .distinct()
+                )
+            kdf.write.mode("overwrite").parquet(f"{ledger_path}/batch={bid}")
             outs.append(
                 surv.select(
                     F.lit(bid).cast("bigint").alias("batch"), "doc_id"
