@@ -57,7 +57,11 @@ ES_LIST_SQL = "'" + "','".join(text.ES_STOPWORDS) + "'"
 #: schema/file-listing METADATA only (a DataFrame is an unexecuted
 #:  plan — zero rows live here), every action still reads the parquet
 #: data from disk, and no result or intermediate is ever stored.
-_LOAD_PLAN_CACHE = None
+#: Eagerly initialized (ADVICE r14): a lazy ``is None`` check could
+#: race under multi-threaded first construction and drop entries.
+import weakref as _weakref
+
+_LOAD_PLAN_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -88,21 +92,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # edge-corpus sweep, code-review r9).  Pin it like nanosAsLong so
     # the entry surface is session-default-independent.
     spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
-    global _LOAD_PLAN_CACHE
-    if _LOAD_PLAN_CACHE is None:
-        import weakref
-
-        _LOAD_PLAN_CACHE = weakref.WeakKeyDictionary()
     per_session = _LOAD_PLAN_CACHE.setdefault(spark, {})
     path = f"{sf_dir}/{table}.parquet"
-    df = per_session.get(path)
+    # staleness guard (ADVICE r14): the memo key carries the path's
+    # mtime, so a testdata dir REGENERATED at the same path within one
+    # session gets a fresh scan instead of a stale file-listing
+    # snapshot (or a FileNotFoundException).  One os.stat per call —
+    # microseconds; non-local paths skip the fingerprint.
+    try:
+        import os as _os
+
+        key = (path, _os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)
+    df = per_session.get(key)
     if df is None:
         df = spark.read.parquet(path)
         # tag the scan with its source path so ensure_parallelism can
         # memoize its partition-count probe (a ~0.1 s plan->RDD
         # conversion otherwise paid per construction)
         df._ong_src_path = path
-        per_session[path] = df
+        per_session[key] = df
     return df
 
 

@@ -185,8 +185,12 @@ def materialize_for_self_join(df: DataFrame) -> DataFrame:
 
 
 #: per-source-path scan partition counts, weakly keyed by session —
-#: see :func:`ensure_parallelism`
-_NPARTS_CACHE: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+#: see :func:`ensure_parallelism`.  Eagerly initialized (ADVICE r14):
+#: a lazy ``is None`` check could race under multi-threaded first
+#: construction and silently drop already-cached entries.
+import weakref as _weakref
+
+_NPARTS_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -206,17 +210,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     a repartition DECISION (results are identical either way; a stale
     count after a mid-session conf change costs at most one redundant
     shuffle).  Untagged inputs take the uncached probe as before."""
-    global _NPARTS_CACHE
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     src = getattr(df, "_ong_src_path", None)
     if src is None:
         n = df.rdd.getNumPartitions()
     else:
-        import weakref
-
-        if _NPARTS_CACHE is None:
-            _NPARTS_CACHE = weakref.WeakKeyDictionary()
         per_session = _NPARTS_CACHE.setdefault(df.sparkSession, {})
         n = per_session.get(src)
         if n is None:

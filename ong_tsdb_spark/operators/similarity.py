@@ -939,9 +939,12 @@ def lsh_bucket_expr(vec_col: Column | str, dim: int, num_planes: int = 16) -> Co
     tree is operator-identical (same zip_with/aggregate fold, same
     left-assoc bigint sum), pinned by test_lsh_bucket_expr_sql_twin.
     The fast path needs the column as SQL text, so it applies to
-    ``str`` input only (Spark 4 classic has no stable Column→SQL API);
-    a ``Column`` argument takes the original loop-built path."""
-    if isinstance(vec_col, str):
+    ``str`` input only (Spark 4 classic has no stable Column→SQL API)
+    and only to plain-identifier names — a name needing backticks
+    (spaces, dots, reserved words) would parse wrong or not at all
+    (ADVICE r14), so it falls back to the Column loop like any other
+    non-str input."""
+    if isinstance(vec_col, str) and vec_col.isidentifier():
         terms = ["CAST(0 AS BIGINT)"]
         for p in range(num_planes):
             dot = _dot_fold_sql(vec_col, _lit_double_array_sql(_hyperplane(p, dim)))
@@ -950,6 +953,10 @@ def lsh_bucket_expr(vec_col: Column | str, dim: int, num_planes: int = 16) -> Co
                 f"ELSE CAST(0 AS BIGINT) END)"
             )
         return F.expr(" + ".join(terms))
+    if isinstance(vec_col, str):
+        # backtick-quote so a dotted name resolves as the literal
+        # column, not a struct-field path (bare F.col("a.b") would)
+        vec_col = F.col("`" + vec_col.replace("`", "``") + "`")
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = F.array(*[F.lit(v).cast("double") for v in _hyperplane(p, dim)])

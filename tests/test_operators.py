@@ -822,6 +822,51 @@ def test_ivf_exact_trainer_partition_invariant(spark):
     ]
 
 
+def test_lsh_bucket_expr_non_identifier_column(spark):
+    """ADVICE r14: a column name that needs backticks (space, dot,
+    reserved word) must not be interpolated raw into the SQL fast
+    path — it takes the Column-loop fallback and yields the same
+    buckets as an identifier-named column."""
+    from ong_tsdb_spark.operators.similarity import lsh_bucket_expr
+
+    rows = [(i, [float(i) - 2.0, 1.0, -1.0, 0.5]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = [
+        r[0]
+        for r in df.select(lsh_bucket_expr("embedding", 4, 8)).collect()
+    ]
+    for weird in ("vec col", "select", "a.b"):
+        got = [
+            r[0]
+            for r in df.withColumnRenamed("embedding", weird)
+            .select(lsh_bucket_expr(weird, 4, 8))
+            .collect()
+        ]
+        assert got == want, weird
+
+
+def test_load_plan_cache_survives_regeneration(spark, tmp_path):
+    """ADVICE r14: load()'s per-session scan memo must not serve a
+    stale file-listing snapshot when a testdata path is REGENERATED
+    within one session — the memo key carries the path's mtime."""
+    import os
+    import time as _time
+
+    from ong_tsdb_spark import entry_queries
+
+    p = str(tmp_path)
+    spark.range(3).toDF("x").write.mode("overwrite").parquet(
+        f"{p}/t.parquet"
+    )
+    assert entry_queries.load(spark, p, "t").count() == 3
+    _time.sleep(0.01)  # ensure a distinct mtime_ns
+    spark.range(7).toDF("x").write.mode("overwrite").parquet(
+        f"{p}/t.parquet"
+    )
+    os.utime(f"{p}/t.parquet")
+    assert entry_queries.load(spark, p, "t").count() == 7
+
+
 def test_ivf_trainer_fused_partials_dirty_corpus(spark):
     """The r15 fused assignment+partial-sum Arrow boundary (the
     trainer returns per-batch (cluster, n, dim sums) partials instead
