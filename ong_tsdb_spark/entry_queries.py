@@ -4393,58 +4393,58 @@ def emb_kmeans_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ======================================================================
 
 # --- TAIL_ROTATION BEGIN (managed by tools/rotate.py) ---
-# planned-on: r01..r13 @ 8cd412a2db10
+# planned-on: r01..r14 @ a1ef828c4c42
 _TAIL_ROTATION = [
-    "emb_pq_adc_topk",
-    "text_bpe_pairs",
-    "doc_chunk_stats",
-    "emb_pq_recall",
-    "events_interval_join",
-    "events_retention",
-    "ts_last_timestamp",
-    "ts_upsert_last_wins",
-    "ts_usage_stats",
-    "ts_ingest_grouping",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "emb_neardup_blocked",
-    "emb_neardup_lsh",
-    "emb_quantized_topk",
-    "text_pii_scrub",
-    "text_repetition",
-    "ts_time_weighted_avg",
-    "ts_ohlc",
-    "part_type_like",
-    "customers_above_nation_avg",
-    "doc_stats_by_lang",
-    "dedup_passage_stats",
-    "text_gopher_quality",
-    "text_vocab",
-    "text_contamination",
-    "corpus_sample_stats",
-    "dedup_keep_best",
-    "doc_length_band",
-    "text_rare_tokens",
-    "corpus_pack_stats",
-    "dedup_semantic",
-    "text_bm25_topk",
-    "ts_ewma",
-    "emb_centroid_dist",
-    "corpus_mix_weights",
-    "corpus_epoch_mix",
-    "ts_mad_anomaly",
-    "dedup_minhash_error",
-    "text_fertility",
-    "corpus_delta_stats",
-    "corpus_epoch_shards",
-    "corpus_shuffled_shards",
-    "corpus_pack_sequences",
+    "ts_range_read",
+    "ts_snap_grid",
+    "ts_downsample_first",
+    "ts_checksum_nansum",
+    "influx_roundtrip",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "tpch_q5ish",
+    "part_brand_agg",
+    "emb_label_centroids",
+    "ts_asof_join",
+    "tpch_rollup",
+    "events_json_extract",
+    "tpch_q6",
+    "ts_pivot_daily",
+    "ts_percentiles",
+    "orders_with_late_lines",
+    "customers_without_recent_orders",
+    "ts_sessionize",
+    "users_set_ops",
+    "top_orders_per_priority",
+    "ts_gap_fill_linear",
+    "ts_rate",
+    "ts_value_histogram",
+    "ts_cumulative_sum_chunked",
+    "multimodal_features",
+    "corpus_clean_pipeline",
+    "ts_moving_range_avg",
+    "multimodal_frame_sample",
+    "text_rolling_fingerprint",
+    "text_bpe_tokens",
+    "dedup_winnow",
+    "dedup_clusters",
+    "dedup_ledger_backfill",
+    "emb_ann_recall",
+    "emb_ivf_recall",
+    "corpus_curation_report",
+    "text_c4_quality",
+    "text_dup_spans",
+    "text_classifier_train",
+    "text_classifier_quality",
+    "corpus_dsir_weights",
+    "events_funnel",
+    "graph_pagerank",
+    "text_bigram_novelty",
+    "dedup_ledger_replay",
+    "dedup_near_ledger_replay",
+    "dedup_ledger_crash_replay",
+    "corpus_topic_sample",
+    "emb_kmeans_k64",
 ]
 # --- TAIL_ROTATION END ---
 
