@@ -998,11 +998,14 @@ def minhash_error_stats(
     so even the error report has an exact oracle twin, like
     emb_ann_recall does for the ANN path.
 
-    Plan shape: ONE materialized shingle table feeds the wide
-    signature aggregate (16 min columns, map-side partial), the band
-    self-join (candidate generation) and the inverted-index
-    intersection counts; candidate pairs are few by construction, so
-    the two signature lookups broadcast.
+    Plan shape (since optimization r15): the corpus-wide shingle
+    table stays LAZY and is consumed exactly once — inside the wide
+    signature aggregate (16 min columns, map-side partial), which is
+    the one materialized corpus-sized table and feeds the band
+    self-join (candidate generation) and both signature lookups; the
+    inverted-index intersection re-shingles only the CANDIDATE docs
+    after a broadcast semi-join.  Candidate pairs are few by
+    construction, so the two signature lookups broadcast.
 
     EXACT-DUPLICATE COLLAPSE (r10 skew finding): signatures, bands
     and shingle intersections depend only on the TEXT, so a corpus
