@@ -653,7 +653,43 @@ def bench_engine(spark, sf_dir: str, serve_steady: int = 0) -> dict[str, float]:
             f"({n100 / out['engine_ingest_100x']:,.0f} rows/s)",
             file=sys.stderr,
         )
-        release_blocks(spark)  # free the 10M-row checkpoint blocks
+        # SCALING-SIGNAL row, revision 2 (still r15, additive — the 100x
+        # row above stays per the additions-only contract).  Measured
+        # same-day interleaved fresh-JVM laps showed the single-shot
+        # 100x reading is unusable as a core signal on this host: the
+        # 32-core side has a multi-lap warmup slope (first write lap
+        # 4.5-8.4 s settling to ~1.3 s) that one shot lands anywhere on,
+        # so the 8-vs-32 ratio came out 1.62, 0.80 and 0.46 in three
+        # windows of the SAME code.  At 300x (30M rows) the last-wins
+        # fold dominates the fixed write/commit cost and best-of-3
+        # fresh-sensor writes step over the slope: every same-window
+        # pairing measured 32c < 8c (best-of-3 2.4 vs 2.9, 3.7 vs 4.2,
+        # 2.65 vs 5.4 s; tools/r15_scalerow_warm.py).  Each shot writes
+        # a FRESH sensor so all three time the identical fresh-write
+        # shape; replicas are value-identical so last-wins stays
+        # deterministic.  Excluded from core_total like the 100x row.
+        ticks300 = (
+            ticks.crossJoin(spark.range(300))
+            .select("ts_sec", "value")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        n300 = ticks300.count()
+        best300 = float("inf")
+        for i in range(3):
+            name300 = f"events_1s_300x_{i}"
+            eng.create_sensor("bench", name300, "1s", ["value"])
+            t0 = time.perf_counter()
+            eng.write_spark_df("bench", name300, ticks300)
+            best300 = min(best300, time.perf_counter() - t0)
+        out["engine_ingest_300x"] = round(best300, 4)
+        print(
+            f"[bench] engine_ingest_300x: {n300} ticks, best-of-3 "
+            f"{out['engine_ingest_300x']:.2f}s "
+            f"({n300 / out['engine_ingest_300x']:,.0f} rows/s)",
+            file=sys.stderr,
+        )
+        release_blocks(spark)  # free the 10M/30M-row checkpoint blocks
         if serve_steady > 0:
             laps = []
             for _ in range(serve_steady):
@@ -756,14 +792,15 @@ def main() -> None:
 
     for name in CORE:
         timings[name] = timed(name)
-    # engine + pinned core; the round-6 serving metric and the r15
-    # scaling-signal row are reported but kept OUT of the
+    # engine + pinned core; the round-6 serving metric and the two r15
+    # scaling-signal rows are reported but kept OUT of the
     # r4-comparable total
     core_total = round(
         sum(
             v
             for k, v in timings.items()
-            if k not in ("engine_serve_read_7d", "engine_ingest_100x")
+            if k not in ("engine_serve_read_7d", "engine_ingest_100x",
+                         "engine_ingest_300x")
         ),
         4,
     )
@@ -812,6 +849,11 @@ def main() -> None:
                                   "pre-materialized off the clock, "
                                   "single-shot; excluded from "
                                   "core_total)",
+            "engine_ingest_300x": "added r15 (scaling-signal row rev 2: "
+                                  "300x-replicated ticks, input "
+                                  "pre-materialized off the clock, "
+                                  "best-of-3 fresh-sensor writes; "
+                                  "excluded from core_total)",
             "bpe_train_batched": "8-merge run since r15 (24 through "
                                  "r14; identity vs sequential still "
                                  "asserted)",
