@@ -121,6 +121,27 @@ def test_bench_and_cluster_lists_resolve():
     assert not stale, f"cluster_coverage.json references unknown entries: {stale}"
 
 
+def test_bench_scaling_rows_contract():
+    """The two r15 scaling-signal rows are ADDITIVE side channels: both
+    must be excluded from the r4-comparable core_total sum and both
+    must carry a protocol string (bench_drift rebaselines on protocol
+    identity, so a protocol-less timing row would read as a mover).
+    Pins the source, not a lap: the exclusion tuple and the protocols
+    literals must name both rows."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench.py")) as fh:
+        src = fh.read()
+    excl = src.split("if k not in (")[1].split(")")[0]
+    protocols = src.split('"protocols": {')[1].split("},")[0]
+    for row in ("engine_ingest_100x", "engine_ingest_300x"):
+        # appears in the core_total exclusion tuple...
+        assert row in excl, f"{row} missing from core_total exclusion"
+        # ...and in the protocols map
+        assert row in protocols, f"{row} missing from protocols map"
+
+
 def test_bench_summary_line_compact():
     """The bench's FINAL stdout line must stay under the driver's
     tail-capture window (VERDICT r6 #2: the 71-entry per-query dict
